@@ -1,0 +1,685 @@
+"""Deterministic spans→PDF generator (SURVEY.md §7 Milestone 0; the
+reference's `produce()` path — S3, COSDictionary.java:76-95 et al. —
+lifted from single objects to whole documents).
+
+Given one document's spans array it emits a complete PDF byte payload
+in one of several structural layouts, each exercising a distinct
+kernel path (FIXTURES.md §3 families):
+
+- ``classic``     — classic xref table + trailer         (X2/X3)
+- ``crlf``        — same, CRLF EOLs throughout           (B2/B3)
+- ``objstream``   — PDF 1.5 xref stream (Flate+Predictor-12, /W
+                    /Index) + object streams (/First, N members)
+                                                          (X4/X9/F2)
+- ``hybrid``      — classic table + /XRefStm pointer      (X3 hybrid)
+- ``incremental`` — /Prev chain with a superseding revision AND a
+                    generation-precedence decoy           (X3/X5)
+- ``filters:<f>`` — content streams encoded with flate / lzw / a85 /
+                    ahx / rl / a string of chained filters (F1-F6)
+- ``malformed:<kind>`` — noise / only_header / header_eof /
+                    zerosized / no_startxref — must be rejected
+                    (FileHandlingTest.java:32-56 contract)
+
+Everything is deterministic in (doc_id, spans, variant): no RNG, no
+wall clock. The generator runs as a vectorized mapInPandas stage at
+table-build time and doubles as the pytest round-trip oracle input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Optional, Sequence
+
+from .kernel.cos import CDict, CStream, CString, Name, Ref, produce, produce_literal_string
+from .kernel.encodings import WINANSI_CHAR_TO_BYTE
+from .kernel.filters import (
+    a85_encode,
+    ahx_encode,
+    flate_encode,
+    lzw_encode,
+    predictor_encode_up,
+    rl_encode,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic spans synthesis (pure-Python mirror of the SQL in
+# __spark_entry__.oracle_sql and the Spark expression in engine.py —
+# all three MUST stay in lockstep; tests/test_engine.py asserts it)
+# ---------------------------------------------------------------------------
+
+CHUNK = 80
+MEDIA_EVERY = 3  # a media span follows every text chunk with i % 3 == 2
+
+
+def synth_spans_py(doc_id: str, text: str) -> list[tuple[str, Optional[str], Optional[str], int]]:
+    """spans := for chunk i: text span at ordinal i + i//3; when
+    i%3==2 also a media span at ordinal i + i//3 + 1 with
+    media_ref = 'm' + md5(doc_id || ':' || i)[:16]."""
+    k = math.ceil(len(text) / CHUNK)
+    out = []
+    for i in range(k):
+        chunk = text[i * CHUNK : (i + 1) * CHUNK]
+        out.append(("text", chunk, None, i + i // 3))
+        if i % MEDIA_EVERY == 2:
+            h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:16]
+            out.append(("media", None, "m" + h, i + i // 3 + 1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text encoding for content streams
+# ---------------------------------------------------------------------------
+
+
+def _winansi_encode(text: str) -> Optional[bytes]:
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80 or (0xA0 <= o <= 0xFF):
+            out.append(o)
+        elif ch in WINANSI_CHAR_TO_BYTE:
+            out.append(WINANSI_CHAR_TO_BYTE[ch])
+        else:
+            return None
+    return bytes(out)
+
+
+def _show_bytes_simple(text: str) -> Optional[bytes]:
+    enc = _winansi_encode(text)
+    return None if enc is None else produce_literal_string(enc)
+
+
+def _show_bytes_cid(text: str) -> bytes:
+    return b"<" + text.encode("utf-16-be").hex().encode("ascii") + b">"
+
+
+# ---------------------------------------------------------------------------
+# Content-stream emission (one BT..ET per text span, one Do per media
+# span — the contract interpret_content() inverts)
+# ---------------------------------------------------------------------------
+
+
+def _content_for(
+    spans: Sequence[tuple], image_names: dict[str, str]
+) -> tuple[bytes, bool]:
+    """Returns (content bytes, used_cid_font). Show-operator form
+    rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3)."""
+    parts: list[bytes] = []
+    used_cid = False
+    y = 720
+    for ordinal, (kind, text, media_ref, _off) in enumerate(spans):
+        if kind == "media":
+            res_name = image_names[media_ref]
+            parts.append(b"q 100 0 0 50 10 %d cm /%s Do Q" % (y, res_name.encode()))
+            y -= 60
+            continue
+        simple = _show_bytes_simple(text or "")
+        if simple is None:
+            used_cid = True
+            font, shown = b"/F2", _show_bytes_cid(text or "")
+        else:
+            font, shown = b"/F1", simple
+        form = ordinal % 3
+        if form == 0:
+            parts.append(b"BT %s 12 Tf 10 %d Td %s Tj ET" % (font, y, shown))
+        elif form == 1:
+            # split the span across a TJ kerning array (§9.4.3); the
+            # extractor must reassemble exactly
+            if simple is not None and text and len(text) > 1:
+                mid = len(text) // 2
+                a = _show_bytes_simple(text[:mid])
+                b = _show_bytes_simple(text[mid:])
+                parts.append(
+                    b"BT %s 12 Tf 10 %d Td [%s -250 %s] TJ ET" % (font, y, a, b)
+                )
+            else:
+                parts.append(b"BT %s 12 Tf 10 %d Td [%s] TJ ET" % (font, y, shown))
+        else:
+            parts.append(b"BT %s 12 Tf 14 TL 10 %d Td %s ' ET" % (font, y, shown))
+        y -= 16
+    return b"\n".join(parts), used_cid
+
+
+_FILTER_ENCODERS = {
+    "flate": (flate_encode, Name("FlateDecode")),
+    "lzw": (lzw_encode, Name("LZWDecode")),
+    "a85": (a85_encode, Name("ASCII85Decode")),
+    "ahx": (ahx_encode, Name("ASCIIHexDecode")),
+    "rl": (rl_encode, Name("RunLengthDecode")),
+}
+
+
+def _encode_content(body: bytes, filters: Sequence[str]) -> CStream:
+    """Apply encoders in order; /Filter array lists DECODE order =
+    reverse of encode order (StreamDecoder.java:180-204 chain)."""
+    names: list[Name] = []
+    for f in filters:
+        enc, name = _FILTER_ENCODERS[f]
+        body = enc(body)
+        names.insert(0, name)
+    d = CDict()
+    if len(names) == 1:
+        d[Name("Filter")] = names[0]
+    elif names:
+        d[Name("Filter")] = list(names)
+    d[Name("Length")] = len(body)
+    return CStream(d, body)
+
+
+# ---------------------------------------------------------------------------
+# Document object-graph builder
+# ---------------------------------------------------------------------------
+
+_TOUNICODE_IDENTITY = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+/CMapName /Adobe-Identity-UCS def /CMapType 2 def
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfrange <0000> <FFFF> <0000> endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+SPANS_PER_PAGE = 5
+PAGE_TREE_FANOUT = 4
+
+
+class _Graph:
+    """Numbered-object store (the builder's XRefTable inverse)."""
+
+    def __init__(self):
+        self.objs: dict[int, object] = {}
+        self._next = 1
+        self.content_nums: list[int] = []
+
+    def add(self, val) -> int:
+        n = self._next
+        self._next += 1
+        self.objs[n] = val
+        return n
+
+    def reserve(self) -> int:
+        n = self._next
+        self._next += 1
+        return n
+
+
+def _media_stub_bytes(media_ref: str) -> bytes:
+    h = hashlib.md5(media_ref.encode()).digest()
+    return b"\xff\xd8\xff\xe0" + h * 4 + b"\xff\xd9"
+
+
+def build_object_graph(
+    doc_id: str,
+    spans: Sequence[tuple],
+    content_filters: Sequence[str] = ("flate",),
+    info_fields: Optional[dict] = None,
+    catalog_extra: Optional[dict] = None,
+) -> tuple[_Graph, int, int]:
+    """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
+    g = _Graph()
+    catalog_num = g.reserve()
+    pages_root_num = g.reserve()
+    info_num = g.reserve()
+    f1_num = g.reserve()
+
+    needs_cid = any(
+        k == "text" and _winansi_encode(t or "") is None for (k, t, _m, _o) in spans
+    )
+    f2_num = f2_cmap_num = None
+    if needs_cid:
+        f2_cmap_num = g.reserve()
+        f2_num = g.reserve()
+
+    # image XObjects: one per distinct media_ref, /Name carries the ref
+    # (pass-through DCT bytes — Filter_DoNothing semantics, F7)
+    image_objs: dict[str, int] = {}
+    image_names: dict[str, str] = {}
+    for idx, (kind, _t, mref, _o) in enumerate(spans):
+        if kind == "media" and mref not in image_objs:
+            stub = _media_stub_bytes(mref)
+            d = CDict()
+            d[Name("Type")] = Name("XObject")
+            d[Name("Subtype")] = Name("Image")
+            d[Name("Name")] = Name(mref)
+            d[Name("Width")] = 8
+            d[Name("Height")] = 8
+            d[Name("ColorSpace")] = Name("DeviceRGB")
+            d[Name("BitsPerComponent")] = 8
+            d[Name("Filter")] = Name("DCTDecode")
+            d[Name("Length")] = len(stub)
+            image_objs[mref] = g.add(CStream(d, stub))
+            image_names[mref] = f"Im{len(image_names)}"
+
+    # fonts
+    f1 = CDict()
+    f1[Name("Type")] = Name("Font")
+    f1[Name("Subtype")] = Name("Type1")
+    f1[Name("BaseFont")] = Name("Helvetica")
+    f1[Name("Encoding")] = Name("WinAnsiEncoding")
+    g.objs[f1_num] = f1
+    if needs_cid:
+        cmap = _encode_content(_TOUNICODE_IDENTITY, ["flate"])
+        g.objs[f2_cmap_num] = cmap
+        desc = CDict()
+        desc[Name("Type")] = Name("Font")
+        desc[Name("Subtype")] = Name("CIDFontType2")
+        desc[Name("BaseFont")] = Name("Identity")
+        desc_num = g.add(desc)
+        f2 = CDict()
+        f2[Name("Type")] = Name("Font")
+        f2[Name("Subtype")] = Name("Type0")
+        f2[Name("BaseFont")] = Name("Identity")
+        f2[Name("Encoding")] = Name("Identity-H")
+        f2[Name("DescendantFonts")] = [Ref(desc_num, 0)]
+        f2[Name("ToUnicode")] = Ref(f2_cmap_num, 0)
+        g.objs[f2_num] = f2
+
+    font_res = CDict()
+    font_res[Name("F1")] = Ref(f1_num, 0)
+    if needs_cid:
+        font_res[Name("F2")] = Ref(f2_num, 0)
+    xobj_res = CDict()
+    for mref, onum in image_objs.items():
+        xobj_res[Name(image_names[mref])] = Ref(onum, 0)
+    resources = CDict()
+    resources[Name("Font")] = font_res
+    if image_objs:
+        resources[Name("XObject")] = xobj_res
+    res_num = g.add(resources)
+
+    # paginate spans → pages + content streams
+    page_nums: list[int] = []
+    for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
+        page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
+        body, _ = _content_for(page_spans, image_names)
+        cnum = g.add(_encode_content(body, content_filters))
+        g.content_nums.append(cnum)
+        page = CDict()
+        page[Name("Type")] = Name("Page")
+        page[Name("MediaBox")] = [0, 0, 612, 792]
+        page[Name("Resources")] = Ref(res_num, 0)
+        page[Name("Contents")] = Ref(cnum, 0)
+        page_nums.append(g.add(page))
+
+    # page tree: nest intermediate /Pages nodes when fanout exceeded
+    # (exercises the ≥3-level DFS of the multipage_tree family, M4)
+    def build_tree(nums: list[int], parent: int) -> tuple[list[Ref], int]:
+        if len(nums) <= PAGE_TREE_FANOUT:
+            return [Ref(n, 0) for n in nums], len(nums)
+        kid_refs = []
+        total = 0
+        for i in range(0, len(nums), PAGE_TREE_FANOUT):
+            group = nums[i : i + PAGE_TREE_FANOUT]
+            node_num = g.reserve()
+            refs, cnt = build_tree(group, node_num)
+            node = CDict()
+            node[Name("Type")] = Name("Pages")
+            node[Name("Parent")] = Ref(parent, 0)
+            node[Name("Kids")] = refs
+            node[Name("Count")] = cnt
+            g.objs[node_num] = node
+            kid_refs.append(Ref(node_num, 0))
+            total += cnt
+        return kid_refs, total
+
+    kid_refs, count = build_tree(page_nums, pages_root_num)
+    pages_root = CDict()
+    pages_root[Name("Type")] = Name("Pages")
+    pages_root[Name("Kids")] = kid_refs
+    pages_root[Name("Count")] = count
+    g.objs[pages_root_num] = pages_root
+    for pn in page_nums:
+        g.objs[pn][Name("Parent")] = Ref(pages_root_num, 0)
+
+    catalog = CDict()
+    catalog[Name("Type")] = Name("Catalog")
+    catalog[Name("Pages")] = Ref(pages_root_num, 0)
+    for k, v in (catalog_extra or {}).items():
+        catalog[Name(k)] = v
+    g.objs[catalog_num] = catalog
+
+    info = CDict()
+    base_info = {
+        "Title": f"doc {doc_id}",
+        "Author": "pdfspark-gen",
+        "Subject": "synthetic",
+        "Keywords": f"spans={len(spans)}",
+        "Creator": "pdfspark",
+        "Producer": "pdfspark codec",
+        "CreationDate": _det_date(doc_id),
+    }
+    base_info.update(info_fields or {})
+    for k, v in base_info.items():
+        if v is None:
+            continue
+        info[Name(k)] = v if isinstance(v, (Name, int, float)) else CString.from_text(str(v))
+    info[Name("Trapped")] = Name("False")
+    g.objs[info_num] = info
+    return g, catalog_num, info_num
+
+
+def _det_date(doc_id: str) -> str:
+    """Deterministic CreationDate exercising the C5 parser — derived
+    from the doc_id hash, never from the wall clock."""
+    h = int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16)
+    day = 1 + h % 28
+    hour = (h >> 8) % 24
+    minute = (h >> 16) % 60
+    return f"D:202401{day:02d}{hour:02d}{minute:02d}33+02'00'"
+
+
+# ---------------------------------------------------------------------------
+# Assemblers
+# ---------------------------------------------------------------------------
+
+
+def _file_id(doc_id: str) -> list:
+    h = hashlib.md5(doc_id.encode()).digest()[:8]
+    return [CString(h, force_hex=True), CString(h, force_hex=True)]
+
+
+def _assemble_classic(
+    g: _Graph,
+    catalog_num: int,
+    info_num: int,
+    doc_id: str,
+    eol: bytes = b"\n",
+    hybrid: bool = False,
+    version: bytes = b"1.4",
+) -> bytes:
+    out = bytearray()
+    out += b"%PDF-" + version + eol + b"%\xe2\xe3\xcf\xd3" + eol
+    offsets: dict[int, int] = {}
+    nums = sorted(g.objs)
+    for n in nums:
+        offsets[n] = len(out)
+        out += str(n).encode() + b" 0 obj" + eol
+        out += produce(g.objs[n])
+        out += eol + b"endobj" + eol
+
+    hybrid_stm_offset = None
+    hybrid_omit: set[int] = set()
+    if hybrid:
+        # omit the last object from the classic table; only the
+        # /XRefStm supplies it (forces the hybrid path, X3)
+        hybrid_omit = {nums[-1]}
+        hybrid_stm_offset = len(out)
+        out += _xref_stream_bytes(
+            g, offsets, catalog_num, info_num, doc_id, obj_num=g.reserve()
+        )
+
+    xref_off = len(out)
+    size = max(nums) + 1
+    # xref rows are exactly 20 bytes: 2-byte EOL directly after the
+    # flag for CRLF writers, ' ' + 1-byte EOL otherwise (ISO §7.5.4)
+    row_eol = b"\r\n" if eol == b"\r\n" else b" \n"
+    out += b"xref" + eol
+    out += b"0 1" + eol + b"0000000000 65535 f" + row_eol
+    for n in nums:
+        if n in hybrid_omit:
+            continue
+        out += f"{n} 1".encode() + eol
+        out += f"{offsets[n]:010d} 00000 n".encode() + row_eol
+    trailer = CDict()
+    trailer[Name("Size")] = size
+    trailer[Name("Root")] = Ref(catalog_num, 0)
+    trailer[Name("Info")] = Ref(info_num, 0)
+    trailer[Name("ID")] = _file_id(doc_id)
+    if hybrid and hybrid_stm_offset is not None:
+        trailer[Name("XRefStm")] = hybrid_stm_offset
+    out += b"trailer" + eol + produce(trailer) + eol
+    out += b"startxref" + eol + str(xref_off).encode() + eol + b"%%EOF" + eol
+    return bytes(out)
+
+
+def _xref_stream_bytes(
+    g: _Graph,
+    offsets: dict[int, int],
+    catalog_num: int,
+    info_num: int,
+    doc_id: str,
+    obj_num: int,
+    compressed: Optional[dict[int, tuple[int, int]]] = None,
+    self_offset: Optional[int] = None,
+    size: Optional[int] = None,
+) -> bytes:
+    """Emit one xref-stream object covering `offsets` (type 1) and
+    `compressed` (type 2) entries. /W [1 4 2], Flate + Predictor 12
+    (the loremipsum2.pdf shape, ComplexTest.java:112-141)."""
+    w1, w2, w3 = 1, 4, 2
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+    for n, off in offsets.items():
+        entries[n] = (1, off, 0)
+    for n, (cont, idx) in (compressed or {}).items():
+        entries[n] = (2, cont, idx)
+    entries[obj_num] = (1, self_offset if self_offset is not None else 0, 0)
+    max_num = max(max(entries), (size or 0) - 1)
+    rows = bytearray()
+    index: list[int] = []
+    nums = sorted(entries)
+    run_start = None
+    prev = None
+    for n in nums:
+        if run_start is None:
+            run_start, prev = n, n
+        elif n == prev + 1:
+            prev = n
+        else:
+            index += [run_start, prev - run_start + 1]
+            run_start, prev = n, n
+    index += [run_start, prev - run_start + 1]
+    for n in nums:
+        t, a, b = entries[n]
+        rows += t.to_bytes(w1, "big") + a.to_bytes(w2, "big") + b.to_bytes(w3, "big")
+    row_len = w1 + w2 + w3
+    pred = predictor_encode_up(bytes(rows), row_len)
+    body = flate_encode(pred)
+    d = CDict()
+    d[Name("Type")] = Name("XRef")
+    d[Name("Size")] = max_num + 1
+    d[Name("W")] = [w1, w2, w3]
+    d[Name("Index")] = index
+    d[Name("Filter")] = Name("FlateDecode")
+    parms = CDict()
+    parms[Name("Predictor")] = 12
+    parms[Name("Columns")] = row_len
+    d[Name("DecodeParms")] = parms
+    d[Name("Root")] = Ref(catalog_num, 0)
+    d[Name("Info")] = Ref(info_num, 0)
+    d[Name("ID")] = _file_id(doc_id)
+    d[Name("Length")] = len(body)
+    out = bytearray()
+    out += str(obj_num).encode() + b" 0 obj\n"
+    out += produce(CStream(d, body))
+    out += b"\nendobj\n"
+    return bytes(out)
+
+
+def _assemble_objstream(g: _Graph, catalog_num: int, info_num: int, doc_id: str) -> bytes:
+    """PDF 1.5 layout: non-stream objects packed into object streams
+    (≤25 members each), xref stream with type-2 entries (X4/X9)."""
+    out = bytearray()
+    out += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
+    stream_objs = {n: v for n, v in g.objs.items() if isinstance(v, CStream)}
+    plain_objs = {n: v for n, v in g.objs.items() if not isinstance(v, CStream)}
+
+    offsets: dict[int, int] = {}
+    for n in sorted(stream_objs):
+        offsets[n] = len(out)
+        out += str(n).encode() + b" 0 obj\n" + produce(stream_objs[n]) + b"\nendobj\n"
+
+    compressed: dict[int, tuple[int, int]] = {}
+    plain_nums = sorted(plain_objs)
+    GROUP = 25
+    for gi in range(0, len(plain_nums), GROUP):
+        members = plain_nums[gi : gi + GROUP]
+        cont_num = g.reserve()
+        header = bytearray()
+        bodies = bytearray()
+        rel_offsets = []
+        for n in members:
+            rel_offsets.append(len(bodies))
+            bodies += produce(plain_objs[n]) + b"\n"
+        for n, rel in zip(members, rel_offsets):
+            header += f"{n} {rel} ".encode()
+        first = len(header)
+        payload = bytes(header) + bytes(bodies)
+        comp = flate_encode(payload)
+        d = CDict()
+        d[Name("Type")] = Name("ObjStm")
+        d[Name("N")] = len(members)
+        d[Name("First")] = first
+        d[Name("Filter")] = Name("FlateDecode")
+        d[Name("Length")] = len(comp)
+        offsets[cont_num] = len(out)
+        out += str(cont_num).encode() + b" 0 obj\n" + produce(CStream(d, comp)) + b"\nendobj\n"
+        for idx, n in enumerate(members):
+            compressed[n] = (cont_num, idx)
+
+    xref_num = g.reserve()
+    xref_off = len(out)
+    out += _xref_stream_bytes(
+        g,
+        offsets,
+        catalog_num,
+        info_num,
+        doc_id,
+        obj_num=xref_num,
+        compressed=compressed,
+        self_offset=xref_off,
+    )
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+def _assemble_incremental(
+    g: _Graph, catalog_num: int, info_num: int, doc_id: str, spans: Sequence[tuple]
+) -> bytes:
+    """Base revision carries a DECOY first content stream; the
+    appended revision supersedes it (newest xref section wins,
+    first-writer-wins parse order). A second decoy exercises
+    generation precedence: the base lists object B at gen 1 (correct)
+    and the update lists B at gen 0 (decoy) — gen 1 must win
+    (XRefTable.java:37-43)."""
+    content_nums = list(g.content_nums)
+    if not content_nums:
+        return _assemble_classic(g, catalog_num, info_num, doc_id)
+    a_num = content_nums[0]
+    correct_a = g.objs[a_num]
+    decoy = _encode_content(b"BT /F1 12 Tf 10 700 Td (DECOY SUPERSEDED) Tj ET", ["flate"])
+    g.objs[a_num] = decoy
+
+    b_num = content_nums[1] if len(content_nums) > 1 else None
+    correct_b = g.objs[b_num] if b_num is not None else None
+
+    # --- base revision (classic), object B written at gen 1 ----------
+    out = bytearray()
+    out += b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+    offsets: dict[int, int] = {}
+    gens: dict[int, int] = {}
+    for n in sorted(g.objs):
+        gen = 1 if n == b_num else 0
+        offsets[n] = len(out)
+        gens[n] = gen
+        out += f"{n} {gen} obj\n".encode() + produce(g.objs[n]) + b"\nendobj\n"
+    base_xref_off = len(out)
+    size = max(g.objs) + 1
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for n in sorted(g.objs):
+        out += f"{n} 1\n{offsets[n]:010d} {gens[n]:05d} n \n".encode()
+    trailer = CDict()
+    trailer[Name("Size")] = size
+    trailer[Name("Root")] = Ref(catalog_num, 0)
+    trailer[Name("Info")] = Ref(info_num, 0)
+    trailer[Name("ID")] = _file_id(doc_id)
+    out += b"trailer\n" + produce(trailer) + b"\nstartxref\n"
+    out += str(base_xref_off).encode() + b"\n%%EOF\n"
+
+    # --- incremental update: correct A (gen 0), decoy B (gen 0) ------
+    upd_offsets: dict[int, int] = {}
+    upd_offsets[a_num] = len(out)
+    out += f"{a_num} 0 obj\n".encode() + produce(correct_a) + b"\nendobj\n"
+    if b_num is not None:
+        decoy_b = _encode_content(
+            b"BT /F1 12 Tf 10 700 Td (GEN DECOY MUST LOSE) Tj ET", ["flate"]
+        )
+        upd_offsets[b_num] = len(out)
+        out += f"{b_num} 0 obj\n".encode() + produce(decoy_b) + b"\nendobj\n"
+    upd_xref_off = len(out)
+    out += b"xref\n"
+    for n in sorted(upd_offsets):
+        out += f"{n} 1\n{upd_offsets[n]:010d} 00000 n \n".encode()
+    t2 = CDict()
+    t2[Name("Size")] = size
+    t2[Name("Root")] = Ref(catalog_num, 0)
+    t2[Name("Info")] = Ref(info_num, 0)
+    t2[Name("Prev")] = base_xref_off
+    t2[Name("ID")] = _file_id(doc_id)
+    out += b"trailer\n" + produce(t2) + b"\nstartxref\n"
+    out += str(upd_xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+MALFORMED_KINDS = ("noise", "only_header", "header_eof", "zerosized", "no_startxref")
+
+
+def build_pdf(
+    doc_id: str,
+    spans: Sequence[tuple],
+    variant: str = "classic",
+    info_fields: Optional[dict] = None,
+    catalog_extra: Optional[dict] = None,
+) -> bytes:
+    """One document → PDF bytes. ``variant`` selects the structural
+    layout (module docstring); ``filters:<f>[+<f>...]`` selects the
+    content-stream filter chain; ``malformed:<kind>`` emits a payload
+    that must be rejected."""
+    if variant.startswith("malformed:"):
+        kind = variant.split(":", 1)[1]
+        if kind == "noise":
+            return hashlib.md5(doc_id.encode()).digest() * 8
+        if kind == "only_header":
+            return b"%PDF-1.4\n"
+        if kind == "header_eof":
+            return b"%PDF-1.4\n%%EOF\n"
+        if kind == "zerosized":
+            return b""
+        if kind == "no_startxref":
+            body = build_pdf(doc_id, spans, "classic", info_fields)
+            i = body.rfind(b"startxref")
+            return body[:i] + b"%%EOF\n"
+        raise ValueError(f"unknown malformed kind {kind}")
+
+    content_filters: Sequence[str] = ("flate",)
+    layout = variant
+    if variant.startswith("filters:"):
+        layout = "classic"
+        content_filters = tuple(variant.split(":", 1)[1].split("+"))
+        if content_filters == ("none",):
+            content_filters = ()
+
+    g, cat, info = build_object_graph(
+        doc_id, spans, content_filters, info_fields, catalog_extra
+    )
+    if layout == "classic":
+        return _assemble_classic(g, cat, info, doc_id)
+    if layout == "crlf":
+        return _assemble_classic(g, cat, info, doc_id, eol=b"\r\n")
+    if layout == "hybrid":
+        return _assemble_classic(g, cat, info, doc_id, hybrid=True)
+    if layout == "objstream":
+        return _assemble_objstream(g, cat, info, doc_id)
+    if layout == "incremental":
+        return _assemble_incremental(g, cat, info, doc_id, spans)
+    raise ValueError(f"unknown variant {variant}")
+
+
+def variant_for(doc_id: int, mode: str) -> str:
+    """Deterministic per-doc variant assignment for mixed-mode tables."""
+    if mode != "mixed":
+        return mode
+    layouts = ("classic", "crlf", "objstream", "hybrid", "incremental")
+    return layouts[doc_id % len(layouts)]

@@ -1,0 +1,606 @@
+"""COS object model + byte tokenizer (SURVEY.md §1.1, §2.3 T1-T10).
+
+Python value mapping (reference type → here):
+- COSNull  → ``COS_NULL`` singleton   (cos/COSNull.java:30)
+- COSBool  → ``bool``                 (cos/COSBool.java:28-35)
+- COSNumber→ ``int`` | ``float``      (cos/COSNumber.java:41-72 — one
+  numeric type with an isInteger flag; Python's int/float split carries
+  the same information)
+- COSString→ ``CString`` (raw bytes + lazy decoded str,
+  cos/COSString.java:32,102-104)
+- COSName  → ``Name`` (str subclass, stored WITHOUT the leading '/';
+  the reference keeps '/' in the value — cos/COSName.java:127-128 —
+  and its /Kids lookup constants are consequently broken, SURVEY §2.6
+  M4; we normalize at parse time and emit '/' at produce time, which
+  is the spec-correct behavior the rebuild contract requires)
+- COSArray → ``list``                 (cos/COSArray.java:31)
+- COSDictionary → ``CDict`` (insertion-ordered dict + typed accessors,
+  cos/COSDictionary.java:35,112-290)
+- COSStream→ ``CStream`` (CDict + raw body bytes, cos/COSStream.java:31-39)
+- COSReference → ``Ref(num, gen)``    (cos/COSReference.java:32-39)
+
+The tokenizer is a recursive-descent kernel over a ``Raw`` cursor —
+single-document state only; the Spark engine runs one per document
+inside mapInPandas (never a row-wise Python UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Union
+
+from .encodings import decode_pdfdoc, encode_pdfdoc
+from .errors import EParseError
+from .raw import Raw, is_delim, is_ws
+
+# ---------------------------------------------------------------------------
+# Value types
+# ---------------------------------------------------------------------------
+
+
+class _Null:
+    _inst: Optional["_Null"] = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "COS_NULL"
+
+    def __bool__(self):
+        return False
+
+
+COS_NULL = _Null()
+
+
+class Ref(NamedTuple):
+    """Indirect reference ``id gen R`` (cos/COSReference.java:32-39)."""
+
+    num: int
+    gen: int
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """PDF name; value excludes the leading '/'."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "/" + str.__str__(self)
+
+
+class CString:
+    """Raw bytes + decoded text (cos/COSString.java)."""
+
+    __slots__ = ("raw", "_value", "force_hex")
+
+    def __init__(self, raw: bytes, force_hex: bool = False):
+        self.raw = raw
+        self._value: Optional[str] = None
+        self.force_hex = force_hex
+
+    @property
+    def value(self) -> str:
+        if self._value is None:
+            self._value = decode_pdfdoc(self.raw)
+        return self._value
+
+    @classmethod
+    def from_text(cls, text: str) -> "CString":
+        return cls(encode_pdfdoc(text))
+
+    def __eq__(self, other):
+        return isinstance(other, CString) and self.raw == other.raw
+
+    def __hash__(self):
+        return hash(self.raw)
+
+    def __repr__(self):
+        return f"CString({self.raw!r})"
+
+
+COSValue = Union[_Null, bool, int, float, CString, Name, list, "CDict", "CStream", Ref]
+
+# resolver: follows a Ref to its value (bound to the xref layer)
+Resolver = Callable[[Ref], COSValue]
+
+
+class CDict(dict):
+    """Insertion-ordered map + typed accessors with defaulting
+    (cos/COSDictionary.java:112-290). Type mismatch returns the
+    caller's default — never throws (e.g. getInt :133-138).
+    Reference chains are followed ≤5 hops (dereference depth guard,
+    COSDictionary.java:102-110)."""
+
+    MAX_DEREF_DEPTH = 5
+
+    def deref(self, v: COSValue, resolver: Optional[Resolver]) -> COSValue:
+        depth = 0
+        while isinstance(v, Ref):
+            if resolver is None:
+                return COS_NULL
+            if depth >= self.MAX_DEREF_DEPTH:
+                raise EParseError("Infinite or too deep loop of references")
+            v = resolver(v)
+            depth += 1
+        return v
+
+    def _get(self, key: str, resolver: Optional[Resolver]):
+        v = self.get(key, COS_NULL)
+        return self.deref(v, resolver)
+
+    def get_bool(self, key, default=False, resolver=None):
+        v = self._get(key, resolver)
+        return v if isinstance(v, bool) else default
+
+    def get_int(self, key, default=0, resolver=None):
+        v = self._get(key, resolver)
+        if isinstance(v, bool):
+            return default
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return int(v)
+        return default
+
+    def get_str(self, key, default="", resolver=None):
+        v = self._get(key, resolver)
+        return v.value if isinstance(v, CString) else default
+
+    def get_name(self, key, default=None, resolver=None):
+        v = self._get(key, resolver)
+        return v if isinstance(v, Name) else default
+
+    def get_array(self, key, default=None, resolver=None):
+        v = self._get(key, resolver)
+        return v if isinstance(v, list) else default
+
+    def get_dict(self, key, default=None, resolver=None):
+        v = self._get(key, resolver)
+        return v if isinstance(v, CDict) else default
+
+    def get_stream(self, key, default=None, resolver=None):
+        v = self._get(key, resolver)
+        return v if isinstance(v, CStream) else default
+
+    def get_ref(self, key):
+        v = self.get(key, COS_NULL)
+        return v if isinstance(v, Ref) else None
+
+    def get_rect(self, key, default=None, resolver=None):
+        v = self._get(key, resolver)
+        if isinstance(v, list) and len(v) == 4 and all(
+            isinstance(x, (int, float)) and not isinstance(x, bool) for x in v
+        ):
+            from .docmodel import Rect
+
+            return Rect.normalized(*[float(x) for x in v])
+        return default
+
+
+class CStream:
+    """Dictionary + raw `/Length` body bytes (cos/COSStream.java:31-39)."""
+
+    __slots__ = ("dict", "data")
+
+    def __init__(self, d: CDict, data: bytes):
+        self.dict = d
+        self.data = data
+
+    def __repr__(self):
+        return f"CStream({dict(self.dict)!r}, {len(self.data)} bytes)"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (parse side)
+# ---------------------------------------------------------------------------
+
+_HEXVAL = {c: i for i, c in enumerate(b"0123456789abcdef")}
+_HEXVAL.update({c: i for i, c in enumerate(b"0123456789ABCDEF")})
+
+
+def parse_name(r: Raw) -> Name:
+    """T2 — '/'-prefixed name, '#xx' hex escapes (ISO 32000-1 §7.3.5).
+
+    Reference: cos/COSName.java:169-247. Its escape decode uses ``&``
+    where ``|`` is needed (COSName.java:239 — escaped chars decode to
+    0); untested path, rebuilt spec-correct per SURVEY §5 policy.
+    """
+    d, n = r.data, r.length
+    p = r.pos
+    if p >= n or d[p] != 0x2F:
+        raise EParseError(f"name expected at {p}")
+    p += 1
+    out = bytearray()
+    while p < n:
+        b = d[p]
+        if is_ws(b) or is_delim(b):
+            break
+        if b == 0x23 and p + 2 < n and d[p + 1] in _HEXVAL and d[p + 2] in _HEXVAL:
+            out.append((_HEXVAL[d[p + 1]] << 4) | _HEXVAL[d[p + 2]])
+            p += 3
+        else:
+            out.append(b)
+            p += 1
+    r.pos = p
+    return Name(out.decode("latin-1"))
+
+
+def parse_number(r: Raw) -> Union[int, float]:
+    """T3 — int or fixed-point real; sign only leading; one '.'; no
+    exponent (cos/COSNumber.java:130-213; semantics pinned by
+    TestCOSNumber.java:152-274 — "-0000"→0, "+1234567890/"→int then
+    delimiter terminates, "-.002", "4.")."""
+    d, n = r.data, r.length
+    p = r.pos
+    start = p
+    if p < n and d[p] in (0x2B, 0x2D):  # + -
+        p += 1
+    int_digits = 0
+    while p < n and 0x30 <= d[p] <= 0x39:
+        p += 1
+        int_digits += 1
+    is_real = False
+    frac_digits = 0
+    if p < n and d[p] == 0x2E:  # '.'
+        is_real = True
+        p += 1
+        while p < n and 0x30 <= d[p] <= 0x39:
+            p += 1
+            frac_digits += 1
+    if int_digits == 0 and frac_digits == 0:
+        raise EParseError(f"malformed number at {start}")
+    # terminator must be WS / delimiter / EOF (PDF has no exponent form)
+    if p < n and not (is_ws(d[p]) or is_delim(d[p])):
+        raise EParseError(f"malformed number at {start}: bad terminator {d[p]:#x}")
+    text = d[start:p].decode("ascii")
+    r.pos = p
+    if is_real:
+        return float(text)
+    return int(text)
+
+
+def try_read_id(r: Raw) -> Optional[tuple[int, int, bytes]]:
+    """T9 — speculative ``id gen R`` / ``id gen obj`` parse with full
+    cursor rollback on failure (cos/IdGenPair.java:27-88).
+    Returns (id, gen, b'R'|b'obj') or None."""
+    save = r.pos
+    d, n = r.data, r.length
+    p = r.pos
+    # first uint
+    s0 = p
+    while p < n and 0x30 <= d[p] <= 0x39:
+        p += 1
+    if p == s0 or p >= n or not is_ws(d[p]):
+        r.pos = save
+        return None
+    num = int(d[s0:p])
+    while p < n and d[p] in (0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20):
+        p += 1
+    s1 = p
+    while p < n and 0x30 <= d[p] <= 0x39:
+        p += 1
+    if p == s1 or p >= n or not is_ws(d[p]):
+        r.pos = save
+        return None
+    gen = int(d[s1:p])
+    while p < n and d[p] in (0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20):
+        p += 1
+    if p < n and d[p] == 0x52:  # 'R'
+        nxt = d[p + 1] if p + 1 < n else 0x20
+        if is_ws(nxt) or is_delim(nxt):
+            r.pos = p + 1
+            return (num, gen, b"R")
+    if d.startswith(b"obj", p):
+        nxt = d[p + 3] if p + 3 < n else 0x20
+        if is_ws(nxt) or is_delim(nxt) or True:  # 'obj' may abut '<<'
+            r.pos = p + 3
+            return (num, gen, b"obj")
+    r.pos = save
+    return None
+
+
+_ESCAPES = {
+    0x6E: 0x0A,  # \n
+    0x72: 0x0D,  # \r
+    0x74: 0x09,  # \t
+    0x62: 0x08,  # \b
+    0x66: 0x0C,  # \f
+    0x28: 0x28,  # \(
+    0x29: 0x29,  # \)
+    0x5C: 0x5C,  # \\
+}
+
+
+def parse_literal_string(r: Raw) -> CString:
+    """T4 — ``(...)`` literal string (cos/COSString.java:164-296).
+
+    Nested-paren balancing; \\n \\r \\t \\b \\f \\( \\) \\\\ escapes;
+    1-3 digit octal; backslash+EOL line continuation; bare EOL
+    normalized to LF; unknown escape = drop backslash keep char.
+    Pinned by TestCOSString.java:63-98 (``(\\0053)``→2 chars,
+    ``(\\053)``→'+')."""
+    d, n = r.data, r.length
+    p = r.pos
+    if d[p] != 0x28:
+        raise EParseError(f"literal string expected at {p}")
+    p += 1
+    depth = 1
+    out = bytearray()
+    while p < n:
+        b = d[p]
+        if b == 0x5C:  # backslash
+            p += 1
+            if p >= n:
+                break
+            e = d[p]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                p += 1
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                val = e - 0x30
+                p += 1
+                for _ in range(2):
+                    if p < n and 0x30 <= d[p] <= 0x37:
+                        val = (val << 3) | (d[p] - 0x30)
+                        p += 1
+                    else:
+                        break
+                out.append(val & 0xFF)
+            elif e == 0x0D:  # \<CR>[LF] line continuation
+                p += 1
+                if p < n and d[p] == 0x0A:
+                    p += 1
+            elif e == 0x0A:  # \<LF>
+                p += 1
+            else:  # unknown escape: drop backslash, keep char
+                out.append(e)
+                p += 1
+        elif b == 0x28:
+            depth += 1
+            out.append(b)
+            p += 1
+        elif b == 0x29:
+            depth -= 1
+            if depth == 0:
+                p += 1
+                r.pos = p
+                return CString(bytes(out))
+            out.append(b)
+            p += 1
+        elif b == 0x0D:  # bare EOL → LF
+            out.append(0x0A)
+            p += 1
+            if p < n and d[p] == 0x0A:
+                p += 1
+        else:
+            out.append(b)
+            p += 1
+    raise EParseError("unterminated literal string")
+
+
+def parse_hex_string(r: Raw) -> CString:
+    """T5 — ``<...>`` hex string; WS ignored; odd final nibble <<4
+    pad; strict charset else throw (cos/COSString.java:532-568)."""
+    d, n = r.data, r.length
+    p = r.pos
+    if d[p] != 0x3C:
+        raise EParseError(f"hex string expected at {p}")
+    p += 1
+    out = bytearray()
+    hi = -1
+    while p < n:
+        b = d[p]
+        if b == 0x3E:
+            p += 1
+            if hi >= 0:
+                out.append(hi << 4)
+            r.pos = p
+            return CString(bytes(out), force_hex=True)
+        if is_ws(b):
+            p += 1
+            continue
+        if b not in _HEXVAL:
+            raise EParseError(f"invalid hex digit {b:#x} at {p}")
+        if hi < 0:
+            hi = _HEXVAL[b]
+        else:
+            out.append((hi << 4) | _HEXVAL[b])
+            hi = -1
+        p += 1
+    raise EParseError("unterminated hex string")
+
+
+def parse_dict_or_stream(r: Raw, resolver: Optional[Resolver]) -> Union[CDict, CStream]:
+    """T6 + T8 — ``<<...>>`` dictionary, then if followed by the
+    ``stream`` keyword, read `/Length` body bytes (length may itself be
+    an indirect reference resolved mid-tokenize — PDFParser.java:259-270,
+    cos/COSStream.java:34-46)."""
+    d, n = r.data, r.length
+    if not d.startswith(b"<<", r.pos):
+        raise EParseError(f"dict expected at {r.pos}")
+    r.pos += 2
+    out = CDict()
+    while True:
+        r.skip_ws_and_comments()
+        if r.pos >= n:
+            raise EParseError("EOF inside dictionary")
+        if d.startswith(b">>", r.pos):
+            r.pos += 2
+            break
+        key = parse_name(r)
+        r.skip_ws_and_comments()
+        val = parse_object(r, resolver)
+        out[key] = val
+    # stream follow-up
+    save = r.pos
+    r.skip_ws()
+    if d.startswith(b"stream", r.pos):
+        r.pos += 6
+        r.skip_crlf_or_lf()
+        length = out.get("Length", COS_NULL)
+        if isinstance(length, Ref):
+            if resolver is None:
+                raise EParseError("/Length is indirect but no resolver available")
+            length = resolver(length)
+        if not isinstance(length, int) or isinstance(length, bool):
+            raise EParseError("stream /Length missing or non-integer")
+        body = r.read_stream_body(length)
+        return CStream(out, body)
+    r.pos = save
+    return out
+
+
+def parse_array(r: Raw, resolver: Optional[Resolver]) -> list:
+    """T7 — ``[...]`` (cos/COSArray.java:43-57)."""
+    d, n = r.data, r.length
+    if d[r.pos] != 0x5B:
+        raise EParseError(f"array expected at {r.pos}")
+    r.pos += 1
+    out = []
+    while True:
+        r.skip_ws_and_comments()
+        if r.pos >= n:
+            raise EParseError("EOF inside array")
+        if d[r.pos] == 0x5D:
+            r.pos += 1
+            return out
+        out.append(parse_object(r, resolver))
+
+
+def parse_object(r: Raw, resolver: Optional[Resolver] = None) -> COSValue:
+    """T1 — one-byte-lookahead dispatch (parser/PDFParser.java:226-300).
+
+    The reference skips 'true'/'false'/'null' by blind 4-5 byte
+    advance with no token verification (PDFParser.java:245-256); we
+    verify the token (spec-correct, documented divergence)."""
+    r.skip_ws_and_comments()
+    d, n = r.data, r.length
+    p = r.pos
+    if p >= n:
+        raise EParseError("unexpected EOF at value position")
+    b = d[p]
+    if b == 0x2F:  # /
+        return parse_name(r)
+    if b == 0x28:  # (
+        return parse_literal_string(r)
+    if b == 0x3C:  # < or <<
+        if d.startswith(b"<<", p):
+            return parse_dict_or_stream(r, resolver)
+        return parse_hex_string(r)
+    if b == 0x5B:  # [
+        return parse_array(r, resolver)
+    if b == 0x74:  # t
+        if d.startswith(b"true", p):
+            r.pos = p + 4
+            return True
+        raise EParseError(f"bad token at {p}")
+    if b == 0x66:  # f
+        if d.startswith(b"false", p):
+            r.pos = p + 5
+            return False
+        raise EParseError(f"bad token at {p}")
+    if b == 0x6E:  # n
+        if d.startswith(b"null", p):
+            r.pos = p + 4
+            return COS_NULL
+        raise EParseError(f"bad token at {p}")
+    if 0x30 <= b <= 0x39:
+        got = try_read_id(r)
+        if got is not None and got[2] == b"R":
+            return Ref(got[0], got[1])
+        if got is not None:  # 'obj' header is not a value here
+            r.pos = p
+        return parse_number(r)
+    if b in (0x2B, 0x2D, 0x2E):  # + - .
+        return parse_number(r)
+    raise EParseError(f"unknown token {bytes([b])!r} at {p}")
+
+
+# ---------------------------------------------------------------------------
+# Produce side (S3 — the generator/round-trip serializer,
+# COSDictionary.java:76-95 et al.)
+# ---------------------------------------------------------------------------
+
+
+def _produce_number(v: Union[int, float]) -> bytes:
+    if isinstance(v, int):
+        return str(v).encode("ascii")
+    # reference bug: String.format("%f.3") at COSNumber.java:220-225;
+    # spec-correct fixed-point emit here
+    s = f"{v:.6f}".rstrip("0")
+    if s.endswith("."):
+        s += "0"
+    return s.encode("ascii")
+
+
+def produce_name(name: str) -> bytes:
+    """C9 — '/' + bytes, <0x21 and delimiters escaped as #xx
+    (cos/COSName.java:250-268)."""
+    out = bytearray(b"/")
+    for b in name.encode("latin-1"):
+        if b < 0x21 or b == 0x23 or is_delim(b):
+            out += f"#{b:02x}".encode("ascii")
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def produce_literal_string(raw: bytes) -> bytes:
+    """C8 — literal form with \\( \\) \\\\ \\n \\r escapes
+    (cos/COSString.java:298-345)."""
+    out = bytearray(b"(")
+    for b in raw:
+        if b == 0x28:
+            out += b"\\("
+        elif b == 0x29:
+            out += b"\\)"
+        elif b == 0x5C:
+            out += b"\\\\"
+        elif b == 0x0A:
+            out += b"\\n"
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    out += b")"
+    return bytes(out)
+
+
+def produce_hex_string(raw: bytes) -> bytes:
+    return b"<" + raw.hex().encode("ascii") + b">"
+
+
+def produce(v: COSValue) -> bytes:
+    """Serialize any COS value back to PDF syntax (symmetric serde per
+    COSObject.java:29-33; round-trip contract mirrors
+    TestCOSString.checkProduceParsePair, TestCOSString.java:148-181)."""
+    if v is COS_NULL:
+        return b"null"
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, (int, float)):
+        return _produce_number(v)
+    if isinstance(v, Name):
+        return produce_name(str(v))
+    if isinstance(v, CString):
+        return produce_hex_string(v.raw) if v.force_hex else produce_literal_string(v.raw)
+    if isinstance(v, Ref):
+        return f"{v.num} {v.gen} R".encode("ascii")
+    if isinstance(v, list):
+        return b"[" + b" ".join(produce(x) for x in v) + b"]"
+    if isinstance(v, CStream):
+        head = produce(v.dict)
+        return head + b"\nstream\n" + v.data + b"\nendstream"
+    if isinstance(v, CDict):
+        parts = [b"<<"]
+        for k, val in v.items():
+            parts.append(produce_name(str(k)) + b" " + produce(val))
+        parts.append(b">>")
+        return b" ".join(parts)
+    raise TypeError(f"cannot produce {type(v)}")

@@ -1,0 +1,291 @@
+"""Document model: catalog, page tree, info, dates, rectangles
+(SURVEY.md §2.6 M1-M10, §2.7 C5/C6/C10).
+
+Transcribed from ``model/PDFDocCatalog.java``, ``model/PDFPage.java``,
+``model/PDFDocInfo.java``, ``utils/DateConverter.java``,
+``cds/PDFRectangle.java``. The reference's /Kids traversal is broken
+by name-constant bugs (missing '/', wrong case — cos/COSName.java:
+110-114) and never tested; rebuilt spec-correct per SURVEY §5 policy:
+keys are 'Kids', 'CropBox', 'Parent', 'Page', 'Pages'.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Optional
+
+from .cos import CDict, COS_NULL, CStream, Name, Ref
+from .errors import EParseError, ParserSettings
+from .xref import Parser
+
+
+# ---------------------------------------------------------------------------
+# C10: rectangles (cds/PDFRectangle.java:31-155)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Rect:
+    llx: float
+    lly: float
+    urx: float
+    ury: float
+
+    @classmethod
+    def normalized(cls, a: float, b: float, c: float, d: float) -> "Rect":
+        """Normalize so ll ≤ ur (PDFRectangle.java:98-111) — the
+        columnar analog is least()/greatest()."""
+        return cls(min(a, c), min(b, d), max(a, c), max(b, d))
+
+    @property
+    def width(self) -> float:
+        return self.urx - self.llx
+
+    @property
+    def height(self) -> float:
+        return self.ury - self.lly
+
+    def contains(self, x: float, y: float) -> bool:
+        return self.llx <= x <= self.urx and self.lly <= y <= self.ury
+
+    def moved(self, dx: float, dy: float) -> "Rect":
+        return Rect(self.llx + dx, self.lly + dy, self.urx + dx, self.ury + dy)
+
+
+# ---------------------------------------------------------------------------
+# C5: PDF date parse (utils/DateConverter.java:161-297)
+# ---------------------------------------------------------------------------
+
+_PDF_DATE = re.compile(
+    rb"""^(?:D:)?
+    (?P<Y>\d{4})
+    (?P<M>\d{2})?(?P<D>\d{2})?
+    (?P<h>\d{2})?(?P<m>\d{2})?(?P<s>\d{2})?
+    (?P<tz>[Zz+\-])?
+    (?:(?P<th>\d{2})'?)?
+    (?:(?P<tm>\d{2})'?)?""",
+    re.X,
+)
+
+# subset of the ~50 SimpleDateFormat fallbacks (DateConverter.java:43-95)
+_FALLBACK_FORMATS = [
+    "%A, %B %d, %Y %I:%M:%S %p",
+    "%a %b %d %H:%M:%S %Y",
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y%m%d",
+    "%B %d, %Y",
+    "%d %B %Y",
+]
+
+
+def parse_pdf_date(s: str) -> Optional[datetime]:
+    """``D:YYYYMMDDHHmmSS±HH'mm'`` positional parse with zone; on
+    failure fall back through writer-quirk formats
+    (DateConverter.toCalendar)."""
+    if not s:
+        return None
+    m = _PDF_DATE.match(s.encode("ascii", "ignore"))
+    if m and m.group("Y"):
+        g = lambda k, d: int(m.group(k)) if m.group(k) else d
+        try:
+            dt = datetime(
+                g("Y", 1970), g("M", 1), g("D", 1), g("h", 0), g("m", 0), g("s", 0)
+            )
+        except ValueError:
+            dt = None
+        if dt is not None:
+            tzc = m.group("tz")
+            if tzc in (b"+", b"-"):
+                off = timedelta(hours=g("th", 0), minutes=g("tm", 0))
+                if tzc == b"-":
+                    off = -off
+                return dt.replace(tzinfo=timezone(off))
+            if tzc in (b"Z", b"z"):
+                return dt.replace(tzinfo=timezone.utc)
+            return dt.replace(tzinfo=timezone.utc)
+    for fmt in _FALLBACK_FORMATS:
+        try:
+            return datetime.strptime(s.strip(), fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
+
+
+def format_pdf_date(dt: datetime) -> str:
+    """C6: calendar → ``D:...`` (DateConverter.toString, :109-150)."""
+    base = dt.strftime("D:%Y%m%d%H%M%S")
+    off = dt.utcoffset()
+    if off is None:
+        return base
+    total = int(off.total_seconds())
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{base}{sign}{total // 3600:02d}'{(total % 3600) // 60:02d}'"
+
+
+# ---------------------------------------------------------------------------
+# M1-M10: catalog / pages / info
+# ---------------------------------------------------------------------------
+
+PAGE_MODES = {
+    "UseNone", "UseOutlines", "UseThumbs", "FullScreen", "UseOC", "UseAttachments",
+}
+PAGE_LAYOUTS = {
+    "SinglePage", "OneColumn", "TwoColumnLeft", "TwoColumnRight", "TwoPageLeft",
+    "TwoPageRight",
+}
+
+
+@dataclass
+class PageInfo:
+    obj_num: int
+    media_box: Optional[Rect]
+    crop_box: Optional[Rect]
+    resources: Optional[CDict]
+    contents: list  # list of CStream (already resolved, still encoded)
+    rotate: int
+
+
+class Document:
+    """M1 — assembled document: catalog + info (PDFFile.java:60-70,
+    model/PDFDocument.java:39-44)."""
+
+    def __init__(self, parser: Parser):
+        self.parser = parser
+        st = parser.settings
+        if parser.root_ref is None:
+            raise EParseError("no /Root")
+        root = parser._resolve(parser.root_ref)
+        if not isinstance(root, CDict):
+            raise EParseError("/Root is not a dictionary")
+        self.catalog = root
+        # M2: /Type /Catalog soft-assert (PDFDocCatalog.java:39-47)
+        st.soft_structure(root.get_name("Type") == "Catalog", "/Type is not /Catalog")
+        info = (
+            parser._resolve(parser.info_ref) if parser.info_ref is not None else COS_NULL
+        )
+        self.info: CDict = info if isinstance(info, CDict) else CDict()
+
+    # ---- M3: lazy page count (PDFDocCatalog.getPagesCount, :59-67) ---
+    def page_count(self) -> int:
+        pages = self.catalog.get_dict("Pages", None, self.parser._resolve)
+        if pages is None:
+            return -1
+        return pages.get_int("Count", -1, self.parser._resolve)
+
+    # ---- M4: page-tree DFS (PDFDocCatalog.loadPages, :68-112) --------
+    def pages(self) -> list[PageInfo]:
+        """In-order DFS over /Kids; DFS order defines the page (and
+        hence span-offset) sequence. Kids must be references
+        (EParseError otherwise, PDFDocCatalog.java:84-90); missing
+        /Kids → soft-assert, zero pages. Inheritable attributes
+        (Resources/MediaBox/CropBox/Rotate) accumulate down the walk —
+        the reference skips inheritance (PDFPage.java:84-86 admits it);
+        spec-correct here (ISO 32000-1 §7.7.3.4)."""
+        res = self.parser._resolve
+        st = self.parser.settings
+        pages_dict = self.catalog.get_dict("Pages", None, res)
+        out: list[PageInfo] = []
+        if pages_dict is None:
+            st.soft_structure(False, "catalog has no /Pages")
+            return out
+
+        def walk(node: CDict, node_num: int, inherited: dict, depth: int) -> None:
+            if depth > 64:
+                raise EParseError("page tree too deep")
+            inh = dict(inherited)
+            for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
+                if key in node:
+                    inh[key] = node.deref(node[key], res)
+            ntype = node.get_name("Type")
+            kids = node.get_array("Kids", None, res)
+            if ntype == "Pages" or (ntype is None and kids is not None):
+                if kids is None:
+                    st.soft_structure(False, "/Pages node without /Kids")
+                    return
+                for kid in kids:
+                    if not isinstance(kid, Ref):
+                        raise EParseError("page-tree kid is not a reference")
+                    knode = res(kid)
+                    if not isinstance(knode, CDict):
+                        raise EParseError(f"kid {kid} is not a dictionary")
+                    walk(knode, kid.num, inh, depth + 1)
+            else:
+                # leaf page
+                def rect_of(key):
+                    v = inh.get(key)
+                    if (
+                        isinstance(v, list)
+                        and len(v) == 4
+                        and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
+                    ):
+                        return Rect.normalized(*[float(x) for x in v])
+                    return None
+
+                contents = []
+                cv = node.deref(node.get("Contents", COS_NULL), res)
+                if isinstance(cv, CStream):
+                    contents = [cv]
+                elif isinstance(cv, list):
+                    for c in cv:
+                        c = node.deref(c, res)
+                        if isinstance(c, CStream):
+                            contents.append(c)
+                rot = inh.get("Rotate")
+                out.append(
+                    PageInfo(
+                        obj_num=node_num,
+                        media_box=rect_of("MediaBox"),
+                        crop_box=rect_of("CropBox"),
+                        resources=inh.get("Resources")
+                        if isinstance(inh.get("Resources"), CDict)
+                        else None,
+                        contents=contents,
+                        rotate=int(rot) if isinstance(rot, (int, float)) else 0,
+                    )
+                )
+
+        walk(pages_dict, self.parser.root_ref.num if self.parser.root_ref else -1, {}, 0)
+        return out
+
+    # ---- M7: info projection (model/PDFDocInfo.java:47-278) ----------
+    def info_fields(self) -> dict:
+        res = self.parser._resolve
+        i = self.info
+        g = lambda k: i.get_str(k, "", res)
+        trapped = i.get_name("Trapped", None, res)
+        return {
+            "title": g("Title"),
+            "author": g("Author"),
+            "subject": g("Subject"),
+            "keywords": g("Keywords"),
+            "creator": g("Creator"),
+            "producer": g("Producer"),
+            "creation_date": g("CreationDate"),
+            "mod_date": g("ModDate"),
+            "trapped": str(trapped) if trapped is not None else "",
+        }
+
+    # ---- M8: XML metadata (PDFDocCatalog.getXMLMetadata, :137-145) ---
+    def xml_metadata(self) -> Optional[bytes]:
+        s = self.catalog.get_stream("Metadata", None, self.parser._resolve)
+        return s.data if s is not None else None
+
+    # ---- M9: version / lang / layout / mode (PDFDocCatalog.java:119-188)
+    def catalog_fields(self) -> dict:
+        res = self.parser._resolve
+        c = self.catalog
+        ver = c.get_name("Version", None, res)
+        mode = c.get_name("PageMode", None, res)
+        layout = c.get_name("PageLayout", None, res)
+        return {
+            "version": str(ver) if ver else f"{self.parser.version[0]}.{self.parser.version[1]}",
+            "lang": c.get_str("Lang", "", res),
+            "page_mode": str(mode) if mode in PAGE_MODES else "UseNone",
+            "page_layout": str(layout) if layout in PAGE_LAYOUTS else "SinglePage",
+        }

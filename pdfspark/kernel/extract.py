@@ -1,0 +1,93 @@
+"""Per-document extraction kernel (SURVEY.md §3.3 — the
+``parseEverything`` analog plus the text-op layer).
+
+``extract_spans(payload)`` and ``extract_meta(payload)`` are the two
+kernels the Spark engine vectorizes over Arrow batches (split in two so
+column pruning is real — computing metadata never touches content
+streams, mirroring the reference's lazy page materialization,
+PDFDocCatalog.java:59-67 / SURVEY §4.1).
+
+Both are PERMISSIVE: any hard failure (EParseError, RecursionError,
+ValueError...) becomes status='error' for that document only — the
+§2.8 fault-policy mapping. The malformed-file contract
+(FileHandlingTest.java:32-56: noise / header-only / header+EOF /
+zero-length must never produce spans) holds: those payloads fail the
+entry-point resolve (X1) and land in the error bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .docmodel import Document
+from .errors import ParserSettings
+from .filters import decode_stream
+from .textops import Span, interpret_content
+from .xref import Parser
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def parse_document(payload: bytes, settings: Optional[ParserSettings] = None) -> Document:
+    """bytes → structural parse → assembled Document (X1-X10 + M1)."""
+    p = Parser(payload, settings)
+    p.parse()
+    return Document(p)
+
+
+def extract_spans_doc(
+    payload: bytes, settings: Optional[ParserSettings] = None
+) -> list[tuple]:
+    """One document → ordered [(kind, text, media_ref, offset)].
+
+    Page order = page-tree DFS (M4); within a page, content streams in
+    /Contents order are concatenated (ISO 32000-1 §7.8.2: multiple
+    streams form one logical stream); offset = global emission ordinal.
+    """
+    doc = parse_document(payload, settings)
+    resolver = doc.parser._resolve
+    out: list[tuple] = []
+    ordinal = 0
+    for page in doc.pages():
+        if not page.contents:
+            continue
+        # §7.8.2: division between streams is only ever at a lexical
+        # token boundary → join with a newline
+        data = b"\n".join(
+            decode_stream(c.data, c.dict, resolver) for c in page.contents
+        )
+        for sp in interpret_content(data, page.resources, resolver):
+            out.append((sp[0], sp[1], sp[2], ordinal))
+            ordinal += 1
+    return out
+
+
+def extract_spans(
+    payload: bytes, settings: Optional[ParserSettings] = None
+) -> tuple[str, Optional[str], list[tuple]]:
+    """PERMISSIVE wrapper → (status, error, spans)."""
+    try:
+        return ("ok", None, extract_spans_doc(payload, settings))
+    except Exception as e:  # per-row fault policy (§2.8)
+        return ("error", f"{type(e).__name__}: {e}", [])
+
+
+def extract_meta_doc(payload: bytes, settings: Optional[ParserSettings] = None) -> dict:
+    """Metadata-only kernel: info projection (M7), page count (M3 —
+    the lazy /Count read, pages NOT materialized), catalog fields
+    (M9), encryption flag (M10). Never touches content streams."""
+    doc = parse_document(payload, settings)
+    meta = doc.info_fields()
+    meta.update(doc.catalog_fields())
+    meta["page_count"] = doc.page_count()
+    meta["encrypted"] = doc.parser.is_encrypted
+    return meta
+
+
+def extract_meta(
+    payload: bytes, settings: Optional[ParserSettings] = None
+) -> tuple[str, Optional[str], Optional[dict]]:
+    try:
+        return ("ok", None, extract_meta_doc(payload, settings))
+    except Exception as e:
+        return ("error", f"{type(e).__name__}: {e}", None)

@@ -1,0 +1,426 @@
+"""Stream decode filters (SURVEY.md §2.5 F1-F7).
+
+Registry semantics transcribed from ``filter/StreamDecoder.java``:
+`/Filter` may be a single name or an array → chained in order
+(:180-204); unsupported name → hard error (:194-195); abbreviated
+names /Fl /AHx /A85 registered (:49-54); DCT/JPX/CCITT/JBIG2/Crypt are
+pass-through identity (:57-64) — the origin of the ``kind='media'``
+span semantics.
+
+PNG predictors are vectorized with numpy (PNG-Up = per-row add chain =
+cumsum mod 256 — the xref-stream hot path, SURVEY §4.2). The
+reference's PNG-Average and RunLength literal-copy bugs
+(StreamDecoder.java:270-275, :436) are in untested paths and rebuilt
+spec-correct per SURVEY §5 policy.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .cos import CDict, COS_NULL, Name, Resolver
+from .errors import EParseError
+
+# ---------------------------------------------------------------------------
+# F1: FlateDecode
+# ---------------------------------------------------------------------------
+
+
+def flate_decode(data: bytes) -> bytes:
+    """zlib inflate (StreamDecoder.java:70-91,369-376)."""
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        # tolerate trailing garbage / missing adler the way Inflater's
+        # loop does: decompress what's available
+        d = zlib.decompressobj()
+        try:
+            return d.decompress(data)
+        except zlib.error as e:
+            raise EParseError(f"FlateDecode failed: {e}") from e
+
+
+def flate_encode(data: bytes, level: int = 6) -> bytes:
+    return zlib.compress(data, level)
+
+
+# ---------------------------------------------------------------------------
+# F2: Predictor post-pass (StreamDecoder.decodePredictor, :218-364)
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def predictor_decode(
+    data: bytes, predictor: int, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """TIFF predictor 2 + PNG filters (per-row tag) 0/1/2/3/4.
+
+    /DecodeParms {Predictor, Columns, Colors, BitsPerComponent}
+    (StreamDecoder.java:218-364). PNG-Up (the xref-stream case in
+    practice) is fully vectorized.
+    """
+    if predictor <= 1:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if predictor == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            raise EParseError("TIFF predictor requires 8 bpc in this engine")
+        arr = np.frombuffer(data, dtype=np.uint8)
+        nrows = len(arr) // row_len
+        arr = arr[: nrows * row_len].reshape(nrows, row_len).copy()
+        for x in range(bpp, row_len):
+            arr[:, x] = (arr[:, x] + arr[:, x - bpp]) & 0xFF
+        return arr.tobytes()
+    # PNG predictors: each row prefixed by 1 filter-type byte
+    stride = row_len + 1
+    nrows = len(data) // stride
+    raw = np.frombuffer(data, dtype=np.uint8)[: nrows * stride].reshape(nrows, stride)
+    tags = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16)
+    # fast path: all rows Up (tag 2) → columnwise cumsum
+    if nrows and np.all(tags == 2):
+        out = np.cumsum(rows, axis=0, dtype=np.int64) & 0xFF
+        return out.astype(np.uint8).tobytes()
+    out = np.zeros((nrows, row_len), dtype=np.uint8)
+    prev = np.zeros(row_len, dtype=np.int16)
+    for i in range(nrows):
+        t = tags[i]
+        cur = rows[i].copy()
+        if t == 0:  # None
+            res = cur & 0xFF
+        elif t == 1:  # Sub
+            res = cur
+            for x in range(bpp, row_len):
+                res[x] = (res[x] + res[x - bpp]) & 0xFF
+            res &= 0xFF
+        elif t == 2:  # Up
+            res = (cur + prev) & 0xFF
+        elif t == 3:  # Average
+            res = cur
+            for x in range(row_len):
+                left = int(res[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                res[x] = (res[x] + ((left + up) >> 1)) & 0xFF
+        elif t == 4:  # Paeth
+            res = cur
+            for x in range(row_len):
+                left = int(res[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                res[x] = (res[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise EParseError(f"unknown PNG filter type {t}")
+        out[i] = res.astype(np.uint8)
+        prev = res.astype(np.int16)
+    return out.tobytes()
+
+
+def predictor_encode_up(data: bytes, columns: int) -> bytes:
+    """Generator path: PNG-Up (type 2) encode — what real writers emit
+    for xref streams (Predictor 12)."""
+    row_len = columns
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nrows = len(arr) // row_len
+    rows = arr[: nrows * row_len].reshape(nrows, row_len).astype(np.int16)
+    diffs = rows.copy()
+    diffs[1:] = (rows[1:] - rows[:-1]) & 0xFF
+    out = np.zeros((nrows, row_len + 1), dtype=np.uint8)
+    out[:, 0] = 2
+    out[:, 1:] = diffs.astype(np.uint8)
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# F3: LZWDecode (filter/LZWDecoder.java:54-240)
+# ---------------------------------------------------------------------------
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """9→12-bit variable codes; clear=256, EOD=257; early table growth
+    at 511/1023/2047; missing EOD tolerated."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    code_len = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (acc >> nbits) & ((1 << code_len) - 1)
+            if code == 256:  # clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                code_len = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early growth: width bumps when table hits 511/1023/2047
+            if len(table) + 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+    return bytes(out)  # missing EOD tolerated (LZWDecoder.java behavior)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Generator-side LZW (early-change) so the decode path is testable
+    on round trips."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_len = 9
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << code_len) | code
+        nbits += code_len
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)  # clear
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+        else:
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            # early-change lockstep: the decoder (which lags one table
+            # entry behind) widens before reading the code emitted when
+            # next_code first reaches 2^len
+            if next_code >= (1 << code_len):
+                if code_len < 12:
+                    code_len += 1
+                else:  # table full at 12 bits → clear and restart
+                    emit(256)
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code = 258
+                    code_len = 9
+            w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# F4: ASCII85 (StreamDecoder.java:127-178)
+# ---------------------------------------------------------------------------
+
+
+def a85_decode(data: bytes) -> bytes:
+    """5 chars→4 bytes; 'z'→4 zeros; '~' EOD; partial tail padded with
+    'u'-equivalent (iText-style pad with 84) — transcribed semantics."""
+    out = bytearray()
+    chunk: list[int] = []
+    for b in data:
+        if b in b" \t\r\n\x0c\x00":
+            continue
+        if b == 0x7E:  # '~' EOD
+            break
+        if b == 0x7A and not chunk:  # 'z'
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= b <= 0x75):
+            raise EParseError(f"invalid ascii85 byte {b:#x}")
+        chunk.append(b - 0x21)
+        if len(chunk) == 5:
+            val = 0
+            for c in chunk:
+                val = val * 85 + c
+            out += val.to_bytes(4, "big")
+            chunk = []
+    if chunk:
+        if len(chunk) == 1:
+            raise EParseError("ascii85: single trailing char")
+        k = len(chunk)
+        chunk += [84] * (5 - k)
+        val = 0
+        for c in chunk:
+            val = val * 85 + c
+        out += val.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def a85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        block = data[i : i + 4]
+        k = len(block)
+        val = int.from_bytes(block + b"\x00" * (4 - k), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(val % 85)
+            val //= 85
+        digits.reverse()
+        if k == 4 and all(d == 0 for d in digits):
+            out += b"z"
+        else:
+            out += bytes(d + 0x21 for d in digits[: k + 1])
+    out += b"~>"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# F5: ASCIIHex (StreamDecoder.java:112-119)
+# ---------------------------------------------------------------------------
+
+_HEXSET = set(b"0123456789abcdefABCDEF")
+
+
+def ahx_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    cleaned = bytes(b for b in data if b not in b" \t\r\n\x0c\x00")
+    for b in cleaned:
+        if b not in _HEXSET:
+            raise EParseError(f"invalid hex byte {b:#x}")
+    if len(cleaned) % 2:
+        cleaned += b"0"
+    return bytes.fromhex(cleaned.decode("ascii"))
+
+
+def ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+# ---------------------------------------------------------------------------
+# F6: RunLength (StreamDecoder.java:423-449)
+# ---------------------------------------------------------------------------
+
+
+def rl_decode(data: bytes) -> bytes:
+    """len<128 → copy len+1 literals; len>128 → repeat next byte
+    257-len; 128 EOD. (Reference copies literals from the count byte's
+    own index — off-by-one at :436, untested; spec-correct here.)"""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            cnt = l + 1
+            if i + 1 + cnt > n:
+                raise EParseError("RunLength literal run beyond end")
+            out += data[i + 1 : i + 1 + cnt]
+            i += 1 + cnt
+        else:
+            if i + 1 >= n:
+                raise EParseError("RunLength repeat run beyond end")
+            out += bytes([data[i + 1]]) * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Registry + chain (StreamDecoder.java:44-67, 180-204)
+# ---------------------------------------------------------------------------
+
+PASS_THROUGH = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode", "Crypt"}
+
+_DECODERS = {
+    "FlateDecode": flate_decode,
+    "Fl": flate_decode,
+    "LZWDecode": lzw_decode,
+    "LZW": lzw_decode,
+    "ASCII85Decode": a85_decode,
+    "A85": a85_decode,
+    "ASCIIHexDecode": ahx_decode,
+    "AHx": ahx_decode,
+    "RunLengthDecode": rl_decode,
+    "RL": rl_decode,
+}
+
+
+def decode_stream(data: bytes, sdict: CDict, resolver: Resolver | None = None) -> bytes:
+    """Apply the `/Filter` chain in order with per-filter
+    `/DecodeParms` (StreamDecoder.java:180-204). Pass-through codecs
+    return data unchanged (Filter_DoNothing, :57-64). Unsupported
+    filter name → EParseError (:194-195)."""
+    filt = sdict.deref(sdict.get("Filter", COS_NULL), resolver)
+    if filt is COS_NULL:
+        return data
+    filters = [filt] if isinstance(filt, Name) else list(filt)
+    parms = sdict.deref(sdict.get("DecodeParms", sdict.get("DP", COS_NULL)), resolver)
+    if isinstance(parms, CDict) or parms is COS_NULL:
+        parms_list = [parms] * len(filters)
+    else:
+        parms_list = list(parms) + [COS_NULL] * (len(filters) - len(parms))
+    for f, pm in zip(filters, parms_list):
+        fname = str(f)
+        if fname in PASS_THROUGH:
+            continue
+        dec = _DECODERS.get(fname)
+        if dec is None:
+            raise EParseError(f"unsupported filter /{fname}")
+        data = dec(data)
+        pm = sdict.deref(pm, resolver) if pm is not COS_NULL else pm
+        if isinstance(pm, CDict):
+            pred = pm.get_int("Predictor", 1, resolver)
+            if pred > 1:
+                data = predictor_decode(
+                    data,
+                    pred,
+                    pm.get_int("Columns", 1, resolver),
+                    pm.get_int("Colors", 1, resolver),
+                    pm.get_int("BitsPerComponent", 8, resolver),
+                )
+    return data

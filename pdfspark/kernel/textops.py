@@ -1,0 +1,342 @@
+"""Content-stream text-operator interpreter (SURVEY.md scope note +
+§7 Milestone 3).
+
+The reference implements NO content-stream interpreter (verified in
+SURVEY.md — no Tj/TJ/BT-ET handling anywhere; page /Contents decoded
+to bytes but never interpreted, PDFParser.java call sites :174,409).
+This layer is therefore built from the public PDF 1.7 spec
+(ISO 32000-1 §9.4 text objects, §9.10 text extraction, §9.6-9.7 fonts)
+with behavior pinned by the generator↔extractor round-trip property
+tests (the reference's checkProduceParsePair pattern,
+TestCOSString.java:148-181, lifted to whole documents).
+
+Span contract (BASELINE.json input_hint):
+- one BT..ET text object  → one span {kind='text', text=concat of all
+  show ops inside, decoded per the active font}
+- one image-XObject `Do`  → one span {kind='media', media_ref=the
+  XObject's /Name value} — pass-through codec semantics
+  (StreamDecoder.java:61-64: DCT/JPX/CCITT/JBIG2 are opaque)
+- offset = emission ordinal in page-DFS + stream order
+- form XObjects recurse.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .cos import (
+    CDict,
+    COS_NULL,
+    CString,
+    CStream,
+    Name,
+    Ref,
+    Resolver,
+    parse_object,
+)
+from .encodings import WINANSI_BYTE_TO_CHAR, decode_pdfdoc
+from .errors import EParseError
+from .filters import decode_stream
+from .raw import Raw, is_delim, is_ws
+
+# ---------------------------------------------------------------------------
+# Fonts
+# ---------------------------------------------------------------------------
+
+# Minimal Adobe Glyph List subset for /Differences resolution
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#", "dollar": "$",
+    "percent": "%", "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "bullet": "•", "emdash": "—", "endash": "–",
+    "quotedblleft": "“", "quotedblright": "”", "quoteleft": "‘",
+    "quoteright": "’", "fi": "ﬁ", "fl": "ﬂ", "Euro": "€",
+    "eacute": "é", "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+}
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_c] = _c
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap: beginbfchar/endbfchar and
+    beginbfrange/endbfrange sections (ISO 32000-1 §9.10.3)."""
+    out: dict[int, str] = {}
+    r = Raw(data)
+    d = data
+    n = len(d)
+
+    def read_tokens_until(end_kw: bytes) -> list:
+        toks = []
+        while r.pos < n:
+            r.skip_ws_and_comments()
+            if d.startswith(end_kw, r.pos):
+                r.pos += len(end_kw)
+                return toks
+            toks.append(parse_object(r, None))
+        raise EParseError(f"CMap: missing {end_kw.decode()}")
+
+    while r.pos < n:
+        i1 = d.find(b"beginbfchar", r.pos)
+        i2 = d.find(b"beginbfrange", r.pos)
+        if i1 < 0 and i2 < 0:
+            break
+        if i2 < 0 or (0 <= i1 < i2):
+            r.pos = i1 + len(b"beginbfchar")
+            toks = read_tokens_until(b"endbfchar")
+            for k in range(0, len(toks) - 1, 2):
+                src, dst = toks[k], toks[k + 1]
+                if isinstance(src, CString) and isinstance(dst, CString):
+                    code = int.from_bytes(src.raw, "big")
+                    out[code] = dst.raw.decode("utf-16-be", errors="replace")
+        else:
+            r.pos = i2 + len(b"beginbfrange")
+            toks = read_tokens_until(b"endbfrange")
+            for k in range(0, len(toks) - 2, 3):
+                lo, hi, dst = toks[k], toks[k + 1], toks[k + 2]
+                if not (isinstance(lo, CString) and isinstance(hi, CString)):
+                    continue
+                lo_i = int.from_bytes(lo.raw, "big")
+                hi_i = int.from_bytes(hi.raw, "big")
+                if isinstance(dst, CString):
+                    base = int.from_bytes(dst.raw, "big")
+                    width = len(dst.raw)
+                    for c in range(lo_i, hi_i + 1):
+                        out[c] = (base + c - lo_i).to_bytes(width, "big").decode(
+                            "utf-16-be", errors="replace"
+                        )
+                elif isinstance(dst, list):
+                    for off, item in enumerate(dst):
+                        if isinstance(item, CString):
+                            out[lo_i + off] = item.raw.decode(
+                                "utf-16-be", errors="replace"
+                            )
+    return out
+
+
+class Font:
+    """Decoder for one /Font resource (ISO 32000-1 §9.6-9.7).
+
+    Supported: simple fonts (1-byte codes) with /WinAnsiEncoding,
+    /MacRomanEncoding, default/StandardEncoding (latin-1 approx) and
+    /Differences; Type0 with Identity-H/V (2-byte codes); /ToUnicode
+    CMap takes precedence when present.
+    """
+
+    __slots__ = ("two_byte", "tounicode", "table")
+
+    def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
+        self.two_byte = False
+        self.tounicode: Optional[dict[int, str]] = None
+        self.table: Optional[list[str]] = None
+
+        subtype = fdict.get_name("Subtype", None, resolver)
+        if subtype == "Type0":
+            self.two_byte = True
+            enc = fdict.get_name("Encoding", None, resolver)
+            if enc is not None and not str(enc).startswith("Identity"):
+                # non-identity CMaps unsupported → rely on ToUnicode
+                pass
+        tu = fdict.get_stream("ToUnicode", None, resolver)
+        if tu is not None:
+            decoded = decode_stream(tu.data, tu.dict, resolver)
+            self.tounicode = parse_tounicode_cmap(decoded)
+        if not self.two_byte:
+            enc = fdict.get("Encoding", COS_NULL)
+            enc = fdict.deref(enc, resolver)
+            base_table = [chr(i) for i in range(256)]  # Standard ≈ latin-1
+            diffs: Optional[list] = None
+            if isinstance(enc, Name):
+                base_table = self._base_table(str(enc))
+            elif isinstance(enc, CDict):
+                base = enc.get_name("BaseEncoding", None, resolver)
+                if base is not None:
+                    base_table = self._base_table(str(base))
+                diffs = enc.get_array("Differences", None, resolver)
+            if diffs:
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)) and not isinstance(item, bool):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        if 0 <= code < 256:
+                            base_table[code] = _AGL.get(str(item), "�")
+                        code += 1
+            self.table = base_table
+
+    @staticmethod
+    def _base_table(name: str) -> list[str]:
+        if name == "WinAnsiEncoding":
+            return list(WINANSI_BYTE_TO_CHAR)
+        if name == "MacRomanEncoding":
+            return [bytes([i]).decode("mac_roman", errors="replace") for i in range(256)]
+        return [chr(i) for i in range(256)]
+
+    def decode(self, raw: bytes) -> str:
+        if self.two_byte:
+            codes = [
+                int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)
+            ]
+            if self.tounicode is not None:
+                return "".join(self.tounicode.get(c, "�") for c in codes)
+            # Identity fallback: code == Unicode scalar (UTF-16BE)
+            return raw.decode("utf-16-be", errors="replace")
+        if self.tounicode is not None:
+            return "".join(self.tounicode.get(b, "�") for b in raw)
+        t = self.table or [chr(i) for i in range(256)]
+        return "".join(t[b] for b in raw)
+
+
+_DEFAULT_FONT = Font(CDict(), None)
+
+
+# ---------------------------------------------------------------------------
+# Content-stream tokenizer: values + operator keywords
+# ---------------------------------------------------------------------------
+
+
+def _next_token(r: Raw):
+    """Yield either a COS value or an operator keyword (bytes)."""
+    r.skip_ws_and_comments()
+    d, n = r.data, r.length
+    p = r.pos
+    if p >= n:
+        return None
+    b = d[p]
+    if b == 0x2F or b == 0x28 or b == 0x3C or b == 0x5B or b in (0x2B, 0x2D, 0x2E) or (
+        0x30 <= b <= 0x39
+    ):
+        return parse_object(r, None)
+    # operator keyword: run of regular characters
+    start = p
+    while p < n and not is_ws(d[p]) and not is_delim(d[p]):
+        p += 1
+    r.pos = p if p > start else p + 1
+    return d[start:r.pos]
+
+
+class Span(tuple):
+    """(kind, text, media_ref) — offset assigned by the caller."""
+
+    __slots__ = ()
+
+    def __new__(cls, kind: str, text: Optional[str], media_ref: Optional[str]):
+        return super().__new__(cls, (kind, text, media_ref))
+
+
+def interpret_content(
+    data: bytes,
+    resources: Optional[CDict],
+    resolver: Optional[Resolver],
+    _depth: int = 0,
+) -> list[Span]:
+    """Interpret one (decoded) content stream → ordered spans.
+
+    Operators handled: BT/ET (text objects, §9.4.1), Tf (font select),
+    Td/TD/Tm/T*/TL (positioning — tracked but not geometry-projected),
+    Tj/TJ/'/\" (show ops, §9.4.3; TJ kerning numbers ignored for text
+    content per §9.10.2 simple extraction), Tc/Tw/Tz/Ts (state, no-op
+    for content), Do (XObject: Image → media span, Form → recurse),
+    BI..EI inline images (skipped as one media span), q/Q/cm/gs/...
+    (graphics state, no-op). Unknown operators are skipped with their
+    operands — the PERMISSIVE posture of §2.8.
+    """
+    if _depth > 16:
+        raise EParseError("XObject recursion too deep")
+    spans: list[Span] = []
+    r = Raw(data)
+    operands: list = []
+    in_text = False
+    cur_font = _DEFAULT_FONT
+    font_cache: dict[str, Font] = {}
+    text_parts: list[str] = []
+
+    def font_res() -> Optional[CDict]:
+        if resources is None:
+            return None
+        return resources.get_dict("Font", None, resolver)
+
+    def xobj_res() -> Optional[CDict]:
+        if resources is None:
+            return None
+        return resources.get_dict("XObject", None, resolver)
+
+    def get_font(name: str) -> Font:
+        f = font_cache.get(name)
+        if f is not None:
+            return f
+        fr = font_res()
+        fd = fr.get_dict(name, None, resolver) if fr is not None else None
+        f = Font(fd, resolver) if fd is not None else _DEFAULT_FONT
+        font_cache[name] = f
+        return f
+
+    def show(s) -> None:
+        if isinstance(s, CString):
+            text_parts.append(cur_font.decode(s.raw))
+
+    while True:
+        tok = _next_token(r)
+        if tok is None:
+            break
+        if not isinstance(tok, bytes):
+            operands.append(tok)
+            continue
+        op = tok
+        if op == b"BT":
+            in_text = True
+            text_parts = []
+        elif op == b"ET":
+            if in_text:
+                spans.append(Span("text", "".join(text_parts), None))
+            in_text = False
+        elif op == b"Tf":
+            if operands and isinstance(operands[0], Name):
+                cur_font = get_font(str(operands[0]))
+        elif op == b"Tj":
+            if operands:
+                show(operands[-1])
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for item in operands[-1]:
+                    show(item)
+        elif op == b"'":
+            if operands:
+                show(operands[-1])
+        elif op == b'"':
+            if operands:
+                show(operands[-1])
+        elif op == b"Do":
+            if operands and isinstance(operands[-1], Name):
+                xr = xobj_res()
+                xo = (
+                    xr.get_stream(str(operands[-1]), None, resolver)
+                    if xr is not None
+                    else None
+                )
+                if xo is not None:
+                    sub = xo.dict.get_name("Subtype", None, resolver)
+                    if sub == "Image":
+                        mref = xo.dict.get_name("Name", None, resolver)
+                        spans.append(
+                            Span("media", None, str(mref) if mref else str(operands[-1]))
+                        )
+                    elif sub == "Form":
+                        sub_res = xo.dict.get_dict("Resources", None, resolver) or resources
+                        decoded = decode_stream(xo.data, xo.dict, resolver)
+                        spans.extend(
+                            interpret_content(decoded, sub_res, resolver, _depth + 1)
+                        )
+        elif op == b"BI":
+            # inline image: scan for EI delimiter → one media span
+            idx = r.data.find(b"EI", r.pos)
+            r.pos = len(r.data) if idx < 0 else idx + 2
+            spans.append(Span("media", None, "inline"))
+        operands = [] if isinstance(tok, bytes) else operands
+    return spans

@@ -1,0 +1,401 @@
+"""Cross-reference resolution + object store (SURVEY.md §2.4 X1-X10).
+
+Semantics transcribed from ``parser/PDFParser.java`` and
+``parser/XRefTable.java``. All state is per-document and lives inside
+one mapInPandas batch pass — the Spark engine never materializes xref
+maps as distributed state (SURVEY §1.3).
+
+Conflict semantics (incremental-update PDFs, XRefTable.java:37-43):
+trailer sections are parsed newest-first following /Prev, and an
+existing entry is kept unless the new one has strictly greater
+generation → first-writer-wins per (id,gen) → newest revision wins.
+Relational analog: Window.partitionBy(obj_id).orderBy(desc(gen),
+asc(trailer_seq)) + row_number()==1 (exposed as a DataFrame op in
+pdfspark/ops/relational.py for the exploded representation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .cos import (
+    CDict,
+    COS_NULL,
+    COSValue,
+    CStream,
+    Name,
+    Ref,
+    parse_object,
+    try_read_id,
+)
+from .errors import DEFAULT_SETTINGS, EParseError, ParserSettings
+from .filters import decode_stream
+from .raw import Raw
+
+
+@dataclass
+class XRefEntry:
+    """Tagged union (parser/XRefEntry.java:25-58): uncompressed
+    {id,gen,offset} or compressed {id,container,index} with gen=-1;
+    memo fields cached_object / container decompression live on the
+    table (XRefEntry.java:34-35)."""
+
+    num: int
+    gen: int
+    offset: int = -1
+    container: int = -1
+    index_in_container: int = -1
+
+    @property
+    def compressed(self) -> bool:
+        return self.container >= 0
+
+
+@dataclass
+class XRef:
+    """int→entry map + memo caches (parser/XRefTable.java:8-16)."""
+
+    entries: dict[int, XRefEntry] = field(default_factory=dict)
+    cache: dict[int, COSValue] = field(default_factory=dict)
+    container_data: dict[int, tuple[bytes, list[tuple[int, int]]]] = field(
+        default_factory=dict
+    )
+
+    def add_uncompressed(self, num: int, gen: int, offset: int) -> None:
+        """X5 — keep existing unless strictly greater gen; offset 0 =
+        free object, skipped (XRefTable.java:27-43)."""
+        if offset == 0:
+            return
+        cur = self.entries.get(num)
+        if cur is None or gen > cur.gen:
+            self.entries[num] = XRefEntry(num, gen, offset=offset)
+
+    def add_compressed(self, num: int, container: int, idx: int) -> None:
+        """Compressed entries always overwrite (XRefTable.java:45-53)."""
+        self.entries[num] = XRefEntry(num, -1, container=container, index_in_container=idx)
+
+
+class Parser:
+    """Structural parser: entry-point resolve → xref chains → object
+    store with lazy parse + memoization (PDFParser.java)."""
+
+    def __init__(self, data: bytes, settings: Optional[ParserSettings] = None):
+        self.raw = Raw(data, settings)
+        self.settings = settings or DEFAULT_SETTINGS
+        self.xref = XRef()
+        self.root_ref: Optional[Ref] = None
+        self.info_ref: Optional[Ref] = None
+        self.encrypt_ref: Optional[Ref] = None
+        self.file_id: Optional[list] = None
+        self.version: tuple[int, int] = (1, 4)
+        self._trailer_seq = 0
+
+    # ---- X1: entry-point resolve (PDFParser.parse, :62-119) ----------
+    def parse(self) -> None:
+        d = self.raw.data
+        st = self.settings
+        if len(d) == 0:
+            raise EParseError("empty payload")
+        hdr = 0
+        if not (d.startswith(b"%PDF-") or d.startswith(b"%FDF-")):
+            # B8 forward scan ≤100 bytes (PDFParser.java:71-81)
+            hdr = d.find(b"%PDF-", 0, st.header_lookup_range)
+            if hdr < 0:
+                raise EParseError("no %PDF- header found")
+        self._parse_version(hdr)
+        # %%EOF reverse scan within 1024 of end (ParserSettings.java:16)
+        eof = self.raw.reverse_scan(len(d), b"%%EOF", st.eof_lookup_range)
+        if eof < 0:
+            raise EParseError("missing %%EOF")
+        # startxref reverse scan within 100 of %%EOF (PDFParser.java:97)
+        sx = self.raw.reverse_scan(eof, b"startxref", st.startxref_lookup_range)
+        if sx < 0:
+            raise EParseError("missing startxref")
+        r = self.raw
+        r.pos = sx + len(b"startxref")
+        xref_offset = r.fetch_uint()
+        self._parse_xref_section(xref_offset)
+        if self.root_ref is None:
+            raise EParseError("trailer has no /Root")
+
+    def _parse_version(self, hdr_pos: int) -> None:
+        """processVersion (PDFParser.java:121-137): accepts 1.0-1.8 via
+        soft-assert."""
+        d = self.raw.data
+        p = hdr_pos + 5
+        end = p
+        while end < len(d) and d[end] not in b"\r\n \t":
+            end += 1
+        try:
+            major_s, minor_s = d[p:end].decode("ascii").split(".")
+            self.version = (int(major_s), int(minor_s))
+        except Exception:
+            self.settings.soft_syntax(False, "unparsable version header")
+            return
+        ok = self.version[0] == 1 and 0 <= self.version[1] <= 8
+        self.settings.soft_supported(ok, f"unsupported PDF version {self.version}")
+
+    # ---- X2/X3/X4 dispatch + /Prev chain -----------------------------
+    def _parse_xref_section(self, offset: int, _depth: int = 0) -> None:
+        if _depth > 64:
+            raise EParseError("xref /Prev chain too deep")
+        r = self.raw
+        if offset < 0 or offset >= r.length:
+            raise EParseError(f"xref offset {offset} out of range")
+        r.pos = offset
+        r.skip_ws_and_comments()
+        if r.check_signature(b"xref"):
+            r.pos += 4
+            self._parse_classic_table()
+            trailer = self._parse_trailer()
+            self._harvest_trailer(trailer)
+            # hybrid: /XRefStm → also parse the xref stream
+            # (PDFParser.java:328-332)
+            xstm = trailer.get_int("XRefStm", -1)
+            if xstm >= 0:
+                save = r.pos
+                self._parse_xref_stream_at(xstm)
+                r.pos = save
+            prev = trailer.get_int("Prev", 0)
+            if prev > 0:
+                self._parse_xref_section(prev, _depth + 1)
+        else:
+            trailer = self._parse_xref_stream_at(offset)
+            self._harvest_trailer(trailer)
+            prev = trailer.get_int("Prev", 0)
+            if prev > 0:
+                self._parse_xref_section(prev, _depth + 1)
+
+    def _parse_classic_table(self) -> None:
+        """X2 (PDFParser.parseXRefTable, :337-375): subsections
+        ``start count`` then count × fixed-width ``offset10 gen5 flag``;
+        only 'n' kept, 'f' skipped; broken-writer heuristic: if
+        start==1 and first entry is `0 65535 f`, shift start to 0."""
+        r = self.raw
+        while True:
+            r.skip_ws()
+            if not (r.pos < r.length and 0x30 <= r.data[r.pos] <= 0x39):
+                break  # 'trailer' keyword next
+            start = r.fetch_uint()
+            count = r.fetch_uint()
+            r.skip_ws()
+            # fixed-width 20-byte rows → vectorizable slice
+            block = r.data[r.pos : r.pos + 20 * count]
+            if len(block) < 20 * count:
+                # tolerate 19-byte-row writers by falling back to
+                # token-wise parse
+                for i in range(count):
+                    off = r.fetch_uint()
+                    gen = r.fetch_uint()
+                    r.skip_ws()
+                    flag = r.data[r.pos : r.pos + 1]
+                    r.pos += 1
+                    if flag == b"n":
+                        self._add_classic(start, i, count, off, gen)
+                continue
+            rows = np.frombuffer(block, dtype="S20").astype("U20")
+            first_free = count > 0 and block[:18].split()[:2] == [b"0", b"65535"]
+            if start == 1 and first_free:
+                start = 0  # broken-writer fix (PDFParser.java:346-352)
+            for i in range(count):
+                parts = rows[i].split()
+                if len(parts) < 3:
+                    self.settings.soft_structure(False, "short xref row")
+                    continue
+                if parts[2] == "n":
+                    self._add_classic(start, i, count, int(parts[0]), int(parts[1]))
+            r.pos += 20 * count
+
+    def _add_classic(self, start: int, i: int, count: int, off: int, gen: int) -> None:
+        self.xref.add_uncompressed(start + i, gen, off)
+
+    def _parse_trailer(self) -> CDict:
+        """X3 (PDFParser.parseTrailer, :305-335)."""
+        r = self.raw
+        r.skip_ws_and_comments()
+        if not r.check_signature(b"trailer"):
+            raise EParseError("expected 'trailer' keyword")
+        r.pos += 7
+        r.skip_ws_and_comments()
+        t = parse_object(r, self._resolve)
+        if not isinstance(t, CDict):
+            raise EParseError("trailer is not a dictionary")
+        return t
+
+    def _harvest_trailer(self, t: CDict) -> None:
+        """Root/Info/Encrypt/ID are first-wins across trailers —
+        newest revision wins (PDFParser.java:460-500)."""
+        if self.root_ref is None:
+            self.root_ref = t.get_ref("Root")
+        if self.info_ref is None:
+            self.info_ref = t.get_ref("Info")
+        if self.encrypt_ref is None:
+            self.encrypt_ref = t.get_ref("Encrypt")
+            if self.encrypt_ref is None and isinstance(t.get("Encrypt"), CDict):
+                # direct /Encrypt dict also marks encryption
+                self.encrypt_ref = Ref(-1, -1)
+        if self.file_id is None:
+            fid = t.get("ID")
+            if isinstance(fid, list):
+                self.file_id = fid
+        self._trailer_seq += 1
+
+    def _parse_xref_stream_at(self, offset: int) -> CDict:
+        """X4 (PDFParser.parseXRefStream, :377-458): ``id gen obj`` +
+        /Type /XRef stream; decode (Flate+Predictor in practice); rows
+        are fixed-width per /W → numpy bulk split; type 0 free, 1
+        {offset,gen}, 2 {container,idx}; unknown type skipped."""
+        r = self.raw
+        r.pos = offset
+        r.skip_ws_and_comments()
+        got = try_read_id(r)
+        if got is None or got[2] != b"obj":
+            raise EParseError(f"xref stream: no 'id gen obj' at {offset}")
+        obj = parse_object(r, self._resolve)
+        if not isinstance(obj, CStream):
+            raise EParseError("xref stream object is not a stream")
+        sd = obj.dict
+        tp = sd.get_name("Type")
+        self.settings.soft_structure(tp == "XRef", "/Type is not /XRef")
+        w = sd.get_array("W")
+        if not w or len(w) < 3:
+            raise EParseError("xref stream missing /W")
+        w1, w2, w3 = (int(x) for x in w[:3])
+        size = sd.get_int("Size", 0)
+        index = sd.get_array("Index") or [0, size]
+        data = decode_stream(obj.data, sd, self._resolve)
+        row = w1 + w2 + w3
+        if row <= 0:
+            raise EParseError("xref stream zero row width")
+        nrows_avail = len(data) // row
+        # numpy bulk field split (the most vectorizable piece, SURVEY §2.4 X4)
+        arr = np.frombuffer(data[: nrows_avail * row], dtype=np.uint8).reshape(
+            nrows_avail, row
+        )
+
+        def field_vals(lo: int, width: int, default: int) -> np.ndarray:
+            if width == 0:
+                return np.full(nrows_avail, default, dtype=np.int64)
+            v = np.zeros(nrows_avail, dtype=np.int64)
+            for k in range(width):
+                v = (v << 8) | arr[:, lo + k]
+            return v
+
+        types = field_vals(0, w1, 1)  # absent type field → type 1 (spec)
+        f2 = field_vals(w1, w2, 0)
+        f3 = field_vals(w1 + w2, w3, 0)
+        ri = 0
+        it = iter(index)
+        for start, count in zip(it, it):
+            start, count = int(start), int(count)
+            for i in range(count):
+                if ri >= nrows_avail:
+                    self.settings.soft_structure(False, "xref stream short data")
+                    break
+                t, a, b = int(types[ri]), int(f2[ri]), int(f3[ri])
+                num = start + i
+                ri += 1
+                if t == 0:
+                    pass  # free
+                elif t == 1:
+                    self.xref.add_uncompressed(num, b, a)
+                elif t == 2:
+                    self.xref.add_compressed(num, a, b)
+                else:
+                    self.settings.soft_structure(False, f"unknown xref entry type {t}")
+        return sd
+
+    # ---- X6-X9: object lookup / dereference --------------------------
+    def _resolve(self, ref: Ref) -> COSValue:
+        return self.get_object(ref.num, ref.gen)
+
+    def get_object(self, num: int, gen: int = 0) -> COSValue:
+        """X6 — missing id → COS_NULL (not an error, XRefTable.java:
+        63-66); gen mismatch tolerated with log; memoized."""
+        if num in self.xref.cache:
+            return self.xref.cache[num]
+        e = self.xref.entries.get(num)
+        if e is None:
+            return COS_NULL
+        if not e.compressed and e.gen != gen:
+            self.settings.soft_structure(
+                gen == e.gen, f"gen mismatch for obj {num}: want {gen} have {e.gen}"
+            )
+        if e.compressed:
+            val = self._get_compressed(e)
+        else:
+            val = self._parse_indirect_at(e)
+        self.xref.cache[num] = val
+        return val
+
+    def _parse_indirect_at(self, e: XRefEntry) -> COSValue:
+        """X8 (PDFParser.parseIndirectObject, :213-224): seek offset,
+        verify ``id gen obj`` header, then parseObject."""
+        r = self.raw
+        save = r.pos
+        try:
+            r.pos = e.offset
+            r.skip_ws_and_comments()
+            got = try_read_id(r)
+            if got is None or got[2] != b"obj":
+                raise EParseError(f"no 'id gen obj' at offset {e.offset} for obj {e.num}")
+            self.settings.soft_structure(
+                got[0] == e.num, f"object id mismatch at {e.offset}: {got[0]} != {e.num}"
+            )
+            return parse_object(r, self._resolve)
+        finally:
+            r.pos = save
+
+    def _get_compressed(self, e: XRefEntry) -> COSValue:
+        """X9 (PDFParser.getObject, :140-211): decode the container
+        object stream ONCE and memoize its header pairs; parse the
+        requested member. One decode amortized over N members."""
+        cont = self.xref.container_data.get(e.container)
+        if cont is None:
+            ce = self.xref.entries.get(e.container)
+            if ce is None or ce.compressed:
+                raise EParseError(f"object stream container {e.container} missing")
+            cobj = self._parse_indirect_at(ce)
+            if not isinstance(cobj, CStream):
+                raise EParseError(f"container {e.container} is not a stream")
+            sd = cobj.dict
+            self.settings.soft_structure(
+                sd.get_name("Type") == "ObjStm", "/Type is not /ObjStm"
+            )
+            n = sd.get_int("N", 0, self._resolve)
+            first = sd.get_int("First", 0, self._resolve)
+            decoded = decode_stream(cobj.data, sd, self._resolve)
+            hdr = Raw(decoded, self.settings)
+            pairs = []
+            for _ in range(n):
+                oid = hdr.fetch_uint()
+                rel = hdr.fetch_uint()
+                pairs.append((oid, first + rel))
+            cont = (decoded, pairs)
+            self.xref.container_data[e.container] = cont
+        decoded, pairs = cont
+        if e.index_in_container >= len(pairs):
+            raise EParseError(
+                f"index {e.index_in_container} out of range in objstm {e.container}"
+            )
+        oid, off = pairs[e.index_in_container]
+        sub = Raw(decoded, self.settings)
+        sub.pos = off
+        return parse_object(sub, self._resolve)
+
+    # ---- X10: eager full materialization -----------------------------
+    def parse_all_objects(self) -> dict[int, COSValue]:
+        """PDFParser.parseAndDecodeAllObjects (:506-511) — force-parse
+        every xref key; the per-document extraction pass."""
+        out = {}
+        for num in list(self.xref.entries):
+            out[num] = self.get_object(num, self.xref.entries[num].gen)
+        return out
+
+    @property
+    def is_encrypted(self) -> bool:
+        """M10 (PDFFile.java:104-106): /Encrypt present in trailer."""
+        return self.encrypt_ref is not None
