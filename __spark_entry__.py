@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark pipeline; each ``oracle_sql()``
+entry is the ANSI-SQL ground truth DuckDB computes over the same
+parquet views. For the PDF pipelines the oracle works because the
+engine's correctness contract is ROUND-TRIP IDENTITY: the interleaved
+spans table is synthesized from ``documents`` with deterministic,
+SQL-expressible logic (see pdfspark/engine.py:_SPANS_EXPR ==
+_SPANS_CTE below == pdfspark/codec.py:synth_spans_py), serialized to
+PDF bytes, and extracted back — so the expected output IS the
+synthesis, which DuckDB can compute directly.
 """
 
 from __future__ import annotations
@@ -13,26 +17,111 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# The spans-synthesis CTE — the DuckDB mirror of
+# pdfspark/engine.py:_SPANS_EXPR and codec.synth_spans_py.
+_SPANS_CTE = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+  FROM documents
+)
+"""
+
+_SPANS_ORACLE_SQL = (
+    _SPANS_CTE
+    + """
+SELECT doc_id, CAST(i + i // 3 AS INT) AS "offset", 'text' AS kind,
+       substr(text, CAST(i*80+1 AS INT), 80) AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM c
+UNION ALL
+SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS "offset", 'media' AS kind,
+       CAST(NULL AS VARCHAR) AS text,
+       'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
+         AS media_ref
+FROM c WHERE i % 3 = 2
+"""
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full round-trip extraction (mixed structural
+    variants) on sf0.001."""
+    from pdfspark.engine import roundtrip_rows
+
+    return roundtrip_rows(spark, SF_SMOKE, variant="mixed")
+
+
+def _q_roundtrip(variant: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdfspark.engine import roundtrip_rows
+
+        return roundtrip_rows(spark, sf_dir, variant=variant)
+
+    return q
+
+
+def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import status_rows
+
+    return status_rows(spark, sf_dir)
+
+
+def _q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import metadata_rows
+
+    return metadata_rows(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdfspark.ops import register_ops_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- PDF extraction pipelines (SURVEY §2.2-2.6 operators) ----
+        "pdf_roundtrip_interleaved": _q_roundtrip("mixed"),
+        "pdf_roundtrip_objstream": _q_roundtrip("objstream"),
+        "pdf_roundtrip_incremental": _q_roundtrip("incremental"),
+        "pdf_roundtrip_filters": _q_roundtrip("filters_rotate"),
+        "pdf_malformed_policy": _q_malformed,
+        "pdf_metadata": _q_metadata,
+    }
+    q.update(register_ops_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdfspark.ops import register_ops_oracles
+
+    # k = ceil(len/80) text chunks; media after every i%3==2 →
+    # n_spans = k + k//3 ; pages hold 5 spans → page_count =
+    # greatest(1, ceil(n_spans/5)) (codec.SPANS_PER_PAGE)
+    meta_sql = """
+SELECT doc_id, 'ok' AS status,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'pdfspark-gen' AS author,
+       'synthetic' AS subject,
+       'spans=' || CAST(k + k // 3 AS VARCHAR) AS keywords,
+       CAST(greatest(1, ceil((k + k // 3) / 5.0)) AS INT) AS page_count,
+       'UseNone' AS page_mode,
+       'SinglePage' AS page_layout,
+       FALSE AS encrypted
+FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents)
+"""
+    malformed_sql = """
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'error' ELSE 'ok' END AS status,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE k + k // 3 END AS INT) AS n_spans
+FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents)
+"""
+    o = {
+        "pdf_roundtrip_interleaved": _SPANS_ORACLE_SQL,
+        "pdf_roundtrip_objstream": _SPANS_ORACLE_SQL,
+        "pdf_roundtrip_incremental": _SPANS_ORACLE_SQL,
+        "pdf_roundtrip_filters": _SPANS_ORACLE_SQL,
+        "pdf_malformed_policy": malformed_sql,
+        "pdf_metadata": meta_sql,
+    }
+    o.update(register_ops_oracles())
+    return o

@@ -679,7 +679,10 @@ def build_pdf(
 
 def variant_for(doc_id: int, mode: str) -> str:
     """Deterministic per-doc variant assignment for mixed-mode tables."""
-    if mode != "mixed":
-        return mode
-    layouts = ("classic", "crlf", "objstream", "hybrid", "incremental")
-    return layouts[doc_id % len(layouts)]
+    if mode == "mixed":
+        layouts = ("classic", "crlf", "objstream", "hybrid", "incremental")
+        return layouts[doc_id % len(layouts)]
+    if mode == "filters_rotate":
+        chains = ("flate", "lzw", "a85", "ahx", "rl", "a85+flate", "none", "ahx+rl")
+        return f"filters:{chains[doc_id % len(chains)]}"
+    return mode

@@ -1,0 +1,266 @@
+"""The Spark pipeline: spans synthesis → payload generation →
+extraction (SURVEY.md §7 Milestones 1-2; BASELINE.json input_hint).
+
+Dataflow (all vectorized — the ONLY Python surfaces are mapInPandas
+stages over Arrow batches; no row-wise udf() anywhere, per input_hint):
+
+    documents(doc_id, text, ...)                      [driver parquet]
+      → synth_spans_df      pure Spark SQL expressions (JVM, codegen)
+      → interleaved table (doc_id, spans[])           [input_hint shape]
+      → generate_payloads   mapInPandas → (doc_id, payload, size_class)
+      → salt_by_size        explicit skew repartition  (scale.py)
+      → extract             mapInPandas → (doc_id, status, error, spans[])
+      → explode to rows for comparison / sinks
+
+The per-document kernel state (xref maps, object caches) lives inside
+one mapInPandas batch pass per document and never crosses an executor
+boundary (SURVEY §1.3, §3 'boundaries').
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .codec import build_pdf, variant_for
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+SPANS_SCHEMA = f"array<{SPAN_STRUCT}>"
+PAYLOAD_SCHEMA = "doc_id bigint, payload binary, size_class int"
+EXTRACT_SCHEMA = f"doc_id bigint, status string, error string, spans {SPANS_SCHEMA}"
+ROWS_SCHEMA = "doc_id bigint, offset int, kind string, text string, media_ref string"
+
+CHUNK = 80  # must match codec.synth_spans_py and the oracle SQL
+
+# ---------------------------------------------------------------------------
+# Stage 1 — spans synthesis (pure Spark SQL; mirrors codec.synth_spans_py
+# and __spark_entry__._SPANS_ORACLE_SQL — lockstep asserted by tests)
+# ---------------------------------------------------------------------------
+
+_SPANS_EXPR = f"""
+CASE WHEN length(text) <= 0 THEN cast(array() as {SPANS_SCHEMA})
+ELSE filter(
+  flatten(transform(
+    sequence(0, cast(ceil(length(text) / {CHUNK}.0) as int) - 1),
+    i -> array(
+      named_struct(
+        'kind', 'text',
+        'text', substring(text, i * {CHUNK} + 1, {CHUNK}),
+        'media_ref', cast(null as string),
+        'offset', cast(i + i div 3 as int)),
+      IF(i % 3 = 2,
+         named_struct(
+           'kind', 'media',
+           'text', cast(null as string),
+           'media_ref', concat('m', substring(
+               md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 16)),
+           'offset', cast(i + i div 3 + 1 as int)),
+         cast(null as {SPAN_STRUCT}))
+    )
+  )),
+  x -> x is not null)
+END
+"""
+
+
+def synth_spans_df(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, spans) — the interleaved
+    input table of BASELINE.json input_hint, built entirely JVM-side
+    (whole-stage codegen; no Python)."""
+    return docs.select("doc_id", F.expr(_SPANS_EXPR).alias("spans"))
+
+
+def spans_rows(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans[]) → exploded comparison rows."""
+    return spans_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.offset", "s.kind", "s.text", "s.media_ref")
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — payload generation (mapInPandas; the reference's produce()
+# path S3 run as a vectorized batch stage)
+# ---------------------------------------------------------------------------
+
+
+def _spans_to_tuples(spans) -> list[tuple]:
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def generate_payloads(spans_df: DataFrame, variant: str = "mixed") -> DataFrame:
+    """(doc_id, spans) → (doc_id, payload, size_class).
+
+    size_class = log4 bucket of payload length — the explicit skew
+    column consumed by scale.salt_by_size (north_rule: 'partitioning /
+    shuffle / skew handled explicitly')."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did, spans in zip(ids, pdf["spans"]):
+                v = variant_for(int(did), variant)
+                payloads.append(build_pdf(str(did), _spans_to_tuples(spans), v))
+            sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "size_class": sizes}
+            )
+
+    return spans_df.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — extraction (mapInPandas; the parseEverything analog X10 +
+# text-op layer)
+# ---------------------------------------------------------------------------
+
+
+def extract(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, status, error, spans[]).
+
+    PERMISSIVE per-document fault policy (§2.8): malformed payloads
+    yield status='error' and never spans, never a failed stage."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_spans  # import inside worker
+
+        for pdf in batches:
+            out_status, out_err, out_spans = [], [], []
+            for payload in pdf["payload"]:
+                status, err, spans = extract_spans(bytes(payload))
+                out_status.append(status)
+                out_err.append(err)
+                out_spans.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for (k, t, m, o) in spans
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "status": out_status,
+                    "error": out_err,
+                    "spans": out_spans,
+                }
+            )
+
+    return payloads.mapInPandas(ker, schema=EXTRACT_SCHEMA)
+
+
+META_SCHEMA = (
+    "doc_id bigint, status string, error string, title string, author string, "
+    "subject string, keywords string, creator string, producer string, "
+    "creation_date string, mod_date string, trapped string, version string, "
+    "lang string, page_mode string, page_layout string, page_count int, "
+    "encrypted boolean"
+)
+
+_META_COLS = [
+    "title", "author", "subject", "keywords", "creator", "producer",
+    "creation_date", "mod_date", "trapped", "version", "lang", "page_mode",
+    "page_layout", "page_count", "encrypted",
+]
+
+
+def extract_metadata(payloads: DataFrame) -> DataFrame:
+    """Metadata-only kernel (M3/M7/M9/M10) — split from extract() so
+    metadata queries never decode content streams (the lazy-page
+    optimization, SURVEY §4.1)."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_meta
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                status, err, meta = extract_meta(bytes(payload))
+                row = {"doc_id": did, "status": status, "error": err}
+                for c in _META_COLS:
+                    row[c] = (meta or {}).get(c)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(ker, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipelines
+# ---------------------------------------------------------------------------
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def roundtrip_rows(
+    spark,
+    sf_dir: str,
+    variant: str = "mixed",
+    salt: bool = True,
+) -> DataFrame:
+    """Flagship pipeline: synth → generate → (salt) → extract →
+    exploded span rows. Correct iff output == synth_spans rows (the
+    round-trip identity; oracle = the same synthesis in DuckDB SQL)."""
+    from .scale import salt_by_size
+
+    docs = load_documents(spark, sf_dir)
+    spans = synth_spans_df(docs)
+    payloads = generate_payloads(spans, variant)
+    if salt:
+        payloads = salt_by_size(payloads)
+    extracted = extract(payloads)
+    rows = extracted.where(F.col("status") == "ok").select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.offset", "s.kind", "s.text", "s.media_ref")
+    return rows
+
+
+def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
+    """Malformed-family pipeline: every doc_id % modulo == 0 gets a
+    malformed payload (kind rotates) — those must land status='error'
+    with zero spans (FileHandlingTest contract §5.2)."""
+    docs = load_documents(spark, sf_dir)
+    spans = synth_spans_df(docs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ("noise", "only_header", "header_eof", "zerosized", "no_startxref")
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did, spans_v in zip(ids, pdf["spans"]):
+                did = int(did)
+                if did % modulo == 0:
+                    v = f"malformed:{kinds[(did // modulo) % len(kinds)]}"
+                else:
+                    v = variant_for(did, "mixed")
+                payloads.append(build_pdf(str(did), _spans_to_tuples(spans_v), v))
+            sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads, "size_class": sizes})
+
+    payloads = spans.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    extracted = extract(payloads)
+    return extracted.select(
+        "doc_id", "status", F.size("spans").cast("int").alias("n_spans")
+    )
+
+
+def metadata_rows(spark, sf_dir: str) -> DataFrame:
+    """Metadata pipeline over classic-layout payloads; every output
+    column is recomputable in ANSI SQL from the documents table (the
+    M7/M3 oracle)."""
+    docs = load_documents(spark, sf_dir)
+    spans = synth_spans_df(docs)
+    payloads = generate_payloads(spans, "classic")
+    meta = extract_metadata(payloads)
+    return meta.select(
+        "doc_id", "status", "title", "author", "subject", "keywords",
+        "page_count", "page_mode", "page_layout", "encrypted",
+    )

