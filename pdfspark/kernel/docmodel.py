@@ -89,7 +89,11 @@ def parse_pdf_date(s: str) -> Optional[datetime]:
     (DateConverter.toCalendar)."""
     if not s:
         return None
-    m = _PDF_DATE.match(s.encode("ascii", "ignore"))
+    raw = s.encode("ascii", "ignore")
+    # positional form must either carry the D: prefix or consume the
+    # whole string — otherwise writer-quirk strings like ISO-8601
+    # would half-match and shadow the fallback formats
+    m = _PDF_DATE.match(raw) if raw.startswith(b"D:") else _PDF_DATE.fullmatch(raw)
     if m and m.group("Y"):
         g = lambda k, d: int(m.group(k)) if m.group(k) else d
         try:

@@ -94,7 +94,7 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
                 src, dst = toks[k], toks[k + 1]
                 if isinstance(src, CString) and isinstance(dst, CString):
                     code = int.from_bytes(src.raw, "big")
-                    out[code] = dst.raw.decode("utf-16-be", errors="replace")
+                    out[code] = dst.raw.decode("utf-16-be", errors="surrogatepass")
         else:
             r.pos = i2 + len(b"beginbfrange")
             toks = read_tokens_until(b"endbfrange")
@@ -109,13 +109,13 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
                     width = len(dst.raw)
                     for c in range(lo_i, hi_i + 1):
                         out[c] = (base + c - lo_i).to_bytes(width, "big").decode(
-                            "utf-16-be", errors="replace"
+                            "utf-16-be", errors="surrogatepass"
                         )
                 elif isinstance(dst, list):
                     for off, item in enumerate(dst):
                         if isinstance(item, CString):
                             out[lo_i + off] = item.raw.decode(
-                                "utf-16-be", errors="replace"
+                                "utf-16-be", errors="surrogatepass"
                             )
     return out
 
@@ -184,7 +184,12 @@ class Font:
                 int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)
             ]
             if self.tounicode is not None:
-                return "".join(self.tounicode.get(c, "�") for c in codes)
+                s = "".join(self.tounicode.get(c, "�") for c in codes)
+                # BMP-only CMaps emit astral chars as surrogate halves;
+                # recombine pairs (lone halves degrade to U+FFFD)
+                return s.encode("utf-16", "surrogatepass").decode(
+                    "utf-16", "replace"
+                )
             # Identity fallback: code == Unicode scalar (UTF-16BE)
             return raw.decode("utf-16-be", errors="replace")
         if self.tounicode is not None:

@@ -92,13 +92,15 @@ class Parser:
         self.file_id: Optional[list] = None
         self.version: tuple[int, int] = (1, 4)
         self._trailer_seq = 0
+        self._scan_cache: Optional[dict[int, int]] = None
 
     # ---- X1: entry-point resolve (PDFParser.parse, :62-119) ----------
     def parse(self) -> None:
         d = self.raw.data
         st = self.settings
-        if len(d) == 0:
-            raise EParseError("empty payload")
+        # MIN_PDF_RAW_CONTENT_LENGTH = 10 (ParserSettings.java:5)
+        if len(d) < 10:
+            raise EParseError("This is not a valid PDF file (too short)")
         hdr = 0
         if not (d.startswith(b"%PDF-") or d.startswith(b"%FDF-")):
             # B8 forward scan ≤100 bytes (PDFParser.java:71-81)
@@ -106,10 +108,13 @@ class Parser:
             if hdr < 0:
                 raise EParseError("no %PDF- header found")
         self._parse_version(hdr)
-        # %%EOF reverse scan within 1024 of end (ParserSettings.java:16)
+        # %%EOF reverse scan within 1024 of end; missing marker is a
+        # SOFT syntax event — fall back to EOF = file end
+        # (PDFParser.java:91-95, ParserSettings.java:16)
         eof = self.raw.reverse_scan(len(d), b"%%EOF", st.eof_lookup_range)
         if eof < 0:
-            raise EParseError("missing %%EOF")
+            st.soft_syntax(False, "missing %%EOF marker")
+            eof = len(d)
         # startxref reverse scan within 100 of %%EOF (PDFParser.java:97)
         sx = self.raw.reverse_scan(eof, b"startxref", st.startxref_lookup_range)
         if sx < 0:
@@ -117,9 +122,37 @@ class Parser:
         r = self.raw
         r.pos = sx + len(b"startxref")
         xref_offset = r.fetch_uint()
-        self._parse_xref_section(xref_offset)
+        if xref_offset == 0 or xref_offset >= r.length:
+            raise EParseError("Invalid xref offset")
+        try:
+            self._parse_xref_section(xref_offset)
+        except EParseError:
+            # broken-writer recovery: some files carry a stale
+            # startxref (e.g. the reference's own minimal_crlf fixture
+            # points 40 bytes past its real table). Rescan for the
+            # nearest real `xref` keyword below the startxref marker
+            # and retry once — Acrobat-style salvage; malformed files
+            # with no table at all still fail.
+            alt = self._find_xref_keyword(before=sx)
+            if alt is None or alt == xref_offset:
+                raise
+            self.xref = XRef()
+            self.root_ref = self.info_ref = self.encrypt_ref = None
+            self.file_id = None
+            self._parse_xref_section(alt)
         if self.root_ref is None:
             raise EParseError("trailer has no /Root")
+
+    def _find_xref_keyword(self, before: int) -> Optional[int]:
+        d = self.raw.data
+        pos = before
+        while pos > 0:
+            i = d.rfind(b"xref", 0, pos)
+            if i < 0:
+                return None
+            if not d.startswith(b"startxref", i - 5):
+                return i
+            pos = i
 
     def _parse_version(self, hdr_pos: int) -> None:
         """processVersion (PDFParser.java:121-137): accepts 1.0-1.8 via
@@ -182,11 +215,16 @@ class Parser:
             start = r.fetch_uint()
             count = r.fetch_uint()
             r.skip_ws()
-            # fixed-width 20-byte rows → vectorizable slice
             block = r.data[r.pos : r.pos + 20 * count]
-            if len(block) < 20 * count:
-                # tolerate 19-byte-row writers by falling back to
-                # token-wise parse
+            # strict spec rows are exactly 20 bytes ("nnnnnnnnnn ggggg f␣␊");
+            # only then take the vectorized path — 19-byte-row writers
+            # (LF only, e.g. the reference's minimal fixtures) fall back
+            # to token-wise parse
+            strict = len(block) == 20 * count and all(
+                block[i * 20 + 10] == 0x20 and block[i * 20 + 16] == 0x20
+                for i in range(min(count, 4))
+            )
+            if not strict:
                 for i in range(count):
                     off = r.fetch_uint()
                     gen = r.fetch_uint()
@@ -333,21 +371,48 @@ class Parser:
 
     def _parse_indirect_at(self, e: XRefEntry) -> COSValue:
         """X8 (PDFParser.parseIndirectObject, :213-224): seek offset,
-        verify ``id gen obj`` header, then parseObject."""
+        verify ``id gen obj`` header, then parseObject.
+        If the recorded offset is stale (broken writer), fall back to a
+        one-time whole-file object scan (salvage mode — the recovery
+        the reference's unused `minimal/no xref` fixtures anticipate;
+        spec-sanctioned per ISO 32000-1 §C.2 'reconstruct the table')."""
         r = self.raw
         save = r.pos
         try:
             r.pos = e.offset
             r.skip_ws_and_comments()
             got = try_read_id(r)
-            if got is None or got[2] != b"obj":
-                raise EParseError(f"no 'id gen obj' at offset {e.offset} for obj {e.num}")
-            self.settings.soft_structure(
-                got[0] == e.num, f"object id mismatch at {e.offset}: {got[0]} != {e.num}"
-            )
+            if got is None or got[2] != b"obj" or got[0] != e.num:
+                alt = self._scan_table().get(e.num)
+                if alt is None:
+                    raise EParseError(
+                        f"no 'id gen obj' at offset {e.offset} for obj {e.num}"
+                    )
+                self.settings.soft_structure(
+                    False, f"stale xref offset for obj {e.num}; salvaged by scan"
+                )
+                r.pos = alt
+                r.skip_ws_and_comments()
+                got = try_read_id(r)
+                if got is None or got[2] != b"obj":
+                    raise EParseError(f"salvage scan failed for obj {e.num}")
             return parse_object(r, self._resolve)
         finally:
             r.pos = save
+
+    def _scan_table(self) -> dict[int, int]:
+        """Lazy whole-file ``id gen obj`` scan; last occurrence wins
+        (newest revision in incremental files)."""
+        if self._scan_cache is None:
+            import re
+
+            table: dict[int, int] = {}
+            for m in re.finditer(
+                rb"(?<![0-9])(\d{1,9})[^\S\n]+(\d{1,5})[^\S\n]+obj\b", self.raw.data
+            ):
+                table[int(m.group(1))] = m.start()
+            self._scan_cache = table
+        return self._scan_cache
 
     def _get_compressed(self, e: XRefEntry) -> COSValue:
         """X9 (PDFParser.getObject, :140-211): decode the container

@@ -1,0 +1,177 @@
+"""Filter decode/encode tests (SURVEY.md §2.5 F1-F7)."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from pdfspark.kernel.cos import CDict, Name
+from pdfspark.kernel.errors import EParseError
+from pdfspark.kernel.filters import (
+    a85_decode,
+    a85_encode,
+    ahx_decode,
+    ahx_encode,
+    decode_stream,
+    flate_decode,
+    flate_encode,
+    lzw_decode,
+    lzw_encode,
+    predictor_decode,
+    predictor_encode_up,
+    rl_decode,
+    rl_encode,
+)
+
+rng = random.Random(42)
+CASES = [
+    b"",
+    b"a",
+    b"Hello World",
+    b"aaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    bytes(rng.randrange(256) for _ in range(1000)),
+    b"the fast key order " * 500,
+    bytes(rng.randrange(256) for _ in range(30000)),
+]
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_flate_roundtrip(data):
+    assert flate_decode(flate_encode(data)) == data
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_lzw_roundtrip(data):
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_a85_roundtrip(data):
+    assert a85_decode(a85_encode(data)) == data
+
+
+def test_a85_z_shortcut_and_eod():
+    assert a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert a85_decode(a85_encode(b"\x00" * 8)) == b"\x00" * 8
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_ahx_roundtrip(data):
+    assert ahx_decode(ahx_encode(data)) == data
+
+
+def test_ahx_odd_pad_and_ws():
+    assert ahx_decode(b"48 65 6c 6c 6f>") == b"Hello"
+    assert ahx_decode(b"901fa>") == b"\x90\x1f\xa0"
+    with pytest.raises(EParseError):
+        ahx_decode(b"zz>")
+
+
+@pytest.mark.parametrize("data", CASES, ids=range(len(CASES)))
+def test_rl_roundtrip(data):
+    assert rl_decode(rl_encode(data)) == data
+
+
+def test_rl_spec_semantics():
+    # spec-correct literal copy (the reference's :436 off-by-one is a
+    # documented divergence in an untested path, SURVEY §5 policy)
+    assert rl_decode(bytes([2]) + b"abc" + bytes([128])) == b"abc"
+    assert rl_decode(bytes([255, 0x41, 128])) == b"A" * 2
+    assert rl_decode(bytes([129]) + b"x") == b"x" * 128
+
+
+# --- predictors (F2) ---------------------------------------------------
+
+
+def test_png_up_roundtrip():
+    data = bytes(rng.randrange(256) for _ in range(7 * 50))
+    enc = predictor_encode_up(data, 7)
+    assert predictor_decode(enc, 12, columns=7) == data
+
+
+def test_png_filters_mixed_rows():
+    import numpy as np
+
+    cols, bpp = 5, 1
+    rows = [bytes(rng.randrange(256) for _ in range(cols)) for _ in range(6)]
+    raw = b"".join(rows)
+
+    # hand-encode rows with tags 0..4 then decode
+    out = bytearray()
+    prev = bytes(cols)
+    for i, row in enumerate(rows):
+        t = i % 5
+        out.append(t)
+        if t == 0:
+            out += row
+        elif t == 1:  # Sub
+            out += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF for x in range(cols)
+            )
+        elif t == 2:  # Up
+            out += bytes((row[x] - prev[x]) & 0xFF for x in range(cols))
+        elif t == 3:  # Average
+            out += bytes(
+                (row[x] - (((row[x - bpp] if x >= bpp else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(cols)
+            )
+        else:  # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+            out += bytes(
+                (
+                    row[x]
+                    - paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prev[x],
+                        prev[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(cols)
+            )
+        prev = row
+    assert predictor_decode(bytes(out), 15, columns=cols) == raw
+
+
+def test_tiff_predictor():
+    row = b"\x10\x20\x30\x40"
+    diff = bytes([0x10, 0x10, 0x10, 0x10])
+    assert predictor_decode(diff, 2, columns=4) == row
+
+
+# --- chains + registry (StreamDecoder.java:180-204) --------------------
+
+
+def test_filter_chain_decode():
+    body = b"chained payload " * 20
+    enc = a85_encode(flate_encode(body))
+    d = CDict()
+    d[Name("Filter")] = [Name("ASCII85Decode"), Name("FlateDecode")]
+    assert decode_stream(enc, d) == body
+
+
+def test_abbreviated_names():
+    body = b"x" * 100
+    d = CDict()
+    d[Name("Filter")] = Name("Fl")
+    assert decode_stream(flate_encode(body), d) == body
+
+
+def test_passthrough_codecs():
+    d = CDict()
+    d[Name("Filter")] = Name("DCTDecode")
+    blob = b"\xff\xd8\xff\xe0 opaque"
+    assert decode_stream(blob, d) == blob  # Filter_DoNothing semantics
+
+
+def test_unsupported_filter_raises():
+    d = CDict()
+    d[Name("Filter")] = Name("FooDecode")
+    with pytest.raises(EParseError):
+        decode_stream(b"", d)

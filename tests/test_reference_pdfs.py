@@ -1,0 +1,155 @@
+"""Golden end-to-end tests on the reference's bundled sample PDFs —
+transcribed 1:1 from ComplexTest.java:16-207 and
+FileHandlingTest.java:15-72 (SURVEY.md §5.1-5.3)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from conftest import REF, ref_bytes
+from pdfspark.kernel import extract_meta_doc, extract_spans, parse_document
+
+GOLDEN = {
+    # file: (title, author, subject, keywords, creator, producer,
+    #        trapped, version, page_count, page_mode, page_layout, lang)
+    "24c16.pdf": (
+        "SERIAL 16K (2K X 8) EEPROM",
+        "SGS-THOMSON Microelectronics",
+        "ST24C16 ST25W16 ST25C16 ST24W16",
+        "Datasheet",
+        "",
+        "Acrobat Distiller Command 3.0 for Solaris 2.3 and later (SPARC)",
+        "",  # COSName.UNKNOWN → absent
+        (1, 2),
+        17,
+        "UseThumbs",
+        "SinglePage",
+        None,
+    ),
+    "vrml.pdf": (
+        "PDF",
+        "Software 995",
+        "Create PDF with Pdf 995",
+        "pdf, create pdf, software, acrobat, adobe",
+        "Pdf995",
+        "GNU Ghostscript 7.05",
+        "",
+        (1, 3),
+        5,
+        "UseOutlines",
+        "SinglePage",
+        None,
+    ),
+    "Creativecommons-what-is-creative-commons_eng.pdf": (
+        "", "", "", "",
+        "Adobe InDesign CS3 (5.0.1)",
+        "Adobe PDF Library 8.0",
+        "False",
+        (1, 4),
+        1,
+        "UseNone",
+        "SinglePage",
+        None,
+    ),
+    "loremipsum2.pdf": (
+        "Lorem Ipsum",
+        "Anton Golinko",
+        "",
+        "tag1, tag2, tag3",
+        "Microsoft® Word 2013",
+        "Microsoft® Word 2013",
+        "",
+        (1, 5),
+        3,
+        "UseNone",
+        "SinglePage",
+        None,
+    ),
+    "6licenses-flat.pdf": (
+        "", "", "", "",
+        "Adobe InDesign CS6 (Macintosh)",
+        "Adobe PDF Library 10.0.1",
+        "False",
+        (1, 7),
+        1,
+        "UseNone",
+        "SinglePage",
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("fname", sorted(GOLDEN))
+def test_complex_golden(fname):
+    data = ref_bytes(fname)
+    doc = parse_document(data)
+    assert not doc.parser.is_encrypted
+    meta = extract_meta_doc(data)
+    t, a, s, k, cr, pr, trap, ver, pages, mode, layout, lang = GOLDEN[fname]
+    assert meta["title"] == t
+    assert meta["author"] == a
+    assert meta["subject"] == s
+    assert meta["keywords"] == k
+    assert meta["creator"] == cr
+    assert meta["producer"] == pr
+    assert meta["trapped"] == trap
+    assert doc.parser.version == ver
+    assert meta["page_count"] == pages
+    assert meta["page_mode"] == mode
+    assert meta["page_layout"] == layout
+    if lang is not None:
+        assert meta["lang"] == lang
+    # parseEverything() must not throw → all objects materialize
+    doc.parser.parse_all_objects()
+
+
+def test_v16_missing_blob_skipped():
+    path = os.path.join(REF, "made-with-cc.pdf")
+    if os.path.exists(path):
+        pytest.fail("blob appeared; transcribe its golden values")
+    pytest.skip("made-with-cc.pdf absent (.MISSING_LARGE_BLOBS)")
+
+
+def test_span_extraction_runs_on_real_pdfs():
+    """The text-op layer (absent from the reference) must at minimum
+    produce ordered spans from the real PDFs without error."""
+    expected_min_spans = {"24c16.pdf": 100, "loremipsum2.pdf": 50, "vrml.pdf": 50}
+    for fname, n in expected_min_spans.items():
+        status, err, spans = extract_spans(ref_bytes(fname))
+        assert status == "ok", err
+        assert len(spans) >= n
+        offs = [s[3] for s in spans]
+        assert offs == sorted(offs) == list(range(len(spans)))
+
+
+def test_hello_world_minimal_family():
+    # FileHandlingTest.java:59-72 + the Tj fixture
+    for fname in ["minimal/1 - minimal by adobe.pdf", "minimal/1 - minimal_crlf.pdf"]:
+        status, err, spans = extract_spans(ref_bytes(fname))
+        assert status == "ok", (fname, err)
+        assert spans == [("text", "Hello World", None, 0)]
+    status, err, spans = extract_spans(ref_bytes("minimal/p1 - minimum.pdf"))
+    assert status == "ok" and spans == []
+
+
+def test_malformed_corpus_rejected():
+    # FileHandlingTest.checkEvilPDFs (:32-56): every file must fail
+    for path in sorted(glob.glob(os.path.join(REF, "malformed_pdfs", "*.pdf"))):
+        with open(path, "rb") as f:
+            status, err, spans = extract_spans(f.read())
+        assert status == "error", path
+        assert spans == []
+    status, _, _ = extract_spans(ref_bytes("malformed.pdf"))
+    assert status == "error"
+
+
+def test_no_xref_family_rejected_like_reference():
+    # parser REQUIRES startxref (PDFParser.java:97-98); the `no xref`
+    # fixtures are unused by any reference test and fail there too
+    for path in sorted(glob.glob(os.path.join(REF, "minimal", "no xref", "*.pdf"))):
+        with open(path, "rb") as f:
+            status, _, _ = extract_spans(f.read())
+        assert status == "error", path

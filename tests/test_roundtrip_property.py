@@ -1,0 +1,126 @@
+"""Whole-document round-trip property tests: generator → extractor
+identity on seeded random span sequences across every structural
+variant (the reference's checkProduceParsePair pattern lifted to
+documents; SURVEY.md §7 Milestone 3)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdfspark.codec import MALFORMED_KINDS, build_pdf, synth_spans_py
+from pdfspark.kernel import extract_spans
+
+VARIANTS = [
+    "classic",
+    "crlf",
+    "objstream",
+    "hybrid",
+    "incremental",
+    "filters:flate",
+    "filters:lzw",
+    "filters:a85",
+    "filters:ahx",
+    "filters:rl",
+    "filters:a85+flate",
+    "filters:ahx+rl",
+    "filters:none",
+]
+
+WORDS = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark dup value row data slow filter customer line agg "
+    "column big vector query group"
+).split()
+
+
+def random_spans(rng: random.Random, n: int, unicode_frac: float = 0.0):
+    spans = []
+    off = 0
+    for i in range(n):
+        if rng.random() < 0.3:
+            spans.append(("media", None, f"m{rng.randrange(16**12):012x}", off))
+        else:
+            words = [rng.choice(WORDS) for _ in range(rng.randrange(1, 14))]
+            text = " ".join(words)
+            if rng.random() < unicode_frac:
+                text += " — déjà vu ünïcode 文字 " + chr(0x1F600)  # astral too
+            spans.append(("text", text, None, off))
+        off += rng.randrange(1, 3)
+    return spans
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_roundtrip_random_spans(variant):
+    rng = random.Random(hash(variant) & 0xFFFF)
+    for trial in range(6):
+        spans = random_spans(rng, rng.randrange(0, 40))
+        payload = build_pdf(f"t{trial}", spans, variant)
+        status, err, got = extract_spans(payload)
+        assert status == "ok", (variant, trial, err)
+        # round-trip preserves (kind, text, media_ref) sequence; the
+        # extractor re-derives offsets as emission ordinals
+        assert [(k, t, m) for (k, t, m, _) in got] == [
+            (k, t, m) for (k, t, m, _) in spans
+        ], (variant, trial)
+
+
+@pytest.mark.parametrize("variant", ["classic", "objstream", "incremental"])
+def test_roundtrip_unicode_spans(variant):
+    rng = random.Random(7)
+    for trial in range(4):
+        spans = random_spans(rng, 12, unicode_frac=0.5)
+        payload = build_pdf(f"u{trial}", spans, variant)
+        status, err, got = extract_spans(payload)
+        assert status == "ok", err
+        assert [(k, t, m) for (k, t, m, _) in got] == [
+            (k, t, m) for (k, t, m, _) in spans
+        ]
+
+
+def test_roundtrip_synth_spans_exact_offsets():
+    """For synthesized spans (ordinal offsets), the full 4-tuple
+    including offset round-trips exactly — the engine's correctness
+    contract (BASELINE.json: span-sequence equality incl. order)."""
+    rng = random.Random(99)
+    for trial in range(10):
+        nwords = rng.randrange(1, 120)
+        text = " ".join(rng.choice(WORDS) for _ in range(nwords))
+        spans = synth_spans_py(str(trial), text)
+        for variant in ("classic", "objstream", "hybrid", "incremental"):
+            payload = build_pdf(str(trial), spans, variant)
+            status, err, got = extract_spans(payload)
+            assert status == "ok", (variant, err)
+            assert got == [tuple(s) for s in spans], variant
+
+
+@pytest.mark.parametrize("kind", MALFORMED_KINDS)
+def test_malformed_never_produce_spans(kind):
+    payload = build_pdf("m1", synth_spans_py("m1", "some text"), f"malformed:{kind}")
+    status, err, spans = extract_spans(payload)
+    assert status == "error"
+    assert spans == []
+
+
+def test_incremental_supersede_and_gen_precedence():
+    """The decoy content in the base revision must be superseded by
+    the update (newest-first indexing), and the gen-1 base object must
+    beat the gen-0 update decoy (XRefTable.java:37-43)."""
+    spans = synth_spans_py("g1", " ".join(WORDS * 4))
+    payload = build_pdf("g1", spans, "incremental")
+    # two revisions: two startxref markers, /Prev chain, a gen-1 row
+    assert payload.count(b"startxref") == 2
+    assert b"/Prev" in payload and b" 00001 n" in payload
+    status, err, got = extract_spans(payload)
+    assert status == "ok", err
+    assert got == [tuple(s) for s in spans]
+    texts = " ".join(t or "" for (_, t, _, _) in got)
+    assert "DECOY" not in texts
+
+
+def test_determinism():
+    spans = synth_spans_py("d1", "alpha beta gamma " * 30)
+    a = build_pdf("d1", spans, "objstream")
+    b = build_pdf("d1", spans, "objstream")
+    assert a == b
