@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is consumed with a full count() (every row materialized
+through the whole pipeline — generation + extraction happen inside the
+timed region). Throughput evidence at two parallelism levels (the
+north rule's two-cluster-size stand-in) is produced by
+tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pdf_roundtrip_interleaved",
+    "pdf_roundtrip_objstream",
+    "pdf_roundtrip_filters",
+    "pdf_malformed_policy",
+    "pdf_metadata",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as se
+    from pdfspark.session import get_spark
+
+    spark = get_spark(app_name="pdfspark-bench")
+    qs = se.queries()
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    # flagship throughput: docs/sec through the full round-trip pipeline
+    rt = timings.get("pdf_roundtrip_interleaved", 1e9)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-wall-clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs": n_docs,
+                "roundtrip_docs_per_sec": round(n_docs / rt, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Spark engine tests: synthesis lockstep, round-trip pipeline,
+fault policy, metadata — the Milestone 1 end-to-end gate (SURVEY §7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+from pdfspark.codec import synth_spans_py
+from pdfspark.engine import (
+    extract,
+    generate_payloads,
+    load_documents,
+    metadata_rows,
+    roundtrip_rows,
+    status_rows,
+    synth_spans_df,
+)
+
+
+def test_synth_spans_lockstep(spark):
+    """Spark SQL synthesis == pure-Python synthesis, row for row."""
+    docs = load_documents(spark, SF_SMOKE).limit(50)
+    got = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in synth_spans_df(docs).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row.doc_id] == synth_spans_py(str(row.doc_id), row.text)
+
+
+def test_roundtrip_pipeline_identity(spark):
+    docs = load_documents(spark, SF_SMOKE).limit(40)
+    spans = synth_spans_df(docs)
+    expected = {
+        (r.doc_id, r.offset, r.kind, r.text, r.media_ref)
+        for r in spans.select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.offset", "s.kind", "s.text", "s.media_ref")
+        .collect()
+    }
+    extracted = extract(generate_payloads(spans, "mixed"))
+    got_rows = extracted.select("doc_id", "status", F.explode("spans").alias("s")).select(
+        "doc_id", "status", "s.offset", "s.kind", "s.text", "s.media_ref"
+    ).collect()
+    assert all(r.status == "ok" for r in got_rows)
+    got = {(r.doc_id, r.offset, r.kind, r.text, r.media_ref) for r in got_rows}
+    assert got == expected
+
+
+def test_roundtrip_rows_matches_synthesis(spark):
+    rows = roundtrip_rows(spark, SF_SMOKE, variant="objstream").collect()
+    docs = load_documents(spark, SF_SMOKE)
+    expected = set()
+    for r in docs.select("doc_id", "text").collect():
+        for (k, t, m, o) in synth_spans_py(str(r.doc_id), r.text):
+            expected.add((r.doc_id, o, k, t, m))
+    assert {(r.doc_id, r.offset, r.kind, r.text, r.media_ref) for r in rows} == expected
+
+
+def test_malformed_policy(spark):
+    rows = status_rows(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            assert r.status == "error" and r.n_spans == 0
+        else:
+            assert r.status == "ok" and r.n_spans > 0
+
+
+def test_metadata_pipeline(spark):
+    rows = metadata_rows(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.status == "ok"
+        assert r.title == f"doc {r.doc_id}"
+        assert r.page_count >= 1
+        assert r.encrypted is False
+
+
+def test_no_rowwise_udf_registered(spark):
+    """input_hint hard requirement: vectorized surfaces only. The
+    engine modules must not import pyspark's row-wise udf."""
+    import pdfspark.engine as eng
+    import pdfspark.scale as sc
+
+    for mod in (eng, sc):
+        src = open(mod.__file__).read()
+        assert "F.udf(" not in src and "@udf" not in src

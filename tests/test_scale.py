@@ -1,0 +1,60 @@
+"""Scale mechanics: salting plan shape + checkpoint/lineage resume
+(kill-and-rerun must not recompute completed buckets) — north_rule
+'resumable from checkpoint with per-partition lineage + metrics'."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+from pdfspark.engine import generate_payloads, load_documents, synth_spans_df
+from pdfspark.scale import completed_buckets, run_checkpointed, salt_by_size
+
+
+def test_salt_by_size_spreads_partitions(spark):
+    docs = load_documents(spark, SF_SMOKE).limit(64)
+    payloads = generate_payloads(synth_spans_df(docs), "classic")
+    salted = salt_by_size(payloads, num_partitions=8)
+    assert salted.rdd.getNumPartitions() == 8
+    sizes = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # no single partition should hold everything
+    assert max(r["count"] for r in sizes) < 64
+
+
+def test_checkpoint_resume_after_kill(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    # first run crashes after 4 buckets committed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, SF_SMOKE, out, n_buckets=8, buckets_per_commit=2, fail_after=4
+        )
+    done_first = completed_buckets(spark, os.path.join(out, "lineage"))
+    assert len(done_first) == 4
+
+    # rerun: only the remaining buckets are processed
+    n2 = run_checkpointed(spark, SF_SMOKE, out, n_buckets=8, buckets_per_commit=2)
+    assert n2 == 4
+    done = completed_buckets(spark, os.path.join(out, "lineage"))
+    assert done == set(range(8))
+
+    # third run: nothing left to do
+    assert run_checkpointed(spark, SF_SMOKE, out, n_buckets=8) == 0
+
+    # output covers every document exactly once
+    spans = spark.read.parquet(os.path.join(out, "spans"))
+    n_docs = load_documents(spark, SF_SMOKE).count()
+    assert spans.select("doc_id").distinct().count() == n_docs
+    assert spans.count() == n_docs  # one row per doc
+
+    # lineage metrics are real
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    row = lin.agg(F.sum("doc_count").alias("d"), F.sum("spans_out").alias("s")).first()
+    assert row.d == n_docs and row.s > 0
