@@ -1,9 +1,359 @@
-"""placeholder — filled in by subsequent milestones."""
+"""Deduplication operators over the corpus `documents` table —
+the training-data-pipeline layer (task brief: exact, MinHash+LSH,
+SimHash, n-gram Jaccard; embedding near-dup lives in ops/ann.py).
+
+Every operator is pure DataFrame/SQL (JVM-side, no Python UDFs); each
+has a DuckDB oracle. Hashing is md5-based so both engines agree
+bit-for-bit. At 10^12 docs:
+- exact dedup is one hash-aggregate shuffle on the 16-byte digest
+  (map-side partial aggregation; AQE coalesces the tail);
+- MinHash banding keeps the candidate join linear: docs shuffle on
+  (band, value) buckets instead of all-pairs — the only quadratic
+  step is within-bucket, bounded by bucket size;
+- SimHash is one narrow projection (no shuffle at all until the
+  optional pair join).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+N_HASHES = 8  # MinHash signature length
+N_BANDS = 4  # bands of r = 2 rows → s-curve threshold ≈ (1/4)^(1/2) = 0.5
+JACCARD_MIN = 0.5
+SIM_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: hash-groupBy on content fingerprint
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_id = min doc_id sharing md5(text); is_dup marks
+    non-representatives. One shuffle on the digest."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return docs.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("cluster_id"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("cluster_id"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, fp, cluster_id, doc_id != cluster_id AS is_dup
+FROM (
+  SELECT doc_id, md5(text) AS fp,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# word 3-shingles; short docs fall back to the whole text as 1 shingle
+_SHINGLES_SPARK = """
+CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
+ELSE transform(
+  sequence(0, size(split(text, ' ')) - 3),
+  i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
+                      element_at(split(text, ' '), i + 2),
+                      element_at(split(text, ' '), i + 3)))
+END
+"""
+
+_SHINGLES_DUCK = """
+CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      for i in range(1, len(w) - 1)]
+END
+"""
+
+
+def shingles_df(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_val): per-seed minhash = lexicographic min
+    of md5(seed|shingle) prefixes; bands of 2 seeds hashed together.
+    Aggregation is map-side combinable (min) → one shuffle by doc_id."""
+    sh = shingles_df(docs)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))), 1, 16)).alias(
+            f"h{s}"
+        )
+        for s in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    r = N_HASHES // N_BANDS
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * r + j}") for j in range(r)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("#", *cols)).alias("band_val"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bv")
+    ).select("doc_id", "bv.band", "bv.band_val")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (same band bucket) verified with exact
+    shingle-set Jaccard ≥ 0.5. Counts (not float division) are emitted
+    so the oracle comparison is integer-exact."""
+    docs = _docs(spark, sf_dir)
+    bands = minhash_signatures(docs)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sh = shingles_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("b_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.alias("na"), F.col("na.doc_id") == F.col("a_id"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("na.n") + F.col("nb.n") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .where(F.col("n_inter") * 2 >= F.col("n_union"))  # jaccard ≥ 0.5
+    )
+    return out
+
+
+def _minhash_oracle_sql() -> str:
+    hmins = ",\n         ".join(
+        f"min(substr(md5('{s}|' || sh), 1, 16)) AS h{s}" for s in range(N_HASHES)
+    )
+    r = N_HASHES // N_BANDS
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '#' || ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_val FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+    {_SHINGLES_DUCK.replace('text', 'documents.text')}
+  )) AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) documents
+),
+sig AS (
+  SELECT doc_id,
+         {hmins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sa.sh = sb.sh
+  GROUP BY c.a_id, c.b_id
+)
+SELECT i.a_id, i.b_id, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(na.n + nb.n - i.n_inter AS BIGINT) AS n_union
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a_id
+JOIN sizes nb ON nb.doc_id = i.b_id
+WHERE i.n_inter * 2 >= na.n + nb.n - i.n_inter
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+# portable hex→int: identical expression text works in Spark SQL and
+# DuckDB (instr / substr / md5 exist in both with 1-based indexing)
+def _hex4_to_int(expr: str) -> str:
+    digits = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    ]
+    return "(" + " + ".join(digits) + ")"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word frequencies: bit j is the sign of
+    Σ_w count(w) · (±1 per bit j of h(w)). One explode + one groupBy
+    (map-side combinable sums) — no joins, no Python."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    h = F.expr(_hex4_to_int("w")).alias("h")
+    words = words.select("doc_id", "c", h)
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(1 << j)) > 0, F.col("c")).otherwise(
+                -F.col("c")
+            )
+        ).alias(f"s{j}")
+        for j in range(SIM_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIM_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN c ELSE -c END) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+    sim = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIM_BITS))
+    return f"""
+WITH words AS (
+  SELECT doc_id, w, count(*) AS c, {_hex4_to_int("w")} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+agg AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim} AS INT) AS simhash FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram (character trigram) Jaccard on adjacent-doc pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Jaccard for each (2k, 2k+1) doc pair — the
+    pairwise-verify primitive in isolation (the LSH pipeline above
+    supplies candidate pairs at scale)."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    a = grams.where(F.col("doc_id") % 2 == 0).alias("a")
+    b = grams.where(F.col("doc_id") % 2 == 1).alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.g") == F.col("b.g")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        sizes.where(F.col("doc_id") % 2 == 0)
+        .alias("na")
+        .join(
+            sizes.where(F.col("doc_id") % 2 == 1).alias("nb"),
+            F.col("nb.doc_id") == F.col("na.doc_id") + 1,
+        )
+        .join(inter, F.col("a_id") == F.col("na.doc_id"), "left")
+        .select(
+            F.col("na.doc_id").alias("a_id"),
+            F.col("nb.doc_id").alias("b_id"),
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            (F.col("na.n") + F.col("nb.n") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, count(*) AS n_inter
+  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+  WHERE a.doc_id % 2 = 0
+  GROUP BY a.doc_id
+)
+SELECT na.doc_id AS a_id, nb.doc_id AS b_id,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union
+FROM sizes na
+JOIN sizes nb ON nb.doc_id = na.doc_id + 1
+LEFT JOIN inter i ON i.a_id = na.doc_id
+WHERE na.doc_id % 2 = 0
+"""
 
 
 def queries():
-    return {}
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard": ngram_jaccard,
+    }
 
 
 def oracles():
-    return {}
+    return {
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "ngram_jaccard": NGRAM_JACCARD_SQL,
+    }

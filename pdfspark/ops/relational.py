@@ -1,9 +1,228 @@
-"""placeholder — filled in by subsequent milestones."""
+"""Relational-shell operators over the TPC-H-ish tables + events —
+the §2.9 categories the reference lacks, expressed Catalyst-first:
+broadcast joins for small dims, window dedup (the X5 gen-precedence
+analog), sessionization, agg/sort/top-k.
+
+Scale notes (100 TB posture):
+- `orders_revenue_by_nation`: customer⨝nation is a BROADCAST join
+  (nation is tiny); orders⨝customer shuffles on custkey once; sums
+  are map-side partial.
+- `events_latest_dedup`: one shuffle on (user_id, event_type) — the
+  relational form of the xref generation-precedence upsert
+  (XRefTable.java:37-43, SURVEY §2.4 X5).
+- `events_sessionize`: one shuffle on user_id, then two window passes
+  over the same partitioning (no second shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+SESSION_GAP_MIN = 30
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- aggregation: TPC-H Q1 shape ---------------------------------------
+
+
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+LINEITEM_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- broadcast join: revenue per nation ---------------------------------
+
+
+def orders_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORDERS_REVENUE_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- window dedup (X5 analog) -------------------------------------------
+
+
+def events_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest event per (user_id, event_type) — the
+    relational form of gen-precedence upsert: row_number over
+    (partition key, ORDER BY ts DESC, id DESC) == 1."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# --- sessionization (gaps-and-islands) -----------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- tumbling window agg (batch form of the streaming query) -------------
+
+
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window counts per event_type — identical
+    logic runs under Structured Streaming in ops/streaming.py
+    (readStream + watermark); this batch form is the oracle-checked
+    twin."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))::TIMESTAMP AS win_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS v
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- top-k --------------------------------------------------------------
+
+
+def top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10).select(
+        "doc_id", "n_chars", "lang"
+    )
+
+
+TOP_DOCS_SQL = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
 
 
 def queries():
-    return {}
+    return {
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "orders_revenue_by_nation": orders_revenue_by_nation,
+        "events_latest_dedup": events_latest_dedup,
+        "events_sessionize": events_sessionize,
+        "events_window_agg": events_window_agg,
+        "top_documents": top_documents,
+    }
 
 
 def oracles():
-    return {}
+    return {
+        "lineitem_pricing_summary": LINEITEM_Q1_SQL,
+        "orders_revenue_by_nation": ORDERS_REVENUE_SQL,
+        "events_latest_dedup": EVENTS_DEDUP_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_window_agg": EVENTS_WINDOW_SQL,
+        "top_documents": TOP_DOCS_SQL,
+    }

@@ -1,8 +1,140 @@
-"""placeholder — filled in by subsequent milestones."""
+"""Structured Streaming operators — the streaming twins of the batch
+queries in ops/relational.py.
+
+The north rule's pipeline is batch (Iceberg extraction), but a corpus
+engine needs streaming ingest paths; these demonstrate the idiomatic
+shapes: file-source readStream → watermark → windowed agg → memory
+sink (driven to completion with processAllAvailable in tests), and a
+custom stateful operator via applyInPandasWithState.
+
+Correctness evidence: the windowed agg must equal the batch
+`events_window_agg` (oracle-checked vs DuckDB) on the same input —
+asserted in tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch in tests; at scale this is the kafka/iceberg-CDC
+    ingest edge)."""
+    import hashlib
+    import os
+    import tempfile
+
+    # the file stream source requires a DIRECTORY; stage the single
+    # events file behind a symlink (at scale this is the landing dir
+    # files arrive into)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"pdfspark_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """5-minute tumbling windows with a 10-minute watermark — the
+    streaming twin of relational.events_window_agg."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "v")
+    )
+
+
+def run_windowed_counts_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "stream_out"
+) -> DataFrame:
+    q = (
+        windowed_counts(stream_events(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running per-user event counter with
+# applyInPandasWithState (the "custom stateful operator" surface)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _count_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    n = state.get[0] if state.exists else 0
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last_ts = pdf["ts"].max()
+    state.update((n,))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "last_ts": [last_ts]}
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_counts_to_memory(
+    spark: SparkSession, sf_dir: str, name: str = "state_out"
+) -> DataFrame:
+    q = (
+        stateful_user_counts(stream_events(spark, sf_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def queries():
-    return {}
+    return {}  # streaming ops are exercised in pytest (memory sink)
 
 
 def oracles():
