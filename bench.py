@@ -44,6 +44,8 @@ def main() -> None:
 
     spark = get_spark(app_name="pdfspark-bench")
     qs = se.queries()
+    # warm the JVM + Python worker pool so query 1 isn't charged startup
+    se.entry(spark).count()
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     total = 0.0

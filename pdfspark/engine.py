@@ -77,6 +77,19 @@ def synth_spans_df(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(_SPANS_EXPR).alias("spans"))
 
 
+def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
+    """Deterministic k× corpus scale-up for stress/scaling runs:
+    replica r of doc d becomes doc_id d*k + r (same text). Pure JVM
+    explode — no data files written, fully reproducible."""
+    if k <= 1:
+        return docs
+    return docs.select(
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("r"),
+        (F.col("doc_id") * k).alias("base"),
+        "text",
+    ).select((F.col("base") + F.col("r")).alias("doc_id"), "text")
+
+
 def spans_rows(spans_df: DataFrame) -> DataFrame:
     """(doc_id, spans[]) → exploded comparison rows."""
     return spans_df.select(
@@ -94,12 +107,26 @@ def _spans_to_tuples(spans) -> list[tuple]:
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 3) -> DataFrame:
+    """A single small parquet file scans as ONE partition — which
+    would serialize every downstream mapInPandas stage. If the scan is
+    under-partitioned relative to the cluster, hash-repartition on
+    doc_id up front (at 10^12-doc scale the source is already
+    thousands of splits and this is a no-op)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def generate_payloads(spans_df: DataFrame, variant: str = "mixed") -> DataFrame:
     """(doc_id, spans) → (doc_id, payload, size_class).
 
     size_class = log4 bucket of payload length — the explicit skew
     column consumed by scale.salt_by_size (north_rule: 'partitioning /
     shuffle / skew handled explicitly')."""
+    spans_df = ensure_parallelism(spans_df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,7 +272,7 @@ def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
             sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "size_class": sizes})
 
-    payloads = spans.mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    payloads = ensure_parallelism(spans).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
     extracted = extract(payloads)
     return extracted.select(
         "doc_id", "status", F.size("spans").cast("int").alias("n_spans")

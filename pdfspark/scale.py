@@ -50,7 +50,7 @@ def have_iceberg(spark: SparkSession) -> bool:
 def salt_by_size(
     payloads: DataFrame,
     num_partitions: Optional[int] = None,
-    salt_buckets: int = 64,
+    salt_buckets: int = 4096,
 ) -> DataFrame:
     """Repartition the payload stream on (size_class, salt) ahead of
     the extract UDF stage.
@@ -62,7 +62,10 @@ def salt_by_size(
     AQE re-coalesces small outputs afterwards.
     """
     sc = payloads.sparkSession.sparkContext
-    n = num_partitions or max(sc.defaultParallelism * 2, 8)
+    n = num_partitions or max(sc.defaultParallelism * 3, 8)
+    # salt cardinality must be ≫ partition count: with only a handful
+    # of distinct (size_class, salt) keys, hash partitioning goes
+    # Poisson-lumpy and single partitions straggle
     salted = payloads.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
     )
