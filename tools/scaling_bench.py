@@ -76,6 +76,7 @@ def main() -> None:
     lo = run_level(n_lo, sf_dir)
     hi = run_level(n_hi, sf_dir)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
+    repl = int(os.environ.get("REPLICATE", "16"))
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = f"""# BENCH/BASELINE — scaling evidence (N → 4N)
 
@@ -87,7 +88,7 @@ two parallelism levels, each in a fresh JVM:
 - **Job**: full round-trip extraction pipeline (synthesis →
   generate → size-salted repartition → extract → explode,
   variant=mixed), best of 2 after a full-pipeline warmup.
-- **Input**: `{sf_dir}` deterministically replicated 16× in-plan
+- **Input**: `{sf_dir}` deterministically replicated {repl}× in-plan
   (`engine.replicate_docs`) → {lo["docs"]} documents — identical at
   both levels; replication makes compute dominate scheduler overhead
   at this small SF, standing in for the real corpus volume.
