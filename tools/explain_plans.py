@@ -1,0 +1,102 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries with the scale-relevant fragments annotated (pushdown, column
+pruning, broadcast choice, exchange placement).
+
+Usage: python tools/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+COMMENTARY = {
+    "pdf_roundtrip_interleaved": (
+        "Scan reads ONLY (doc_id, text) — column pruning through the "
+        "synthesis expression. Exactly two Exchanges, both deliberate: "
+        "the pre-generation parallelism repartition and the size-class "
+        "salt before the extract UDF stage (AQE cannot skew-split UDF "
+        "stages, so the salt is explicit). Synthesis itself is "
+        "whole-stage-codegen JVM work; Python appears only in the two "
+        "MapInPandas operators."
+    ),
+    "orders_revenue_by_nation": (
+        "Both dimension joins resolve to BroadcastHashJoin (customer + "
+        "nation built and shipped to executors); the fact table is "
+        "never shuffled for the joins — the only Exchange is the final "
+        "group-by. Filters on join keys are pushed into the parquet "
+        "scans; ReadSchema shows 2-3 columns per table."
+    ),
+    "lineitem_pricing_summary": (
+        "The shipdate predicate is PUSHED to the parquet scan "
+        "(PushedFilters: LessThanOrEqual) and the read schema is "
+        "pruned to the 6 referenced columns. Two-phase aggregation: "
+        "partial (map-side) before the Exchange, final after — the "
+        "shuffle carries 6 groups, not 600k rows."
+    ),
+    "dedup_exact": (
+        "One Exchange total: the window over md5(text) hash-partitions "
+        "once; min() is computed within partitions. At 10^12 docs the "
+        "digest (16B) is what shuffles, not the text."
+    ),
+    "ann_cosine_topk": (
+        "The query side is broadcast (10 vectors); the corpus scan "
+        "stays partition-parallel — the only Exchange feeds the "
+        "per-query top-k window, whose input is already similarity-"
+        "scored rows, not vectors."
+    ),
+    "events_sessionize": (
+        "Single Exchange on user_id; lag() and the running sum() reuse "
+        "the same Sort+Window pass, and the final session aggregation "
+        "keeps the same partitioning — no second shuffle."
+    ),
+}
+
+
+def main() -> None:
+    import __spark_entry__ as se
+    from pdfspark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8, app_name="plans")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    qs = se.queries()
+    out = [
+        "# PLANS — physical-plan evidence for the headline queries\n",
+        "Regenerate with `python tools/explain_plans.py`. Each plan is the\n"
+        "`explain('formatted')` output at sf0.001; the commentary calls out\n"
+        "the property that matters at 100 TB.\n",
+    ]
+    for name, note in COMMENTARY.items():
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        # keep the operator tree + scan details; drop the verbose middle
+        lines = plan.splitlines()
+        keep = []
+        for ln in lines:
+            s = ln.strip()
+            if (
+                s.startswith(("*", "+", ":", "AdaptiveSparkPlan", "=="))
+                or any(
+                    k in s
+                    for k in (
+                        "ReadSchema",
+                        "PushedFilters",
+                        "Location",
+                        "(1) Scan",
+                    )
+                )
+            ):
+                keep.append(ln)
+        out.append(f"\n## {name}\n\n{note}\n\n```\n" + "\n".join(keep) + "\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
