@@ -26,6 +26,7 @@ inside mapInPandas (never a row-wise Python UDF).
 
 from __future__ import annotations
 
+import re
 from typing import Callable, NamedTuple, Optional, Union
 
 from .encodings import decode_pdfdoc, encode_pdfdoc
@@ -203,6 +204,12 @@ class CStream:
 _HEXVAL = {c: i for i, c in enumerate(b"0123456789abcdef")}
 _HEXVAL.update({c: i for i, c in enumerate(b"0123456789ABCDEF")})
 
+# hot-path scanners (bulk regex instead of byte loops)
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_NUMBER_RE = re.compile(rb"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)")
+_IDGEN_RE = re.compile(rb"([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]+(R|obj)")
+_LITERAL_SPECIAL_RE = re.compile(rb"[\\()\r]")
+
 
 def parse_name(r: Raw) -> Name:
     """T2 — '/'-prefixed name, '#xx' hex escapes (ISO 32000-1 §7.3.5).
@@ -215,19 +222,20 @@ def parse_name(r: Raw) -> Name:
     p = r.pos
     if p >= n or d[p] != 0x2F:
         raise EParseError(f"name expected at {p}")
-    p += 1
+    run = _NAME_RUN_RE.match(d, p + 1).group()
+    r.pos = p + 1 + len(run)
+    if b"#" not in run:  # fast path: no escapes
+        return Name(run.decode("latin-1"))
     out = bytearray()
-    while p < n:
-        b = d[p]
-        if is_ws(b) or is_delim(b):
-            break
-        if b == 0x23 and p + 2 < n and d[p + 1] in _HEXVAL and d[p + 2] in _HEXVAL:
-            out.append((_HEXVAL[d[p + 1]] << 4) | _HEXVAL[d[p + 2]])
-            p += 3
+    i, ln = 0, len(run)
+    while i < ln:
+        b = run[i]
+        if b == 0x23 and i + 2 < ln and run[i + 1] in _HEXVAL and run[i + 2] in _HEXVAL:
+            out.append((_HEXVAL[run[i + 1]] << 4) | _HEXVAL[run[i + 2]])
+            i += 3
         else:
             out.append(b)
-            p += 1
-    r.pos = p
+            i += 1
     return Name(out.decode("latin-1"))
 
 
@@ -237,30 +245,17 @@ def parse_number(r: Raw) -> Union[int, float]:
     TestCOSNumber.java:152-274 — "-0000"→0, "+1234567890/"→int then
     delimiter terminates, "-.002", "4.")."""
     d, n = r.data, r.length
-    p = r.pos
-    start = p
-    if p < n and d[p] in (0x2B, 0x2D):  # + -
-        p += 1
-    int_digits = 0
-    while p < n and 0x30 <= d[p] <= 0x39:
-        p += 1
-        int_digits += 1
-    is_real = False
-    frac_digits = 0
-    if p < n and d[p] == 0x2E:  # '.'
-        is_real = True
-        p += 1
-        while p < n and 0x30 <= d[p] <= 0x39:
-            p += 1
-            frac_digits += 1
-    if int_digits == 0 and frac_digits == 0:
+    start = r.pos
+    m = _NUMBER_RE.match(d, start)
+    if m is None:
         raise EParseError(f"malformed number at {start}")
+    p = m.end()
     # terminator must be WS / delimiter / EOF (PDF has no exponent form)
     if p < n and not (is_ws(d[p]) or is_delim(d[p])):
         raise EParseError(f"malformed number at {start}: bad terminator {d[p]:#x}")
-    text = d[start:p].decode("ascii")
     r.pos = p
-    if is_real:
+    text = m.group()
+    if b"." in text:
         return float(text)
     return int(text)
 
@@ -269,40 +264,20 @@ def try_read_id(r: Raw) -> Optional[tuple[int, int, bytes]]:
     """T9 — speculative ``id gen R`` / ``id gen obj`` parse with full
     cursor rollback on failure (cos/IdGenPair.java:27-88).
     Returns (id, gen, b'R'|b'obj') or None."""
-    save = r.pos
     d, n = r.data, r.length
-    p = r.pos
-    # first uint
-    s0 = p
-    while p < n and 0x30 <= d[p] <= 0x39:
-        p += 1
-    if p == s0 or p >= n or not is_ws(d[p]):
-        r.pos = save
+    save = r.pos
+    m = _IDGEN_RE.match(d, save)
+    if m is None:
         return None
-    num = int(d[s0:p])
-    while p < n and d[p] in (0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20):
-        p += 1
-    s1 = p
-    while p < n and 0x30 <= d[p] <= 0x39:
-        p += 1
-    if p == s1 or p >= n or not is_ws(d[p]):
-        r.pos = save
-        return None
-    gen = int(d[s1:p])
-    while p < n and d[p] in (0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20):
-        p += 1
-    if p < n and d[p] == 0x52:  # 'R'
-        nxt = d[p + 1] if p + 1 < n else 0x20
-        if is_ws(nxt) or is_delim(nxt):
-            r.pos = p + 1
-            return (num, gen, b"R")
-    if d.startswith(b"obj", p):
-        nxt = d[p + 3] if p + 3 < n else 0x20
-        if is_ws(nxt) or is_delim(nxt) or True:  # 'obj' may abut '<<'
-            r.pos = p + 3
-            return (num, gen, b"obj")
-    r.pos = save
-    return None
+    kw = m.group(3)
+    p = m.end()
+    if kw == b"R":
+        nxt = d[p] if p < n else 0x20
+        if not (is_ws(nxt) or is_delim(nxt)):
+            return None
+    # 'obj' may abut '<<' or any delimiter
+    r.pos = p
+    return (int(m.group(1)), int(m.group(2)), kw)
 
 
 _ESCAPES = {
@@ -333,6 +308,13 @@ def parse_literal_string(r: Raw) -> CString:
     depth = 1
     out = bytearray()
     while p < n:
+        # bulk-copy the run up to the next special byte (\ ( ) CR)
+        m = _LITERAL_SPECIAL_RE.search(d, p)
+        if m is None:
+            break
+        if m.start() > p:
+            out += d[p : m.start()]
+            p = m.start()
         b = d[p]
         if b == 0x5C:  # backslash
             p += 1

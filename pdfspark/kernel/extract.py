@@ -48,6 +48,7 @@ def extract_spans_doc(
     resolver = doc.parser._resolve
     out: list[tuple] = []
     ordinal = 0
+    font_cache: dict = {}
     for page in doc.pages():
         if not page.contents:
             continue
@@ -56,7 +57,9 @@ def extract_spans_doc(
         data = b"\n".join(
             decode_stream(c.data, c.dict, resolver) for c in page.contents
         )
-        for sp in interpret_content(data, page.resources, resolver):
+        for sp in interpret_content(
+            data, page.resources, resolver, doc_font_cache=font_cache
+        ):
             out.append((sp[0], sp[1], sp[2], ordinal))
             ordinal += 1
     return out

@@ -11,7 +11,12 @@ Per-function provenance is cited in docstrings; behavior is pinned by
 
 from __future__ import annotations
 
+import re
+
 from .errors import DEFAULT_SETTINGS, EParseError, ParserSettings
+
+_WS_COMMENTS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
 
 # PDF whitespace set: NUL HT LF FF CR SP  (ISO 32000-1 §7.2.2; the
 # reference's skipWS uses {SP,TAB,LF,CR,NUL} — PDFRawData.java:54-63 —
@@ -41,26 +46,18 @@ class Raw:
 
     # --- B1: skipWS (PDFRawData.java:54-63) --------------------------
     def skip_ws(self) -> None:
-        d, n = self.data, self.length
-        p = self.pos
-        while p < n and d[p] in WHITESPACE:
-            p += 1
-        self.pos = p
+        m = _WS_RE.match(self.data, self.pos)
+        if m is not None:
+            self.pos = m.end()
 
     # Skip whitespace *and* %-comments between tokens (the reference
     # handles comments at the parseObject dispatch, T10).
     def skip_ws_and_comments(self) -> None:
-        d, n = self.data, self.length
-        p = self.pos
-        while p < n:
-            if d[p] in WHITESPACE:
-                p += 1
-            elif d[p] == 0x25:  # '%'
-                while p < n and d[p] not in (0x0A, 0x0D):
-                    p += 1
-            else:
-                break
-        self.pos = p
+        # hot path: bulk-match the ws/comment run instead of
+        # byte-at-a-time stepping
+        m = _WS_COMMENTS_RE.match(self.data, self.pos)
+        if m is not None:
+            self.pos = m.end()
 
     # --- B2: skipLine / readLine (PDFRawData.java:69-111) ------------
     def skip_line(self) -> None:

@@ -240,6 +240,7 @@ def interpret_content(
     resources: Optional[CDict],
     resolver: Optional[Resolver],
     _depth: int = 0,
+    doc_font_cache: Optional[dict] = None,
 ) -> list[Span]:
     """Interpret one (decoded) content stream → ordered spans.
 
@@ -259,7 +260,10 @@ def interpret_content(
     operands: list = []
     in_text = False
     cur_font = _DEFAULT_FONT
-    font_cache: dict[str, Font] = {}
+    # fonts are shared across pages via the resources dict — cache at
+    # document scope (keyed by the font dict's identity) so ToUnicode
+    # CMaps and encoding tables are built once per document, not per page
+    font_cache: dict = doc_font_cache if doc_font_cache is not None else {}
     text_parts: list[str] = []
 
     def font_res() -> Optional[CDict]:
@@ -273,13 +277,15 @@ def interpret_content(
         return resources.get_dict("XObject", None, resolver)
 
     def get_font(name: str) -> Font:
-        f = font_cache.get(name)
-        if f is not None:
-            return f
         fr = font_res()
         fd = fr.get_dict(name, None, resolver) if fr is not None else None
-        f = Font(fd, resolver) if fd is not None else _DEFAULT_FONT
-        font_cache[name] = f
+        if fd is None:
+            return _DEFAULT_FONT
+        key = id(fd)
+        f = font_cache.get(key)
+        if f is None:
+            f = Font(fd, resolver)
+            font_cache[key] = f
         return f
 
     def show(s) -> None:
@@ -336,7 +342,9 @@ def interpret_content(
                         sub_res = xo.dict.get_dict("Resources", None, resolver) or resources
                         decoded = decode_stream(xo.data, xo.dict, resolver)
                         spans.extend(
-                            interpret_content(decoded, sub_res, resolver, _depth + 1)
+                            interpret_content(
+                                decoded, sub_res, resolver, _depth + 1, font_cache
+                            )
                         )
         elif op == b"BI":
             # inline image: scan for EI delimiter → one media span
