@@ -1,0 +1,46 @@
+"""Cluster entry point for the extraction pipeline.
+
+Deploy (north_rule):
+    python tools/package.py              # → dist/pdfspark.zip
+    spark-submit --py-files dist/pdfspark.zip jobs/extract_job.py \
+        --sf-dir /data/corpus --out /warehouse/spans --buckets 4096
+
+On a real cluster add --master yarn/k8s and executor sizing; the job
+is bucket-checkpointed (pdfspark.scale.run_checkpointed), so a killed
+run resumes from the lineage table without recomputing done buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--variant", default="mixed")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pdfspark-extract").getOrCreate()
+    from pdfspark.scale import completed_buckets, run_checkpointed
+
+    n = run_checkpointed(
+        spark, args.sf_dir, args.out, n_buckets=args.buckets, variant=args.variant
+    )
+    done = completed_buckets(spark, f"{args.out}/lineage")
+    print(
+        json.dumps(
+            {"processed_this_run": n, "buckets_done": len(done), "out": args.out}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

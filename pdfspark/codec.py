@@ -213,6 +213,7 @@ def build_object_graph(
     content_filters: Sequence[str] = ("flate",),
     info_fields: Optional[dict] = None,
     catalog_extra: Optional[dict] = None,
+    xml_metadata: Optional[bytes] = None,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -333,6 +334,13 @@ def build_object_graph(
     catalog = CDict()
     catalog[Name("Type")] = Name("Catalog")
     catalog[Name("Pages")] = Ref(pages_root_num, 0)
+    if xml_metadata is not None:
+        # M8: /Metadata XMP stream (PDFDocCatalog.getXMLMetadata :137-145)
+        md = CDict()
+        md[Name("Type")] = Name("Metadata")
+        md[Name("Subtype")] = Name("XML")
+        md[Name("Length")] = len(xml_metadata)
+        catalog[Name("Metadata")] = Ref(g.add(CStream(md, xml_metadata)), 0)
     for k, v in (catalog_extra or {}).items():
         catalog[Name(k)] = v
     g.objs[catalog_num] = catalog
@@ -385,7 +393,16 @@ def _assemble_classic(
     eol: bytes = b"\n",
     hybrid: bool = False,
     version: bytes = b"1.4",
+    encrypted: bool = False,
 ) -> bytes:
+    if encrypted:
+        # M10: a minimal /Encrypt dict; decryption is unsupported (as
+        # in the reference, README.md:5) — presence alone flags the doc
+        enc = CDict()
+        enc[Name("Filter")] = Name("Standard")
+        enc[Name("V")] = 1
+        enc[Name("R")] = 2
+        g.encrypt_num = g.add(enc)
     out = bytearray()
     out += b"%PDF-" + version + eol + b"%\xe2\xe3\xcf\xd3" + eol
     offsets: dict[int, int] = {}
@@ -424,6 +441,8 @@ def _assemble_classic(
     trailer[Name("Root")] = Ref(catalog_num, 0)
     trailer[Name("Info")] = Ref(info_num, 0)
     trailer[Name("ID")] = _file_id(doc_id)
+    if encrypted:
+        trailer[Name("Encrypt")] = Ref(g.encrypt_num, 0)
     if hybrid and hybrid_stm_offset is not None:
         trailer[Name("XRefStm")] = hybrid_stm_offset
     out += b"trailer" + eol + produce(trailer) + eol
@@ -632,6 +651,8 @@ def build_pdf(
     variant: str = "classic",
     info_fields: Optional[dict] = None,
     catalog_extra: Optional[dict] = None,
+    xml_metadata: Optional[bytes] = None,
+    encrypted: bool = False,
 ) -> bytes:
     """One document → PDF bytes. ``variant`` selects the structural
     layout (module docstring); ``filters:<f>[+<f>...]`` selects the
@@ -662,10 +683,10 @@ def build_pdf(
             content_filters = ()
 
     g, cat, info = build_object_graph(
-        doc_id, spans, content_filters, info_fields, catalog_extra
+        doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata
     )
     if layout == "classic":
-        return _assemble_classic(g, cat, info, doc_id)
+        return _assemble_classic(g, cat, info, doc_id, encrypted=encrypted)
     if layout == "crlf":
         return _assemble_classic(g, cat, info, doc_id, eol=b"\r\n")
     if layout == "hybrid":

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 from .docmodel import Document
-from .errors import ParserSettings
+from .errors import EParseError, ParserSettings
 from .filters import decode_stream
 from .textops import Span, interpret_content
 from .xref import Parser
@@ -45,6 +45,11 @@ def extract_spans_doc(
     streams form one logical stream); offset = global emission ordinal.
     """
     doc = parse_document(payload, settings)
+    if doc.parser.is_encrypted:
+        # M10 policy: content decryption is unsupported (reference
+        # README.md:5); encrypted docs route to the error bucket for
+        # span extraction, while metadata extraction still works
+        raise EParseError("encrypted document: decryption not supported")
     resolver = doc.parser._resolve
     out: list[tuple] = []
     ordinal = 0

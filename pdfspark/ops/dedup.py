@@ -117,7 +117,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard ≥ 0.5. Counts (not float division) are emitted
     so the oracle comparison is integer-exact."""
     docs = _docs(spark, sf_dir)
-    bands = minhash_signatures(docs)
+    # shingles and band signatures feed 2-3 downstream joins each —
+    # persist so the explode+md5 work runs once, not per consumer
+    # (at cluster scale: MEMORY_AND_DISK, sized ~16B/shingle-row)
+    bands = minhash_signatures(docs).persist()
     cand = (
         bands.alias("a")
         .join(
@@ -131,7 +134,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = shingles_df(docs)
+    sh = shingles_df(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))

@@ -106,3 +106,24 @@ def test_info_and_catalog_projection():
     assert cat["page_layout"] == "SinglePage"  # default (spec)
     assert not doc.parser.is_encrypted
     assert parse_pdf_date(info["creation_date"]) is not None
+
+
+def test_xml_metadata_m8():
+    from pdfspark.kernel import parse_document
+
+    xmp = b'<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/"/>'
+    payload = build_pdf("x1", synth_spans_py("x1", "word " * 20), "classic",
+                        xml_metadata=xmp)
+    doc = parse_document(payload)
+    assert doc.xml_metadata() == xmp
+
+
+def test_encrypted_policy_m10():
+    from pdfspark.kernel import extract_meta, extract_spans
+
+    payload = build_pdf("e1", synth_spans_py("e1", "word " * 20), "classic",
+                        encrypted=True)
+    st, err, meta = extract_meta(payload)
+    assert st == "ok" and meta["encrypted"] is True
+    st2, err2, spans = extract_spans(payload)
+    assert st2 == "error" and "encrypted" in err2 and spans == []

@@ -58,3 +58,33 @@ def test_checkpoint_resume_after_kill(spark, tmp_path):
     lin = spark.read.parquet(os.path.join(out, "lineage"))
     row = lin.agg(F.sum("doc_count").alias("d"), F.sum("spans_out").alias("s")).first()
     assert row.d == n_docs and row.s > 0
+
+
+def test_skew_large_docs_spread_across_partitions(spark, tmp_path):
+    """skew_large family (FIXTURES §3): 0.1%-style oversized docs must
+    not concentrate: after salt_by_size, no partition should carry more
+    than ~2 of the 8 planted giants (they differ in salt, so they
+    spread), and the byte-heaviest partition must hold well under the
+    giants' combined weight."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    giants = (
+        docs.limit(8)
+        .withColumn("doc_id", F.col("doc_id") + 900000)
+        .withColumn("text", F.expr("repeat(text, 120)"))  # ~100-200× spans
+    )
+    both = docs.unionByName(giants)
+    payloads = generate_payloads(synth_spans_df(both), "classic")
+    salted = salt_by_size(payloads, num_partitions=8)
+    per_part = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.sum(F.length("payload")).alias("bytes"),
+            F.sum((F.col("doc_id") >= 900000).cast("int")).alias("giants"),
+        )
+        .collect()
+    )
+    assert sum(r.giants for r in per_part) == 8
+    assert max(r.giants for r in per_part) <= 3  # salted spread
+    total = sum(r.bytes for r in per_part)
+    assert max(r.bytes for r in per_part) < 0.55 * total
