@@ -75,6 +75,12 @@ def _q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_rows(spark, sf_dir)
 
 
+def _q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import date_rows
+
+    return date_rows(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfspark.ops import register_ops_queries
 
@@ -86,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_filters": _q_roundtrip("filters_rotate"),
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
+        "pdf_dates": _q_dates,
     }
     q.update(register_ops_queries())
     return q
@@ -115,7 +122,12 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE k + k // 3 END AS INT) AS n_spans
 FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents)
 """
+    from pdfspark.ops.multimodal import _hex_to_int
+
+    h8 = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+    dates_sql = "\nSELECT doc_id,\n       'D:202401' || lpad(CAST(1 + h % 28 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 256) % 24 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 65536) % 60 AS VARCHAR), 2, '0')\n                  || '33+02''00''' AS creation_date,\n       make_timestamp(2024, 1, CAST(1 + h % 28 AS INT),\n                      CAST((h // 256) % 24 AS INT),\n                      CAST((h // 65536) % 60 AS INT), 33)\n         - INTERVAL 2 HOUR AS creation_ts\nFROM (SELECT doc_id, {h8} AS h FROM documents)\n".format(h8=h8)
     o = {
+        "pdf_dates": dates_sql,
         "pdf_roundtrip_interleaved": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_objstream": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_incremental": _SPANS_ORACLE_SQL,

@@ -120,9 +120,14 @@ def _content_for(
             font, shown = b"/F2", _show_bytes_cid(text or "")
         else:
             font, shown = b"/F1", simple
-        form = ordinal % 3
+        form = ordinal % 4
         if form == 0:
-            parts.append(b"BT %s 12 Tf 10 %d Td %s Tj ET" % (font, y, shown))
+            # Tj plus graphics/text-state no-ops the interpreter must
+            # skip with their operands (q/cm/Tc/Tw/Tz, §9.3)
+            parts.append(
+                b"q 1 0 0 1 0 0 cm BT %s 12 Tf 0.2 Tc 0.1 Tw 100 Tz 10 %d Td %s Tj ET Q"
+                % (font, y, shown)
+            )
         elif form == 1:
             # split the span across a TJ kerning array (§9.4.3); the
             # extractor must reassemble exactly
@@ -135,8 +140,13 @@ def _content_for(
                 )
             else:
                 parts.append(b"BT %s 12 Tf 10 %d Td [%s] TJ ET" % (font, y, shown))
-        else:
+        elif form == 2:
             parts.append(b"BT %s 12 Tf 14 TL 10 %d Td %s ' ET" % (font, y, shown))
+        else:
+            # Tm positioning + the " operator (aw ac string, §9.4.3)
+            parts.append(
+                b'BT %s 12 Tf 14 TL 1 0 0 1 10 %d Tm 2 1 %s " ET' % (font, y, shown)
+            )
         y -= 16
     return b"\n".join(parts), used_cid
 

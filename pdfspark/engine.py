@@ -187,13 +187,13 @@ META_SCHEMA = (
     "subject string, keywords string, creator string, producer string, "
     "creation_date string, mod_date string, trapped string, version string, "
     "lang string, page_mode string, page_layout string, page_count int, "
-    "encrypted boolean"
+    "encrypted boolean, creation_ts timestamp"
 )
 
 _META_COLS = [
     "title", "author", "subject", "keywords", "creator", "producer",
     "creation_date", "mod_date", "trapped", "version", "lang", "page_mode",
-    "page_layout", "page_count", "encrypted",
+    "page_layout", "page_count", "encrypted", "creation_ts",
 ]
 
 
@@ -290,4 +290,58 @@ def metadata_rows(spark, sf_dir: str) -> DataFrame:
     return meta.select(
         "doc_id", "status", "title", "author", "subject", "keywords",
         "page_count", "page_mode", "page_layout", "encrypted",
+    )
+
+
+def date_rows(spark, sf_dir: str) -> DataFrame:
+    """C5 oracle query: the kernel parses the generator's
+    D:YYYYMMDDHHmmSS+02'00' CreationDate and normalizes to UTC; DuckDB
+    re-derives the same instant from the md5 the generator used
+    (codec._det_date)."""
+    docs = load_documents(spark, sf_dir)
+    spans = synth_spans_df(docs)
+    payloads = generate_payloads(spans, "classic")
+    meta = extract_metadata(payloads)
+    return meta.select("doc_id", "creation_date", "creation_ts")
+
+
+# ---------------------------------------------------------------------------
+# S1 — real-file source: spark.read.format("binaryFile") over ad-hoc
+# PDFs (the reference's PDFFile.open(File) path, PDFFile.java:52-58)
+# ---------------------------------------------------------------------------
+
+
+def extract_pdf_files(spark, path_glob: str) -> DataFrame:
+    """Directory/glob of *.pdf → (path, status, error, spans[]).
+    binaryFile scan gives (path, modificationTime, length, content);
+    column pruning keeps only (path, content)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path_glob)
+        .select(F.col("path"), F.col("content").alias("payload"))
+    )
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_spans
+
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["payload"]):
+                status, err, spans = extract_spans(bytes(payload))
+                rows.append(
+                    {
+                        "path": path,
+                        "status": status,
+                        "error": err,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for (k, t, m, o) in spans
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        ker, schema=f"path string, status string, error string, spans {SPANS_SCHEMA}"
     )

@@ -89,6 +89,15 @@ def extract_meta_doc(payload: bytes, settings: Optional[ParserSettings] = None) 
     meta.update(doc.catalog_fields())
     meta["page_count"] = doc.page_count()
     meta["encrypted"] = doc.parser.is_encrypted
+    # C5: parsed CreationDate normalized to naive UTC
+    from datetime import timezone
+
+    from .docmodel import parse_pdf_date
+
+    dt = parse_pdf_date(meta.get("creation_date", ""))
+    meta["creation_ts"] = (
+        dt.astimezone(timezone.utc).replace(tzinfo=None) if dt else None
+    )
     return meta
 
 

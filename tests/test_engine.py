@@ -87,3 +87,19 @@ def test_no_rowwise_udf_registered(spark):
     for mod in (eng, sc):
         src = open(mod.__file__).read()
         assert "F.udf(" not in src and "@udf" not in src
+
+
+def test_binaryfile_source_on_reference_pdfs(spark):
+    """S1: the real-file ingest path over the reference's bundled
+    sample PDFs (Hello World must come through the whole Spark path)."""
+    from pdfspark.engine import extract_pdf_files
+
+    out = extract_pdf_files(
+        spark, "/root/reference/pdfparse-lib/src/test/resources/minimal"
+    ).collect()
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in out}
+    assert len(by_name) == 3
+    for name in ("1 - minimal by adobe.pdf", "1 - minimal_crlf.pdf"):
+        r = by_name[name]
+        assert r.status == "ok"
+        assert [(s.kind, s.text) for s in r.spans] == [("text", "Hello World")]
