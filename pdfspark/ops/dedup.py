@@ -60,14 +60,18 @@ FROM (
 # 2. MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-# word 3-shingles; short docs fall back to the whole text as 1 shingle
+# word 3-shingles; short docs fall back to the whole text as 1 shingle.
+# NB: the words array MUST be a projected column — referencing
+# split(text,' ') inside the transform lambda re-evaluates the split
+# per element (Catalyst does not hoist subexpressions out of lambdas),
+# turning shingling O(words²) per doc
 _SHINGLES_SPARK = """
-CASE WHEN size(split(text, ' ')) < 3 THEN array(text)
+CASE WHEN size(w) < 3 THEN array(text)
 ELSE transform(
-  sequence(0, size(split(text, ' ')) - 3),
-  i -> concat_ws(' ', element_at(split(text, ' '), i + 1),
-                      element_at(split(text, ' '), i + 2),
-                      element_at(split(text, ' '), i + 3)))
+  sequence(0, size(w) - 3),
+  i -> concat_ws(' ', element_at(w, i + 1),
+                      element_at(w, i + 2),
+                      element_at(w, i + 3)))
 END
 """
 
@@ -80,7 +84,8 @@ END
 
 
 def shingles_df(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    pre = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    return pre.select(
         "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("sh")
     )
 
