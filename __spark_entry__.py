@@ -81,6 +81,27 @@ def _q_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_rows(spark, sf_dir)
 
 
+def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output joined back to the documents dim (broadcast)
+    + aggregation: per-(lang, kind) span counts and text volume —
+    the UDF-output-into-relational-shell path."""
+    import pyspark.sql.functions as F
+
+    from pdfspark.engine import load_documents, roundtrip_rows
+
+    rows = roundtrip_rows(spark, sf_dir, variant="classic")
+    dim = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return (
+        rows.join(F.broadcast(dim), "doc_id")
+        .groupBy("lang", "kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_chars"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfspark.ops import register_ops_queries
 
@@ -93,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
+        "pdf_span_stats": _q_span_stats,
     }
     q.update(register_ops_queries())
     return q
@@ -127,6 +149,7 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
     h8 = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 8)
     dates_sql = "\nSELECT doc_id,\n       'D:202401' || lpad(CAST(1 + h % 28 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 256) % 24 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 65536) % 60 AS VARCHAR), 2, '0')\n                  || '33+02''00''' AS creation_date,\n       make_timestamp(2024, 1, CAST(1 + h % 28 AS INT),\n                      CAST((h // 256) % 24 AS INT),\n                      CAST((h // 65536) % 60 AS INT), 33)\n         - INTERVAL 2 HOUR AS creation_ts\nFROM (SELECT doc_id, {h8} AS h FROM documents)\n".format(h8=h8)
     o = {
+        "pdf_span_stats": "\nWITH c AS (\n  SELECT doc_id, text,\n         unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i\n  FROM documents\n),\nspans AS (\n  SELECT doc_id, 'text' AS kind, length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen\n  FROM c\n  UNION ALL\n  SELECT doc_id, 'media' AS kind, 0 AS tlen FROM c WHERE i % 3 = 2\n)\nSELECT d.lang, s.kind, count(*) AS n_spans,\n       sum(s.tlen) AS text_chars,\n       count(DISTINCT s.doc_id) AS n_docs\nFROM spans s JOIN documents d ON d.doc_id = s.doc_id\nGROUP BY d.lang, s.kind\n",
         "pdf_dates": dates_sql,
         "pdf_roundtrip_interleaved": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_objstream": _SPANS_ORACLE_SQL,

@@ -213,6 +213,7 @@ def queries():
         "events_latest_dedup": events_latest_dedup,
         "events_sessionize": events_sessionize,
         "events_window_agg": events_window_agg,
+        "events_asof_click": events_asof_click,
         "top_documents": top_documents,
     }
 
@@ -224,5 +225,89 @@ def oracles():
         "events_latest_dedup": EVENTS_DEDUP_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_window_agg": EVENTS_WINDOW_SQL,
+        "events_asof_click": EVENTS_ASOF_SQL,
         "top_documents": TOP_DOCS_SQL,
     }
+
+
+# --- as-of join (Spark lacks a native one; guide §OLAP patterns) ----------
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for every left row, attach the most recent
+    right row (same `by` key, right.ts <= left.ts) via the union+window
+    trick — one shuffle on `by`, NO range cross-join:
+
+    tag rows, union, sort within `by` partition by (ts, tag), carry
+    right values forward with last_value(ignorenulls), keep left rows.
+    Scales as a single window pass; the per-group pandas merge_asof
+    alternative needs the same shuffle but leaves the JVM.
+    """
+    key_cols = {by, ts}
+    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    l_all = left.select(
+        *left.columns,
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast("double").alias(f"__r_{c}") for c in value_cols],
+    )
+    r_all = right.select(
+        *[
+            (F.col(c) if c in key_cols else F.lit(None).cast(ltypes[c])).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).cast("double").alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l_all.unionByName(r_all)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *left.columns,
+        "__tag",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__tag") == 1).drop("__tag")
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the value of the user's most recent 'click'
+    event at-or-before it (as-of semantics over the same stream)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join_latest(
+        ev, clicks, by="user_id", ts="ts", value_cols=["click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("asof_click_value", 2).alias("last_click_value"),
+    )
+
+
+# Ties: an event AT the same ts as a click sees that click (the right
+# row sorts first via __tag), i.e. inclusive as-of; (user_id, ts) is
+# unique in the corpus so the window order is deterministic. The
+# oracle mirrors inclusivity with <=.
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       round((
+         SELECT c.value FROM events c
+         WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+         ORDER BY c.ts DESC LIMIT 1
+       ), 2) AS last_click_value
+FROM events e
+"""
