@@ -120,13 +120,20 @@ def ensure_parallelism(df: DataFrame, factor: int = 3) -> DataFrame:
     return df
 
 
-def generate_payloads(spans_df: DataFrame, variant: str = "mixed") -> DataFrame:
+def generate_payloads(
+    spans_df: DataFrame, variant: str = "mixed", ensure: bool = True
+) -> DataFrame:
     """(doc_id, spans) → (doc_id, payload, size_class).
 
     size_class = log4 bucket of payload length — the explicit skew
-    column consumed by scale.salt_by_size (north_rule: 'partitioning /
-    shuffle / skew handled explicitly')."""
-    spans_df = ensure_parallelism(spans_df)
+    column consumed by scale.salt_by_size when salting post-generation
+    (the checkpointed sink path); the flagship pipeline salts the
+    spans BEFORE this stage instead (scale.salt_spans_by_size)."""
+    # NB: ensure_parallelism inspects df.rdd, which under AQE
+    # materializes upstream shuffle stages eagerly (the work then runs
+    # twice). Callers that already repartitioned pass ensure=False.
+    if ensure:
+        spans_df = ensure_parallelism(spans_df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,6 +187,46 @@ def extract(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(ker, schema=EXTRACT_SCHEMA)
+
+
+FLAT_SCHEMA = "doc_id bigint, offset int, kind string, text string, media_ref string"
+
+
+def extract_flat(payloads: DataFrame) -> DataFrame:
+    """Row-oriented extraction: emits exploded span rows directly.
+
+    Functionally extract() + explode, but the kernel stage yields FLAT
+    Arrow columns — no per-row list-of-dict building, no nested
+    struct-array conversion through Arrow, no JVM-side Generate. For
+    comparison/row sinks this is the fast path; extract() remains the
+    grouped (spans[]) form for document-shaped sinks."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_spans
+
+        for pdf in batches:
+            ids, offs, kinds, texts, refs = [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                status, _err, spans = extract_spans(bytes(payload))
+                if status != "ok":
+                    continue
+                for (k, t, m, o) in spans:
+                    ids.append(did)
+                    offs.append(o)
+                    kinds.append(k)
+                    texts.append(t)
+                    refs.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "offset": offs,
+                    "kind": kinds,
+                    "text": texts,
+                    "media_ref": refs,
+                }
+            )
+
+    return payloads.mapInPandas(ker, schema=FLAT_SCHEMA)
 
 
 META_SCHEMA = (
@@ -236,18 +283,16 @@ def roundtrip_rows(
     """Flagship pipeline: synth → generate → (salt) → extract →
     exploded span rows. Correct iff output == synth_spans rows (the
     round-trip identity; oracle = the same synthesis in DuckDB SQL)."""
-    from .scale import salt_by_size
+    from .scale import salt_spans_by_size
 
     docs = load_documents(spark, sf_dir)
     spans = synth_spans_df(docs)
-    payloads = generate_payloads(spans, variant)
     if salt:
-        payloads = salt_by_size(payloads)
-    extracted = extract(payloads)
-    rows = extracted.where(F.col("status") == "ok").select(
-        "doc_id", F.explode("spans").alias("s")
-    ).select("doc_id", "s.offset", "s.kind", "s.text", "s.media_ref")
-    return rows
+        # skew-salt the (cheap) spans rows BEFORE generation: one
+        # shuffle total; generate → extract then pipeline in one stage
+        spans = salt_spans_by_size(spans)
+    payloads = generate_payloads(spans, variant, ensure=not salt)
+    return extract_flat(payloads)
 
 
 def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:

@@ -22,10 +22,9 @@ _RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pdfspark.session import get_spark
-from pdfspark.engine import (extract, generate_payloads, load_documents,
+from pdfspark.engine import (extract_flat, generate_payloads, load_documents,
                              replicate_docs, synth_spans_df)
-from pdfspark.scale import salt_by_size
-import pyspark.sql.functions as F
+from pdfspark.scale import salt_spans_by_size
 
 cpus = int(os.environ["CPUS"])
 sf_dir = os.environ["SF_DIR"]
@@ -33,17 +32,15 @@ K = int(os.environ.get("REPLICATE", "16"))
 
 def pipeline(sdir, k):
     docs = replicate_docs(load_documents(spark, sdir), k)
-    payloads = salt_by_size(generate_payloads(synth_spans_df(docs), "mixed"))
-    ext = extract(payloads)
-    return ext.where(F.col("status") == "ok").select(
-        "doc_id", F.explode("spans").alias("s"))
+    spans = salt_spans_by_size(synth_spans_df(docs))
+    return extract_flat(generate_payloads(spans, "mixed", ensure=False))
 spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus * 2,
                   app_name=f"scaling-{{cpus}}")
 # warmup: full pipeline at the smoke scale (JVM JIT + python workers)
 pipeline("/root/testdata/sf0.001", 1).count()
 best = None
 n = 0
-for _ in range(2):
+for _ in range(3):
     t0 = time.monotonic()
     n = pipeline(sf_dir, K).count()
     dt = time.monotonic() - t0
@@ -58,12 +55,18 @@ spark.stop()
 
 def run_level(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, CPUS=str(cpus), SF_DIR=sf_dir)
+    # local[N] bounds concurrent TASKS, not CPU: the JVM, shuffle
+    # threads and Python workers of a "2-core" run otherwise overdraw
+    # the machine and corrupt the N→4N ratio. taskset pins the whole
+    # process tree to exactly N cores — the faithful stand-in for an
+    # executor's hard CPU allocation.
     out = subprocess.run(
-        [sys.executable, "-c", _RUNNER.format(repo=REPO)],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+         _RUNNER.format(repo=REPO)],
         env=env,
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=2400,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -83,7 +86,10 @@ def main() -> None:
 The north rule requires ≥0.8 throughput-scaling efficiency between two
 cluster sizes (N and 4N executors). This sandbox has no real cluster,
 so per the driver's instruction the same job runs on the same input at
-two parallelism levels, each in a fresh JVM:
+two parallelism levels, each in a fresh JVM pinned with
+``taskset -c`` to exactly N cores (local[N] alone bounds task slots,
+not CPU — without pinning the small level overdraws the machine and
+the ratio is meaningless):
 
 - **Job**: full round-trip extraction pipeline (synthesis →
   generate → size-salted repartition → extract → explode,
