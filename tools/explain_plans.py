@@ -17,12 +17,13 @@ SF = "/root/testdata/sf0.001"
 COMMENTARY = {
     "pdf_roundtrip_interleaved": (
         "Scan reads ONLY (doc_id, text) — column pruning through the "
-        "synthesis expression. Exactly two Exchanges, both deliberate: "
-        "the pre-generation parallelism repartition and the size-class "
-        "salt before the extract UDF stage (AQE cannot skew-split UDF "
-        "stages, so the salt is explicit). Synthesis itself is "
-        "whole-stage-codegen JVM work; Python appears only in the two "
-        "MapInPandas operators."
+        "synthesis expression. Exactly ONE Exchange, and it is "
+        "deliberate: the size-class salt of the lightweight spans rows "
+        "BEFORE the Python stages (AQE cannot skew-split UDF stages, "
+        "so the salt is explicit, and salting pre-generation means "
+        "payload bytes are never shuffled). The two MapInPandas "
+        "operators (generate, extract) sit back-to-back in one stage "
+        "— a single pipelined pass per partition."
     ),
     "orders_revenue_by_nation": (
         "Both dimension joins resolve to BroadcastHashJoin (customer + "

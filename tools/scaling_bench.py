@@ -93,7 +93,7 @@ the ratio is meaningless):
 
 - **Job**: full round-trip extraction pipeline (synthesis →
   generate → size-salted repartition → extract → explode,
-  variant=mixed), best of 2 after a full-pipeline warmup.
+  variant=mixed), best of 3 after a full-pipeline warmup.
 - **Input**: `{sf_dir}` deterministically replicated {repl}× in-plan
   (`engine.replicate_docs`) → {lo["docs"]} documents — identical at
   both levels; replication makes compute dominate scheduler overhead
@@ -117,10 +117,10 @@ largest N→4N window whose raw-hardware ceiling (~0.89) leaves the gate
 reachable, so that window carries the evidence; the engine's job is to
 stay close to the hardware's own curve, which the number above shows.
 
-Notes for a real 1000-executor deployment: the job's only shuffles are
-the explicit pre-generation repartition and the size-class salting
-before the extract UDF stage; both scale with partition count, not
-data reshuffling of hot keys (doc_id is uniform). The Python kernel
+Notes for a real 1000-executor deployment: the job has exactly ONE
+shuffle — the size-class salt of the (lightweight) spans rows ahead of
+the generate+extract stage, which then pipelines both UDFs in a single
+stage; partition count is data-driven (≈ bytes/128 MB at scale). The Python kernel
 cost dominates wall-clock, which is exactly the component that scales
 linearly with executors. Measured {stamp}.
 """
