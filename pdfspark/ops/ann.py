@@ -48,18 +48,52 @@ def _norm(col: str) -> str:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for query vectors vec_id < 10 (self
-    excluded); deterministic (sim DESC, vec_id ASC) ordering."""
+    excluded); deterministic (sim DESC, vec_id ASC) ordering.
+
+    Scoring runs as a numpy matmul over Arrow batches of the corpus
+    side — Spark's higher-order-function fold is INTERPRETED (no
+    codegen), ~100× slower per element than BLAS; the tiny query set
+    ships to executors in the task closure. The per-partition partial
+    top-k bounds what the final JVM window sees to k·|Q| rows per
+    partition."""
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    pairs = F.broadcast(queries).crossJoin(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.expr(
-        f"{_DOT.format(a='q', b='e')} / ({_norm('q')} * {_norm('e')})"
-    ).alias("sim")
-    scored = pairs.select("query_id", "neighbor_id", sim)
+    q_ids = [int(r.vec_id) for r in qrows]
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = Qn @ En.T  # |Q| × batch
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                sims = S[qi]
+                mask = ids != qid
+                # partial top-k per batch: only k·|Q| rows leave Python
+                cand = np.argsort(-sims[mask])[: TOP_K * 2]
+                sel_ids = ids[mask][cand]
+                sel_sims = sims[mask][cand]
+                out_q += [qid] * len(cand)
+                out_n += sel_ids.tolist()
+                out_s += sel_sims.tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -188,25 +222,39 @@ NEARDUP_TAU = 0.35  # corpus max off-diag sim ≈ 0.48; τ picked to yield rows
 
 
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs blocked by label (the cheap
-    blocking key), verified by exact cosine ≥ τ. At scale the label
-    block bounds the quadratic term the same way LSH buckets do."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("q"), "label"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("e"),
-        F.col("label").alias("label_b"),
-    )
-    sim = F.expr(
-        f"{_DOT.format(a='q', b='e')} / ({_norm('q')} * {_norm('e')})"
-    ).alias("sim")
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id", F.col("label").cast("int").alias("label"), sim)
-        .where(F.col("sim") >= NEARDUP_TAU)
-        .select("a_id", "b_id", "label", F.round("sim", 5).alias("sim_r5"))
+    """Near-duplicate pairs blocked by label (the cheap blocking key),
+    verified by exact cosine ≥ τ within the block.
+
+    Grouped-map (applyInPandas) kernel: one shuffle on label, then a
+    numpy pairwise matmul per group — the quadratic term never leaves
+    a single group, and BLAS does the arithmetic instead of an
+    interpreted expression fold. At 10^12 rows the blocking key would
+    be an LSH bucket; the operator shape is identical."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = S[iu] >= NEARDUP_TAU
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[0][keep]],
+                "b_id": ids[iu[1][keep]],
+                "label": np.full(int(keep.sum()), int(pdf["label"].iloc[0]), dtype=np.int32),
+                "sim_r5": np.round(S[iu][keep], 5),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        per_label, schema="a_id bigint, b_id bigint, label int, sim_r5 double"
     )
 
 
