@@ -1,0 +1,114 @@
+"""Corruption-robustness tests: at 10^12 documents every corruption
+WILL occur; the PERMISSIVE contract (§2.8) is that extract_spans
+always returns (status, error, spans) — it may reject, it must never
+raise or hang. Seeded mutations + hypothesis-driven token fuzz."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfspark.codec import build_pdf, synth_spans_py
+from pdfspark.kernel import extract_meta, extract_spans
+from pdfspark.kernel.cos import parse_object
+from pdfspark.kernel.errors import EParseError
+from pdfspark.kernel.raw import Raw
+
+BASE = build_pdf("f1", synth_spans_py("f1", "word stream spark " * 30), "classic")
+BASE_OBJ = build_pdf("f2", synth_spans_py("f2", "word stream spark " * 30), "objstream")
+
+
+def _mutate(rng: random.Random, data: bytes) -> bytes:
+    kind = rng.randrange(5)
+    b = bytearray(data)
+    if kind == 0 and b:  # flip random bytes
+        for _ in range(rng.randrange(1, 9)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        return bytes(b)
+    if kind == 1:  # truncate
+        return bytes(b[: rng.randrange(len(b) + 1)])
+    if kind == 2:  # drop a slice
+        i = rng.randrange(len(b))
+        j = min(len(b), i + rng.randrange(1, 64))
+        return bytes(b[:i] + b[j:])
+    if kind == 3:  # duplicate a slice (shifts offsets)
+        i = rng.randrange(len(b))
+        j = min(len(b), i + rng.randrange(1, 64))
+        return bytes(b[:j] + b[i:j] + b[j:])
+    # garbage insertion
+    i = rng.randrange(len(b))
+    junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 32)))
+    return bytes(b[:i] + junk + b[i:])
+
+
+@pytest.mark.parametrize("base", [BASE, BASE_OBJ], ids=["classic", "objstream"])
+def test_mutation_never_raises(base):
+    rng = random.Random(1234)
+    statuses = {"ok": 0, "error": 0}
+    for _ in range(300):
+        mutated = _mutate(rng, base)
+        status, err, spans = extract_spans(mutated)
+        statuses[status] += 1
+        if status == "error":
+            assert spans == [] and err
+        st2, _, _ = extract_meta(mutated)
+        assert st2 in ("ok", "error")
+    # both outcomes must occur: some mutations are fatal, some are in
+    # slack regions the parser tolerates
+    assert statuses["error"] > 0 and statuses["ok"] > 0
+
+
+def test_nested_depth_bomb_rejected():
+    # deeply nested arrays inside an object must not blow the stack
+    # into a hard crash — RecursionError is caught by the wrapper
+    bomb = BASE.replace(b"/Keywords", b"/K " + b"[" * 4000 + b"]" * 4000 + b" /Keywords", 1)
+    status, err, spans = extract_spans(bomb)
+    assert status in ("ok", "error")
+
+
+def test_huge_length_claim_rejected():
+    # a stream claiming /Length far beyond EOF must error, not hang
+    corrupted = BASE.replace(b"/Length", b"/XLength", 1)
+    i = BASE.find(b"/Length ")
+    num_end = BASE.find(b" ", i + 8)
+    corrupted = BASE[:i] + b"/Length 99999999" + BASE[num_end:]
+    status, _, _ = extract_spans(corrupted)
+    assert status == "error"
+
+
+def test_zlib_garbage_stream():
+    # valid structure, garbage Flate body → that document errors
+    i = BASE.find(b"stream\n") + 7
+    corrupted = BASE[:i] + bytes(range(32)) + BASE[i + 32 :]
+    status, _, _ = extract_spans(corrupted)
+    assert status in ("ok", "error")  # never raises
+    try:
+        zlib.decompress(bytes(range(32)))
+        raise AssertionError("garbage should not inflate")
+    except zlib.error:
+        pass
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_parse_object_total(data):
+    """The tokenizer is total: any byte string either parses to a
+    value or raises EParseError/RecursionError — no other exception
+    type escapes (hypothesis sweep)."""
+    try:
+        parse_object(Raw(data))
+    except (EParseError, RecursionError):
+        pass
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_extract_total(data):
+    status, err, spans = extract_spans(data)
+    assert status in ("ok", "error")
+    if status == "error":
+        assert spans == []
