@@ -206,6 +206,11 @@ _HEXVAL.update({c: i for i, c in enumerate(b"0123456789ABCDEF")})
 
 # hot-path scanners (bulk regex instead of byte loops)
 _NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+# interned-name cache (names repeat massively: Type, Length, Kids, F1…
+# — mirrors the reference's interned COSName byte arrays,
+# cos/COSName.java:33,127-128); bounded to stay batch-safe
+_NAME_CACHE: dict = {}
+_NAME_CACHE_MAX = 4096
 _NUMBER_RE = re.compile(rb"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)")
 _IDGEN_RE = re.compile(rb"([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]+(R|obj)")
 _LITERAL_SPECIAL_RE = re.compile(rb"[\\()\r]")
@@ -224,8 +229,14 @@ def parse_name(r: Raw) -> Name:
         raise EParseError(f"name expected at {p}")
     run = _NAME_RUN_RE.match(d, p + 1).group()
     r.pos = p + 1 + len(run)
-    if b"#" not in run:  # fast path: no escapes
-        return Name(run.decode("latin-1"))
+    if b"#" not in run:  # fast path: no escapes + interning
+        cached = _NAME_CACHE.get(run)
+        if cached is not None:
+            return cached
+        nm = Name(run.decode("latin-1"))
+        if len(_NAME_CACHE) < _NAME_CACHE_MAX:
+            _NAME_CACHE[run] = nm
+        return nm
     out = bytearray()
     i, ln = 0, len(run)
     while i < ln:

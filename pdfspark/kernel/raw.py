@@ -53,9 +53,17 @@ class Raw:
     # Skip whitespace *and* %-comments between tokens (the reference
     # handles comments at the parseObject dispatch, T10).
     def skip_ws_and_comments(self) -> None:
-        # hot path: bulk-match the ws/comment run instead of
-        # byte-at-a-time stepping
-        m = _WS_COMMENTS_RE.match(self.data, self.pos)
+        # fast path: the dominant case between tokens is exactly one
+        # space — skip it without a regex call
+        d, p, n = self.data, self.pos, self.length
+        if p < n and d[p] == 0x20:
+            q = p + 1
+            if q >= n or (d[q] not in WHITESPACE and d[q] != 0x25):
+                self.pos = q
+                return
+        elif p >= n or (d[p] not in WHITESPACE and d[p] != 0x25):
+            return
+        m = _WS_COMMENTS_RE.match(d, p)
         if m is not None:
             self.pos = m.end()
 
