@@ -116,10 +116,14 @@ LINEAGE_SCHEMA = (
 )
 
 
-def completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
-    if not os.path.isdir(lineage_dir) or not any(
+def _has_lineage(lineage_dir: str) -> bool:
+    return os.path.isdir(lineage_dir) and any(
         f.endswith(".parquet") for f in os.listdir(lineage_dir)
-    ):
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
+    if not _has_lineage(lineage_dir):
         return set()
     rows = (
         spark.read.parquet(lineage_dir)
@@ -129,6 +133,20 @@ def completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
         .collect()
     )
     return {r.bucket for r in rows}
+
+
+def bucket_attempts(spark: SparkSession, lineage_dir: str) -> dict[int, int]:
+    """Max attempt recorded per bucket (any status) — the retry
+    counter carried into the next run's lineage rows."""
+    if not _has_lineage(lineage_dir):
+        return {}
+    rows = (
+        spark.read.parquet(lineage_dir)
+        .groupBy("bucket")
+        .agg(F.max("attempt").alias("a"))
+        .collect()
+    )
+    return {r.bucket: r.a for r in rows}
 
 
 def run_checkpointed(
@@ -152,7 +170,22 @@ def run_checkpointed(
     lineage_dir = os.path.join(out_dir, "lineage")
     data_dir = os.path.join(out_dir, "spans")
     done = completed_buckets(spark, lineage_dir)
+    attempts = bucket_attempts(spark, lineage_dir)
     pending = [b for b in range(n_buckets) if b not in done]
+    # record that this run is attempting the pending buckets BEFORE
+    # doing the work: a crash mid-group leaves 'attempted' rows, so
+    # the next run's lineage shows the true attempt count
+    if pending:
+        spark.createDataFrame(
+            [
+                (int(b), "attempted", 0, 0, 0, 0, int(attempts.get(b, 0)) + 1)
+                for b in pending
+            ],
+            LINEAGE_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(lineage_dir)
+        attempts = {b: attempts.get(b, 0) + 1 for b in pending} | {
+            b: a for b, a in attempts.items() if b not in pending
+        }
     processed = 0
     for i in range(0, len(pending), buckets_per_commit):
         group = pending[i : i + buckets_per_commit]
@@ -184,13 +217,15 @@ def run_checkpointed(
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage_rows = [
             (int(r.bucket), "done", int(r.doc_count), int(r.bytes_in or 0),
-             int(r.spans_out or 0), wall_ms, 1)
+             int(r.spans_out or 0), wall_ms, int(attempts.get(int(r.bucket), 1)))
             for r in stats
         ]
         # empty buckets still need a done row so resume skips them
         seen = {r[0] for r in lineage_rows}
         lineage_rows += [
-            (int(b), "done", 0, 0, 0, wall_ms, 1) for b in group if b not in seen
+            (int(b), "done", 0, 0, 0, wall_ms, int(attempts.get(b, 1)))
+            for b in group
+            if b not in seen
         ]
         spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"

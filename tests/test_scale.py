@@ -88,3 +88,21 @@ def test_skew_large_docs_spread_across_partitions(spark, tmp_path):
     assert max(r.giants for r in per_part) <= 3  # salted spread
     total = sum(r.bytes for r in per_part)
     assert max(r.bytes for r in per_part) < 0.55 * total
+
+
+def test_lineage_attempt_counter(spark, tmp_path):
+    from pdfspark.scale import bucket_attempts
+
+    out = str(tmp_path / "att")
+    with pytest.raises(RuntimeError):
+        run_checkpointed(spark, SF_SMOKE, out, n_buckets=4,
+                         buckets_per_commit=2, fail_after=2)
+    # crashed run: 2 buckets done (attempt 1), 2 left 'attempted'
+    att = bucket_attempts(spark, os.path.join(out, "lineage"))
+    assert set(att) == {0, 1, 2, 3} and set(att.values()) == {1}
+    run_checkpointed(spark, SF_SMOKE, out, n_buckets=4)
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    done = {r.bucket: r.attempt for r in lin.where(F.col("status") == "done").collect()}
+    assert len(done) == 4
+    # the two buckets finished on the second run carry attempt 2
+    assert sorted(done.values()) == [1, 1, 2, 2]
