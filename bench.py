@@ -33,8 +33,11 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_cosine_topk",
+    "embed_neardup_pairs",
     "text_quality",
+    "media_meta",
     "events_sessionize",
+    "events_asof_click",
 ]
 
 

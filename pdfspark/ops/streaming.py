@@ -139,3 +139,35 @@ def queries():
 
 def oracles():
     return {}
+
+
+# ---------------------------------------------------------------------------
+# Streaming extraction: the batch kernel unchanged under readStream —
+# payload parquet lands in a directory, each micro-batch runs the same
+# mapInPandas extract, results stream to the sink
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_extraction(
+    spark: SparkSession, landing_dir: str, name: str = "extract_out"
+) -> DataFrame:
+    """readStream over a payload landing dir → extract_flat → memory
+    sink (exactly-once per file via Spark's file-source tracking). The
+    extraction operator is literally the batch one — mapInPandas is
+    streaming-compatible, so the 10^12-doc batch pipeline doubles as
+    the incremental-ingest path."""
+    from ..engine import FLAT_SCHEMA, extract_flat
+
+    payloads = spark.readStream.schema(
+        "doc_id bigint, payload binary, size_class int"
+    ).parquet(landing_dir)
+    rows = extract_flat(payloads)
+    q = (
+        rows.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

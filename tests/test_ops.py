@@ -91,3 +91,23 @@ def test_minhash_detects_planted_neardup(spark, tmp_path):
     planted = {(r.doc_id, r.doc_id + 500000) for r in docs.collect()}
     found = planted & pairs
     assert len(found) >= len(planted) * 0.6  # banding probability bound
+
+
+def test_streaming_extraction_equals_batch(spark, tmp_path):
+    """The batch extract kernel under readStream: spans from the
+    streaming run must equal the batch round trip."""
+    from pdfspark.engine import generate_payloads, load_documents, synth_spans_df
+    from pdfspark.ops.streaming import run_streaming_extraction
+
+    landing = str(tmp_path / "landing")
+    docs = load_documents(spark, SF_SMOKE).limit(30)
+    generate_payloads(synth_spans_df(docs), "classic").write.parquet(landing)
+    got = run_streaming_extraction(spark, landing, "t_extract")
+    batch = {
+        (r.doc_id, r.offset, r.kind, r.text, r.media_ref)
+        for r in spark.read.parquet(landing)
+        .transform(lambda df: __import__("pdfspark.engine", fromlist=["extract_flat"]).extract_flat(df))
+        .collect()
+    }
+    assert {(r.doc_id, r.offset, r.kind, r.text, r.media_ref) for r in got.collect()} == batch
+    assert len(batch) > 0
