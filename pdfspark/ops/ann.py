@@ -13,9 +13,9 @@ Two paths per the task brief:
   LSH (4 tables × 4 deterministic ±1 hyperplanes from md5 parity),
   bucket equi-join per table, exact cosine re-rank over the union of
   candidates. Search cost ≈ |Q|·N·L/2^b instead of |Q|·N; recall is
-  tuned by (L, b). No SQL oracle (bucket assignment is not reasonably
-  SQL-expressible); correctness = recall ≥ threshold vs the
-  brute-force baseline, asserted in tests/test_ops.py.
+  tuned by (L, b). Oracled in DuckDB by mirroring the literal ±1
+  hyperplanes (sign-of-dot is float-robust); recall vs the brute-force
+  baseline additionally asserted in tests/test_ops.py.
 """
 
 from __future__ import annotations
@@ -107,11 +107,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB: ::DOUBLE[] casts are load-bearing — DuckDB computes list ops on
+# FLOAT[] in float32, which drifts ~1e-6 from the engine's float64
 ANN_COSINE_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.q, e.embedding) AS sim
+         list_cosine_similarity(q.q, e.embedding::DOUBLE[]) AS sim
   FROM q, embeddings e
   WHERE e.vec_id != q.query_id
 ),
@@ -260,17 +262,56 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBED_NEARDUP_SQL = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(a.label AS INT) AS label,
-       round(list_cosine_similarity(a.embedding, b.embedding), 5) AS sim_r5
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS sim_r5
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_TAU}
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_TAU}
+"""
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB mirror of the multi-table LSH: the ±1 hyperplanes are
+    literal arrays; sign-of-dot is float-robust (|dot| ≫ ulp), so the
+    bucket assignment agrees with the engine bit-for-bit."""
+    table_rows = []
+    for t in range(N_TABLES):
+        bits = []
+        for p, signs in enumerate(_plane_signs(t)):
+            coef = "[" + ",".join(f"{s}.0" for s in signs) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {coef}) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        table_rows.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, " + " + ".join(bits) + " AS bucket FROM embeddings"
+        )
+    buckets = "\nUNION ALL\n".join(table_rows)
+    return f"""
+WITH buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qe,
+         e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS ne
+  FROM buckets q JOIN buckets e ON q.tbl = e.tbl AND q.bucket = e.bucket
+  WHERE q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qe, ne) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,  # no oracle: recall-tested in pytest
+        "ann_lsh_topk": ann_lsh_topk,
         "embed_neardup_pairs": embed_neardup_pairs,
     }
 
@@ -278,5 +319,6 @@ def queries():
 def oracles():
     return {
         "ann_cosine_topk": ANN_COSINE_SQL,
+        "ann_lsh_topk": _lsh_oracle_sql(),
         "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     }
