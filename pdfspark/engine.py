@@ -359,7 +359,13 @@ def date_rows(spark, sf_dir: str) -> DataFrame:
 def extract_pdf_files(spark, path_glob: str) -> DataFrame:
     """Directory/glob of *.pdf → (path, status, error, spans[]).
     binaryFile scan gives (path, modificationTime, length, content);
-    column pruning keeps only (path, content)."""
+    column pruning keeps only (path, content).
+
+    KNOWN LIMIT (verified empirically): Spark's binaryFile source
+    silently DROPS zero-byte files at the scan — they never reach the
+    kernel's error bucket. At corpus scale, ingest accounting must
+    come from an independent listing (or the Iceberg manifest), not
+    from this scan's row count."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.pdf")

@@ -103,3 +103,18 @@ def test_binaryfile_source_on_reference_pdfs(spark):
         r = by_name[name]
         assert r.status == "ok"
         assert [(s.kind, s.text) for s in r.spans] == [("text", "Hello World")]
+
+
+def test_binaryfile_drops_zero_byte_files(spark):
+    """Pin the (surprising, verified) Spark behavior: binaryFile scans
+    silently omit zero-byte files — ingest accounting must not rely on
+    this scan's row count (see extract_pdf_files docstring)."""
+    from pdfspark.engine import extract_pdf_files
+
+    out = extract_pdf_files(
+        spark, "/root/reference/pdfparse-lib/src/test/resources/malformed_pdfs"
+    ).collect()
+    names = {r.path.rsplit("/", 1)[-1] for r in out}
+    assert "zerosizedfile.pdf" not in names  # dropped by the source
+    assert names == {"noise.pdf", "only_header.pdf", "only_header_eof.pdf"}
+    assert all(r.status == "error" for r in out)
