@@ -153,3 +153,41 @@ def test_no_xref_family_rejected_like_reference():
         with open(path, "rb") as f:
             status, _, _ = extract_spans(f.read())
         assert status == "error", path
+
+
+GOLDEN_TEXT = {
+    # first non-empty text spans the kernel must reproduce exactly —
+    # content-level parity pins (fonts: WinAnsi, Differences, Type0 +
+    # ToUnicode all exercised by these five files)
+    "loremipsum2.pdf": [
+        "Title",
+        "Heading",
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit.",
+    ],
+    "24c16.pdf": [
+        "ST24C16, ST25C16 ST24W16, ST25W16",
+        "SERIAL 16K (2K x 8) EEPROM",
+        "March 19971/17",
+    ],
+    "vrml.pdf": [
+        "   The pdf995 suite of products - Pdf995, PdfEdit995, and Signature995",
+        "Pdf995",
+        " makes it easy and affordable to create professional-quality documents",
+    ],
+    "Creativecommons-what-is-creative-commons_eng.pdf": [
+        "Share, reuse, and remix — legally.",
+    ],
+    "6licenses-flat.pdf": [
+        "Six licenses for sharing your work",
+        "Creative Commons makes sharing easy",
+    ],
+}
+
+
+@pytest.mark.parametrize("fname", sorted(GOLDEN_TEXT))
+def test_golden_text_snapshots(fname):
+    status, err, spans = extract_spans(ref_bytes(fname))
+    assert status == "ok", err
+    texts = [t for (k, t, m, o) in spans if k == "text" and t and t.strip()]
+    for i, expected_prefix in enumerate(GOLDEN_TEXT[fname]):
+        assert texts[i].startswith(expected_prefix), (fname, i, texts[i][:120])
