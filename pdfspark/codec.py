@@ -306,8 +306,9 @@ def build_object_graph(
         g.content_nums.append(cnum)
         page = CDict()
         page[Name("Type")] = Name("Page")
-        page[Name("MediaBox")] = [0, 0, 612, 792]
-        page[Name("Resources")] = Ref(res_num, 0)
+        # MediaBox/Resources are INHERITED from the pages root (ISO
+        # 32000-1 §7.7.3.4) — exercises the M5 inheritance walk the
+        # reference skips (PDFPage.java:84-86)
         page[Name("Contents")] = Ref(cnum, 0)
         page_nums.append(g.add(page))
 
@@ -337,6 +338,8 @@ def build_object_graph(
     pages_root[Name("Type")] = Name("Pages")
     pages_root[Name("Kids")] = kid_refs
     pages_root[Name("Count")] = count
+    pages_root[Name("MediaBox")] = [0, 0, 612, 792]
+    pages_root[Name("Resources")] = Ref(res_num, 0)
     g.objs[pages_root_num] = pages_root
     for pn in page_nums:
         g.objs[pn][Name("Parent")] = Ref(pages_root_num, 0)
