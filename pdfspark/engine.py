@@ -44,15 +44,19 @@ CHUNK = 80  # must match codec.synth_spans_py and the oracle SQL
 # and __spark_entry__._SPANS_ORACLE_SQL — lockstep asserted by tests)
 # ---------------------------------------------------------------------------
 
+# chunking uses ONE linear regexp pass per document: per-chunk
+# substring(text, i*80+1, 80) is O(len) per call on UTF8String (char
+# indexing scans), i.e. O(len²/80) per doc — a 200 KB giant costs
+# ~1 s of JVM time per call site. regexp_extract_all('(?s).{1,80}')
+# yields identical chunks (greedy 80-char bites, dotall) in O(len).
 _SPANS_EXPR = f"""
-CASE WHEN length(text) <= 0 THEN cast(array() as {SPANS_SCHEMA})
-ELSE filter(
+filter(
   flatten(transform(
-    sequence(0, cast(ceil(length(text) / {CHUNK}.0) as int) - 1),
-    i -> array(
+    regexp_extract_all(text, '(?s).{{1,{CHUNK}}}', 0),
+    (c, i) -> array(
       named_struct(
         'kind', 'text',
-        'text', substring(text, i * {CHUNK} + 1, {CHUNK}),
+        'text', c,
         'media_ref', cast(null as string),
         'offset', cast(i + i div 3 as int)),
       IF(i % 3 = 2,
@@ -66,7 +70,6 @@ ELSE filter(
     )
   )),
   x -> x is not null)
-END
 """
 
 
