@@ -124,3 +124,36 @@ def test_determinism():
     a = build_pdf("d1", spans, "objstream")
     b = build_pdf("d1", spans, "objstream")
     assert a == b
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("text"), st.text(max_size=60)),
+            st.tuples(st.just("media"), st.text("0123456789abcdef", min_size=4, max_size=12)),
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_roundtrip_arbitrary_text_hypothesis(items):
+    """Generator→extractor identity for ARBITRARY span text — parens,
+    backslashes, control bytes, astral unicode, empty strings — and
+    arbitrary media refs. The hypothesis form of the reference's
+    checkProduceParsePair."""
+    spans = []
+    for i, (kind, payload) in enumerate(items):
+        if kind == "text":
+            spans.append(("text", payload, None, i))
+        else:
+            spans.append(("media", None, "m" + payload, i))
+    pdf = build_pdf("h1", spans, "classic")
+    status, err, got = extract_spans(pdf)
+    assert status == "ok", err
+    assert [(k, t, m) for (k, t, m, _) in got] == [
+        (k, t, m) for (k, t, m, _) in spans
+    ]
