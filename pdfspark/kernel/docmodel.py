@@ -69,17 +69,34 @@ _PDF_DATE = re.compile(
     re.X,
 )
 
-# subset of the ~50 SimpleDateFormat fallbacks (DateConverter.java:43-95)
+# the reference's writer-quirk fallback families (DateConverter.java:
+# 43-95) — Distiller/Ghostscript/Word/ECMP5/PDFBOX-16x shapes; the
+# `yyyymmdd±HH'00'` family is absorbed by the positional parser's tz
+# branch, and CPython's %d/%m accept 1-2 digits so the M/d variants
+# collapse
 _FALLBACK_FORMATS = [
+    "%A, %d %b %Y %I:%M:%S %p",
     "%A, %B %d, %Y %I:%M:%S %p",
-    "%a %b %d %H:%M:%S %Y",
     "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y %I:%M:%S",
     "%m/%d/%Y",
+    "%m/%d/%y %I:%M:%S",
+    "%m/%d/%y",
+    "%d/%m/%Y %I:%M:%S",
+    "%Y-%m-%dT%H:%M:%SZ",
     "%Y-%m-%dT%H:%M:%S",
     "%Y-%m-%d %H:%M:%S",
-    "%Y%m%d",
-    "%B %d, %Y",
+    "%A, %B %d, %Y",  # Acrobat Distiller 1.0.2 for Macintosh
+    "%A %B %d, %Y %H:%M:%S",  # ECMP5
+    "%A %B %d %H:%M:%S %Y",  # GNU Ghostscript 7.0.7 (zone dropped)
+    "%A, %B %d, %Y at %I:%M%p",  # Acrobat Net Distiller 1.0
+    "%d %b %Y %I:%M:%S",
+    "%d %b %Y %I:%M",
     "%d %B %Y",
+    "%B %d, %Y",
+    "%a %b %d %H:%M:%S %Y",
+    "%Y%m%d %H:%M:%S",
+    "%Y%m%d",
 ]
 
 

@@ -127,3 +127,21 @@ def test_encrypted_policy_m10():
     assert st == "ok" and meta["encrypted"] is True
     st2, err2, spans = extract_spans(payload)
     assert st2 == "error" and "encrypted" in err2 and spans == []
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "Friday, January 05, 2024 10:30:00 PM",
+        "Friday, January 05, 2024",
+        "5/1/2024 10:30:00",
+        "26 May 2000 11:25:00",
+        "26 May 2000 11:25",
+        "20240108 04:28:33",
+        "2024-01-08T04:28:33Z",
+    ],
+)
+def test_writer_quirk_date_fallbacks(src):
+    # DateConverter.java:43-95 families — each must parse to a real dt
+    dt = parse_pdf_date(src)
+    assert dt is not None and dt.year in (2000, 2024)
