@@ -206,6 +206,18 @@ _DEFAULT_FONT = Font(CDict(), None)
 # ---------------------------------------------------------------------------
 
 
+import re as _re
+
+# content-stream master scanner: one classifying match per token.
+# Content streams contain NO indirect references (ISO 32000-1 §7.8.2),
+# so numbers never need the `id gen R` backtracking probe — skipping
+# it roughly halves tokens-per-second cost vs the generic tokenizer.
+_CT_TOKEN_RE = _re.compile(
+    rb"(?P<num>[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+))(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+\-.][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
+
+
 def _next_token(r: Raw):
     """Yield either a COS value or an operator keyword (bytes)."""
     r.skip_ws_and_comments()
@@ -213,17 +225,20 @@ def _next_token(r: Raw):
     p = r.pos
     if p >= n:
         return None
+    m = _CT_TOKEN_RE.match(d, p)
+    if m is not None:
+        r.pos = m.end()
+        num = m.group("num")
+        if num is not None:
+            return float(num) if b"." in num else int(num)
+        return m.group("op")
     b = d[p]
-    if b == 0x2F or b == 0x28 or b == 0x3C or b == 0x5B or b in (0x2B, 0x2D, 0x2E) or (
-        0x30 <= b <= 0x39
-    ):
+    if b in (0x2F, 0x28, 0x3C, 0x5B):
         return parse_object(r, None)
-    # operator keyword: run of regular characters
-    start = p
-    while p < n and not is_ws(d[p]) and not is_delim(d[p]):
-        p += 1
-    r.pos = p if p > start else p + 1
-    return d[start:r.pos]
+    # stray delimiter or malformed byte: consume one byte as an opaque
+    # operator so the PERMISSIVE skip loop advances
+    r.pos = p + 1
+    return d[p : p + 1]
 
 
 class Span(tuple):
