@@ -73,6 +73,10 @@ def synth_spans_py(doc_id: str, text: str) -> list[tuple[str, Optional[str], Opt
 
 
 def _winansi_encode(text: str) -> Optional[bytes]:
+    try:  # fast path: pure-ASCII text (the overwhelmingly common case)
+        return text.encode("ascii")
+    except UnicodeEncodeError:
+        pass
     out = bytearray()
     for ch in text:
         o = ord(ch)

@@ -532,21 +532,36 @@ def _produce_number(v: Union[int, float]) -> bytes:
     return s.encode("ascii")
 
 
+_PRODUCE_NAME_CACHE: dict = {}
+
+
 def produce_name(name: str) -> bytes:
     """C9 — '/' + bytes, <0x21 and delimiters escaped as #xx
-    (cos/COSName.java:250-268)."""
+    (cos/COSName.java:250-268). Cached: emitted names repeat massively
+    (Type/Length/Kids/F1…)."""
+    cached = _PRODUCE_NAME_CACHE.get(name)
+    if cached is not None:
+        return cached
     out = bytearray(b"/")
     for b in name.encode("latin-1"):
         if b < 0x21 or b == 0x23 or is_delim(b):
             out += f"#{b:02x}".encode("ascii")
         else:
             out.append(b)
-    return bytes(out)
+    res = bytes(out)
+    if len(_PRODUCE_NAME_CACHE) < 4096:
+        _PRODUCE_NAME_CACHE[name] = res
+    return res
+
+
+_LITERAL_ESCAPE_RE = re.compile(rb"[\\()\n\r]")
 
 
 def produce_literal_string(raw: bytes) -> bytes:
     """C8 — literal form with \\( \\) \\\\ \\n \\r escapes
     (cos/COSString.java:298-345)."""
+    if _LITERAL_ESCAPE_RE.search(raw) is None:  # fast path: no escapes
+        return b"(" + raw + b")"
     out = bytearray(b"(")
     for b in raw:
         if b == 0x28:
