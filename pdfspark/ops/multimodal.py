@@ -151,9 +151,80 @@ FROM dims
 """
 
 
+# ---------------------------------------------------------------------------
+# Frame sampling (video-shaped media): the container is opaque binary;
+# frame decode is stubbed, the sampling plumbing (batch shape, schema,
+# determinism) is real
+# ---------------------------------------------------------------------------
+
+FRAME_STEP = 4  # sample every 4th frame
+FRAMES_SCHEMA = "doc_id bigint, media_ref string, frame_idx int, frame_tag string"
+
+
+def sample_frames(with_bytes: DataFrame) -> DataFrame:
+    """Treat each media payload as a fake container whose frame count
+    derives from its digest (1 + hex[9:12] % 48); emit every
+    FRAME_STEP-th frame with a deterministic tag (stub for the real
+    frame grab — ffmpeg on a production cluster)."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, refs, idxs, tags = [], [], [], []
+            for did, mref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                # frame count from container bytes [8:10) — which are
+                # digest bytes, so the SQL oracle can re-derive them
+                # from md5(media_ref) (DuckDB's md5 has no BLOB form)
+                n_frames = 1 + int.from_bytes(p[8:10], "big") % 48
+                for fi in range(0, n_frames, FRAME_STEP):
+                    ids.append(did)
+                    refs.append(mref)
+                    idxs.append(fi)
+                    tags.append(hashlib.md5(f"{mref}:{fi}".encode()).hexdigest()[:8])
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_ref": refs, "frame_idx": idxs, "frame_tag": tags}
+            )
+
+    return with_bytes.mapInPandas(ker, schema=FRAMES_SCHEMA)
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(attach_media_bytes(media_spans(spark, sf_dir)))
+
+
+def _media_frames_sql() -> str:
+    # payload bytes [8:10) = md5(media_ref) digest bytes [4:6) =
+    # hex chars 9..12 → same value from the hex string directly
+    n_frames = f"(1 + ({_hex_to_int('md5(media_ref)', 9, 4)}) % 48)"
+    return f"""
+WITH c AS (
+  SELECT doc_id, unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id,
+         'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
+           AS media_ref
+  FROM c WHERE i % 3 = 2
+),
+frames AS (
+  SELECT doc_id, media_ref,
+         unnest(range(0, {n_frames}, {FRAME_STEP})) AS frame_idx
+  FROM media
+)
+SELECT doc_id, media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       substr(md5(media_ref || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS frame_tag
+FROM frames
+"""
+
+
 def queries():
-    return {"media_meta": media_meta}
+    return {"media_meta": media_meta, "media_frames": media_frames}
 
 
 def oracles():
-    return {"media_meta": _media_meta_sql()}
+    return {"media_meta": _media_meta_sql(), "media_frames": _media_frames_sql()}

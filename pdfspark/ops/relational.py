@@ -206,8 +206,36 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 """
 
 
+# --- corpus profile (exact agg; sketch variants asserted in pytest) -------
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, char volume, exact
+    distinct sources. The approx-sketch twins (approx_count_distinct /
+    percentile_approx) run over the same frame in tests/test_ops.py —
+    sketches are non-deterministic across engines, so the oracle pins
+    the exact forms."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+CORPUS_PROFILE_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def queries():
     return {
+        "corpus_profile": corpus_profile,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "orders_revenue_by_nation": orders_revenue_by_nation,
         "events_latest_dedup": events_latest_dedup,
@@ -220,6 +248,7 @@ def queries():
 
 def oracles():
     return {
+        "corpus_profile": CORPUS_PROFILE_SQL,
         "lineitem_pricing_summary": LINEITEM_Q1_SQL,
         "orders_revenue_by_nation": ORDERS_REVENUE_SQL,
         "events_latest_dedup": EVENTS_DEDUP_SQL,

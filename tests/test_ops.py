@@ -111,3 +111,18 @@ def test_streaming_extraction_equals_batch(spark, tmp_path):
     }
     assert {(r.doc_id, r.offset, r.kind, r.text, r.media_ref) for r in got.collect()} == batch
     assert len(batch) > 0
+
+
+def test_sketch_aggregates_near_exact(spark):
+    """approx_count_distinct / percentile_approx — the sketch layer a
+    corpus profiler uses at 10^12 rows; pinned to within tolerance of
+    the exact values at test scale."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    row = docs.agg(
+        F.approx_count_distinct("source").alias("approx_src"),
+        F.countDistinct("source").alias("exact_src"),
+        F.percentile_approx("n_chars", 0.5).alias("p50"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
+    ).first()
+    assert abs(row.approx_src - row.exact_src) <= max(2, row.exact_src * 0.05)
+    assert abs(row.p50 - row.exact_p50) <= row.exact_p50 * 0.1
