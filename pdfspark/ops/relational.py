@@ -233,9 +233,59 @@ FROM documents GROUP BY lang
 """
 
 
+# --- range join (bucketize + equi-join + filter) --------------------------
+
+RANGE_BUCKET = 10.0
+
+
+def _ranges_df(spark: SparkSession) -> DataFrame:
+    """Deterministic misaligned, overlapping value ranges (the
+    dimension side of the range join)."""
+    rows = [(i, float((i * 13) % 97), float((i * 13) % 97 + 20)) for i in range(8)]
+    return spark.createDataFrame(rows, "range_id int, lo double, hi double")
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value ∈ [lo, hi) against overlapping ranges — Spark has
+    no native range join, and the naive theta-join is a cross product.
+    Scale pattern: explode each range into the fixed-width buckets it
+    covers, equi-join on bucket(value), then filter exactly. The
+    shuffle is on the bucket key; the cross product never materializes
+    (cost = events × avg ranges-per-bucket, not events × ranges)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ranges = _ranges_df(spark)
+    exploded = ranges.select(
+        "range_id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_BUCKET),
+                F.floor((F.col("hi") - 1e-9) / RANGE_BUCKET),
+            )
+        ).alias("bucket"),
+    )
+    bucketed = ev.withColumn("bucket", F.floor(F.col("value") / RANGE_BUCKET))
+    return (
+        bucketed.join(F.broadcast(exploded), "bucket")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", "range_id")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH ranges AS (
+  SELECT i AS range_id, CAST((i * 13) % 97 AS DOUBLE) AS lo,
+         CAST((i * 13) % 97 + 20 AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(8)) AS i)
+)
+SELECT e.event_id, CAST(r.range_id AS INT) AS range_id
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+"""
+
+
 def queries():
     return {
         "corpus_profile": corpus_profile,
+        "events_range_join": events_range_join,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "orders_revenue_by_nation": orders_revenue_by_nation,
         "events_latest_dedup": events_latest_dedup,
@@ -249,6 +299,7 @@ def queries():
 def oracles():
     return {
         "corpus_profile": CORPUS_PROFILE_SQL,
+        "events_range_join": EVENTS_RANGE_JOIN_SQL,
         "lineitem_pricing_summary": LINEITEM_Q1_SQL,
         "orders_revenue_by_nation": ORDERS_REVENUE_SQL,
         "events_latest_dedup": EVENTS_DEDUP_SQL,
