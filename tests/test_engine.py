@@ -81,12 +81,11 @@ def test_metadata_pipeline(spark):
 def test_no_rowwise_udf_registered(spark):
     """input_hint hard requirement: vectorized surfaces only. The
     engine modules must not import pyspark's row-wise udf."""
-    import pdfspark.engine as eng
-    import pdfspark.scale as sc
+    import glob as _glob
 
-    for mod in (eng, sc):
-        src = open(mod.__file__).read()
-        assert "F.udf(" not in src and "@udf" not in src
+    for path in _glob.glob("pdfspark/**/*.py", recursive=True):
+        src = open(path).read()
+        assert "F.udf(" not in src and "@udf" not in src, path
 
 
 def test_binaryfile_source_on_reference_pdfs(spark):
