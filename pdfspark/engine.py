@@ -341,6 +341,49 @@ def metadata_rows(spark, sf_dir: str) -> DataFrame:
     )
 
 
+PAGE_MODES_ROTATION = (
+    "UseNone", "UseOutlines", "UseThumbs", "FullScreen", "UseOC", "UseAttachments",
+)
+
+
+def catalog_fields_rows(spark, sf_dir: str) -> DataFrame:
+    """M9 end-to-end: the generator writes catalog /Lang (from the
+    documents.lang column) and /PageMode (rotating by doc_id); the
+    metadata kernel reads them back. Oracle: the source columns."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import build_pdf, synth_spans_py
+        from .kernel.cos import CString, Name
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did, text, lang in zip(ids, pdf["text"], pdf["lang"]):
+                did = int(did)
+                spans = synth_spans_py(str(did), text)
+                payloads.append(
+                    build_pdf(
+                        str(did),
+                        spans,
+                        "classic",
+                        catalog_extra={
+                            "Lang": CString.from_text(lang),
+                            "PageMode": Name(
+                                PAGE_MODES_ROTATION[did % len(PAGE_MODES_ROTATION)]
+                            ),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "size_class": [1] * len(ids)}
+            )
+
+    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    meta = extract_metadata(payloads)
+    return meta.select("doc_id", "lang", "page_mode")
+
+
 def date_rows(spark, sf_dir: str) -> DataFrame:
     """C5 oracle query: the kernel parses the generator's
     D:YYYYMMDDHHmmSS+02'00' CreationDate and normalizes to UTC; DuckDB
