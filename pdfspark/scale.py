@@ -42,6 +42,17 @@ def have_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def append_table(df: DataFrame, spark: SparkSession, target: str, partition_col: str) -> None:
+    """Sink dispatch: Iceberg `writeTo(...).append()` when the catalog
+    is on the classpath (real cluster), identical-layout partitioned
+    parquet otherwise (this sandbox). `target` is a table name in the
+    Iceberg case, a directory path in the parquet case."""
+    if have_iceberg(spark):
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").partitionBy(partition_col).parquet(target)
+
+
 # ---------------------------------------------------------------------------
 # 1. Skew salting
 # ---------------------------------------------------------------------------
@@ -200,11 +211,7 @@ def run_checkpointed(
         extracted = extract(payloads).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
-        (
-            extracted.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(data_dir)
-        )
+        append_table(extracted, spark, data_dir, "bucket")
         stats = (
             extracted.groupBy("bucket")
             .agg(

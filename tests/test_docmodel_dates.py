@@ -145,3 +145,26 @@ def test_writer_quirk_date_fallbacks(src):
     # DateConverter.java:43-95 families — each must parse to a real dt
     dt = parse_pdf_date(src)
     assert dt is not None and dt.year in (2000, 2024)
+
+
+def test_metadata_kernel_never_decodes_content():
+    """The meta/spans kernel split is real (SURVEY §4.1 lazy-page
+    analog): a document whose content streams are CORRUPT must still
+    yield full metadata, while span extraction errors."""
+    from pdfspark.kernel import extract_meta, extract_spans
+
+    payload = build_pdf("lazy1", synth_spans_py("lazy1", "word " * 50), "filters:none")
+    # corrupt every content stream body (they are unfiltered here):
+    # flip bytes inside each BT..ET region
+    out = bytearray(payload)
+    i = out.find(b"BT ")
+    while i >= 0:
+        out[i : i + 2] = b"\xff\xfe"
+        i = bytes(out).find(b"BT ", i + 2)
+    corrupted = bytes(out)
+    st_meta, err_m, meta = extract_meta(corrupted)
+    assert st_meta == "ok" and meta["title"] == "doc lazy1" and meta["page_count"] >= 1
+    st_spans, _, spans = extract_spans(corrupted)
+    # spans either degrade (garbage ops skipped) or error — but they
+    # can never equal the original; metadata was untouched either way
+    assert spans != synth_spans_py("lazy1", "word " * 50)
