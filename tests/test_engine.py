@@ -117,3 +117,25 @@ def test_binaryfile_drops_zero_byte_files(spark):
     assert "zerosizedfile.pdf" not in names  # dropped by the source
     assert names == {"noise.pdf", "only_header.pdf", "only_header_eof.pdf"}
     assert all(r.status == "error" for r in out)
+
+
+def test_sql_surface(spark):
+    """spark.sql over the registered views equals the DataFrame API."""
+    import pdfspark.sql as psql
+    from pdfspark.engine import roundtrip_rows
+
+    psql.register(spark, SF_SMOKE, variant="classic")
+    got = {
+        (r.kind, r.n)
+        for r in spark.sql(
+            "SELECT kind, count(*) AS n FROM pdf_spans GROUP BY kind"
+        ).collect()
+    }
+    rows = roundtrip_rows(spark, SF_SMOKE, variant="classic")
+    expected = {
+        (r.kind, r.n)
+        for r in rows.groupBy("kind").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == expected
+    meta_n = spark.sql("SELECT count(*) AS n FROM pdf_meta WHERE status='ok'").first().n
+    assert meta_n == spark.table("documents").count()
