@@ -139,7 +139,7 @@ from hypothesis import strategies as st
         max_size=12,
     )
 )
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 def test_roundtrip_arbitrary_text_hypothesis(items):
     """Generator→extractor identity for ARBITRARY span text — parens,
     backslashes, control bytes, astral unicode, empty strings — and
