@@ -157,7 +157,7 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
     dates_sql = "\nSELECT doc_id,\n       'D:202401' || lpad(CAST(1 + h % 28 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 256) % 24 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 65536) % 60 AS VARCHAR), 2, '0')\n                  || '33+02''00''' AS creation_date,\n       make_timestamp(2024, 1, CAST(1 + h % 28 AS INT),\n                      CAST((h // 256) % 24 AS INT),\n                      CAST((h // 65536) % 60 AS INT), 33)\n         - INTERVAL 2 HOUR AS creation_ts\nFROM (SELECT doc_id, {h8} AS h FROM documents)\n".format(h8=h8)
     o = {
         "pdf_catalog_fields": "\nSELECT doc_id, lang,\n       CASE doc_id % 6\n         WHEN 0 THEN 'UseNone' WHEN 1 THEN 'UseOutlines'\n         WHEN 2 THEN 'UseThumbs' WHEN 3 THEN 'FullScreen'\n         WHEN 4 THEN 'UseOC' ELSE 'UseAttachments' END AS page_mode\nFROM documents\n",
-        "pdf_span_stats": "\nWITH c AS (\n  SELECT doc_id, text,\n         unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i\n  FROM documents\n),\nspans AS (\n  SELECT doc_id, 'text' AS kind, length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen\n  FROM c\n  UNION ALL\n  SELECT doc_id, 'media' AS kind, 0 AS tlen FROM c WHERE i % 3 = 2\n)\nSELECT d.lang, s.kind, count(*) AS n_spans,\n       sum(s.tlen) AS text_chars,\n       count(DISTINCT s.doc_id) AS n_docs\nFROM spans s JOIN documents d ON d.doc_id = s.doc_id\nGROUP BY d.lang, s.kind\n",
+        "pdf_span_stats": "\nWITH c AS (\n  SELECT doc_id, text,\n         unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i\n  FROM documents\n),\nspans AS (\n  SELECT doc_id, 'text' AS kind, length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen\n  FROM c\n  UNION ALL\n  SELECT doc_id, 'media' AS kind, 0 AS tlen FROM c WHERE i % 3 = 2\n)\nSELECT d.lang, s.kind, CAST(count(*) AS BIGINT) AS n_spans,\n       CAST(sum(s.tlen) AS BIGINT) AS text_chars,\n       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs\nFROM spans s JOIN documents d ON d.doc_id = s.doc_id\nGROUP BY d.lang, s.kind\n",
         "pdf_dates": dates_sql,
         "pdf_roundtrip_interleaved": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_objstream": _SPANS_ORACLE_SQL,

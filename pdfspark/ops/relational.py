@@ -226,8 +226,9 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_PROFILE_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       count(DISTINCT source) AS n_sources,
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang
 """

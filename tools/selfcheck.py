@@ -24,6 +24,13 @@ TABLES = (
 def _canon(v) -> str:
     if v is None:
         return "\\N"
+    try:
+        if v != v:  # pandas NULL sentinel (NaN / NaT)
+            return "\\N"
+    except (TypeError, ValueError):
+        pass
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
@@ -74,9 +81,13 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows={len(rows)})")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch through pandas, as the driver does: DuckDB types
+            # with no 1:1 pandas dtype degrade here (HUGEINT→float64,
+            # DECIMAL→object), which is exactly the drift we must see.
+            # An uncast sum() stringifies "123.0" vs Spark's "123".
+            pdf = con.execute(sql).df()
+            ocols = list(pdf.columns)
+            orows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
