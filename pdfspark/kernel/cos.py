@@ -121,11 +121,20 @@ class CDict(dict):
     MAX_DEREF_DEPTH = 5
 
     def deref(self, v: COSValue, resolver: Optional[Resolver]) -> COSValue:
+        if not isinstance(v, Ref):
+            return v
+        if resolver is None:
+            return COS_NULL
+        # ParserSettings.max_deref_depth reaches here through the bound
+        # resolver's owner (Parser sets .deref_limit from settings);
+        # looked up only on actual Ref chains so the common non-Ref
+        # accessor path stays one isinstance check
+        limit = getattr(
+            getattr(resolver, "__self__", None), "deref_limit", self.MAX_DEREF_DEPTH
+        )
         depth = 0
         while isinstance(v, Ref):
-            if resolver is None:
-                return COS_NULL
-            if depth >= self.MAX_DEREF_DEPTH:
+            if depth >= limit:
                 raise EParseError("Infinite or too deep loop of references")
             v = resolver(v)
             depth += 1

@@ -1,0 +1,302 @@
+"""Standard security handler — RC4 + AES-128 (ISO 32000-1 §7.6.3).
+
+The reference does NOT decrypt (README.md:5 "Encrypted documents are
+not supported"); it only flags /Encrypt (M10). This module extends the
+kernel past that line because encrypted-but-empty-user-password files
+are the overwhelmingly common real-corpus case: V 1/2/4, R 2/3/4,
+crypt filters /Identity, /V2 (RC4) and /AESV2 (AES-128-CBC).
+Passworded documents still land in the error bucket (M10 policy).
+
+All algorithms below are the public ISO 32000-1 ones:
+  Algorithm 2  — file encryption key from password + /O + /P + ID
+  Algorithm 3  — computing /O (owner password)
+  Algorithm 4/5 — computing + verifying /U (user password, R2 / R≥3)
+  Algorithm 1  — per-object key: MD5(key + num₃LE + gen₂LE [+ sAlT])
+
+Both directions are implemented (decrypt for the parser, encrypt for
+the synthetic generator) — RC4 is symmetric; AES-CBC pads PKCS#5 and
+prepends the IV.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+from .errors import EParseError
+
+# 32-byte password pad, ISO 32000-1 Algorithm 2 step (a)
+PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+try:  # preferred: OpenSSL-backed primitives
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+    from cryptography.hazmat.primitives.ciphers import algorithms as _algos
+    from cryptography.hazmat.primitives.ciphers import modes as _modes
+
+    _HAVE_CRYPTOGRAPHY = True
+except Exception:  # pragma: no cover - env without `cryptography`
+    _HAVE_CRYPTOGRAPHY = False
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric — one function for both ways)."""
+    if _HAVE_CRYPTOGRAPHY:
+        return _Cipher(_ARC4(key), mode=None).encryptor().update(data)
+    # pure-Python fallback (KSA + PRGA)
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) % 256]
+    return bytes(out)
+
+
+def _aes_cbc(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    if not _HAVE_CRYPTOGRAPHY:
+        raise EParseError("AES crypt filter requires the `cryptography` package")
+    c = _Cipher(_algos.AES(key), _modes.CBC(iv))
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def aes_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 payload = 16-byte IV ‖ CBC ciphertext, PKCS#5-padded."""
+    if len(data) < 32 or len(data) % 16:
+        # too short / ragged — broken writer; return as-is (permissive)
+        return b"" if len(data) <= 16 else data
+    plain = _aes_cbc(key, data[:16], data[16:], decrypt=True)
+    npad = plain[-1] if plain else 0
+    return plain[:-npad] if 1 <= npad <= 16 else plain
+
+
+def aes_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    npad = 16 - (len(data) % 16)
+    return iv + _aes_cbc(key, iv, data + bytes([npad]) * npad, decrypt=False)
+
+
+def _pad_password(pwd: bytes) -> bytes:
+    return (pwd + PAD)[:32]
+
+
+class StandardSecurityHandler:
+    """Parsed /Encrypt (Filter /Standard) + authenticated session key.
+
+    Construct, then call :meth:`authenticate` with a candidate user
+    password (usually b"") — only after it returns True are
+    :meth:`decrypt` / :meth:`encrypt_for_object` usable.
+    """
+
+    def __init__(
+        self,
+        *,
+        v: int,
+        r: int,
+        o: bytes,
+        u: bytes,
+        p: int,
+        file_id0: bytes,
+        length_bits: int = 40,
+        encrypt_metadata: bool = True,
+        stm_cfm: str = "V2",
+        str_cfm: str = "V2",
+    ):
+        if v not in (1, 2, 4):
+            raise EParseError(f"unsupported /Encrypt /V {v}")
+        if r not in (2, 3, 4):
+            raise EParseError(f"unsupported /Encrypt /R {r}")
+        self.v, self.r = v, r
+        self.o, self.u, self.p = o, u, p
+        self.file_id0 = file_id0
+        self.n = 5 if r == 2 else max(5, min(16, length_bits // 8))
+        self.encrypt_metadata = encrypt_metadata
+        self.stm_cfm = stm_cfm  # crypt filter method for streams
+        self.str_cfm = str_cfm  # ... and for strings
+        self.key: Optional[bytes] = None
+
+    # --- Algorithm 2 ----------------------------------------------------
+    def _file_key(self, user_pwd: bytes) -> bytes:
+        h = hashlib.md5()
+        h.update(_pad_password(user_pwd))
+        h.update(self.o[:32])
+        h.update(struct.pack("<i", self.p))
+        h.update(self.file_id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        digest = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                digest = hashlib.md5(digest[: self.n]).digest()
+        return digest[: self.n]
+
+    # --- Algorithm 4/5 (compute /U for a candidate key) ------------------
+    def _compute_u(self, key: bytes) -> bytes:
+        if self.r == 2:
+            return rc4(key, PAD)
+        digest = hashlib.md5(PAD + self.file_id0).digest()
+        out = rc4(key, digest)
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+        return out  # 16 bytes; stored /U appends 16 arbitrary bytes
+
+    def authenticate(self, user_pwd: bytes = b"") -> bool:
+        key = self._file_key(user_pwd)
+        u = self._compute_u(key)
+        ok = u == self.u[:32] if self.r == 2 else u[:16] == self.u[:16]
+        if ok:
+            self.key = key
+        return ok
+
+    # --- Algorithm 1 ------------------------------------------------------
+    def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
+        assert self.key is not None, "authenticate() first"
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(struct.pack("<i", num)[:3])
+        h.update(struct.pack("<i", gen)[:2])
+        if aes:
+            h.update(b"sAlT")
+        return h.digest()[: min(self.n + 5, 16)]
+
+    def _cfm(self, is_string: bool) -> str:
+        if self.v != 4:
+            return "V2"
+        return self.str_cfm if is_string else self.stm_cfm
+
+    def decrypt(self, data: bytes, num: int, gen: int, is_string: bool) -> bytes:
+        cfm = self._cfm(is_string)
+        if cfm == "Identity":
+            return data
+        if cfm == "AESV2":
+            return aes_decrypt(self._object_key(num, gen, aes=True), data)
+        return rc4(self._object_key(num, gen, aes=False), data)
+
+    def encrypt(self, data: bytes, num: int, gen: int, is_string: bool) -> bytes:
+        """Generator-side mirror of :meth:`decrypt`. AES IVs must be
+        deterministic for the synthetic corpus: derived from
+        (num, gen, data) — never from an RNG (codec.py contract)."""
+        cfm = self._cfm(is_string)
+        if cfm == "Identity":
+            return data
+        if cfm == "AESV2":
+            iv = hashlib.md5(b"iv%d/%d" % (num, gen) + data[:16]).digest()
+            return aes_encrypt(self._object_key(num, gen, aes=True), iv, data)
+        return rc4(self._object_key(num, gen, aes=False), data)
+
+
+# --- Algorithm 3 (generator side: compute /O from the owner password) -----
+
+
+def compute_o(owner_pwd: bytes, user_pwd: bytes, r: int, n: int) -> bytes:
+    digest = hashlib.md5(_pad_password(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:n]
+    out = rc4(key, _pad_password(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+def build_handler(
+    *,
+    r: int,
+    owner_pwd: bytes,
+    user_pwd: bytes,
+    p: int,
+    file_id0: bytes,
+    length_bits: int,
+    aes: bool = False,
+) -> StandardSecurityHandler:
+    """Generator entry: derive /O, compute /U, return an authenticated
+    handler whose fields populate the /Encrypt dict."""
+    v = 4 if aes else (1 if r == 2 else 2)
+    n = 5 if r == 2 else length_bits // 8
+    o = compute_o(owner_pwd, user_pwd, r, n)
+    h = StandardSecurityHandler(
+        v=v,
+        r=r,
+        o=o,
+        u=b"\x00" * 32,
+        p=p,
+        file_id0=file_id0,
+        length_bits=length_bits,
+        stm_cfm="AESV2" if aes else "V2",
+        str_cfm="AESV2" if aes else "V2",
+    )
+    key = h._file_key(user_pwd)
+    u = h._compute_u(key)
+    h.u = u if r == 2 else u + b"\x00" * 16
+    h.key = key
+    return h
+
+
+def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler:
+    """/Encrypt CDict → handler (parser side). Raises EParseError on
+    non-/Standard filters or unsupported revisions."""
+    # local import: cos imports nothing from here (no cycle)
+    from .cos import CDict, CString, Name
+
+    if not isinstance(enc, CDict):
+        raise EParseError("/Encrypt is not a dictionary")
+    if enc.get_name("Filter") != "Standard":
+        raise EParseError(f"unsupported security handler {enc.get_name('Filter')!r}")
+
+    def _s(key: str) -> bytes:
+        v = enc.get(key)
+        return v.raw if isinstance(v, CString) else b""
+
+    v = enc.get_int("V", 0)
+    r = enc.get_int("R", 0)
+    stm_cfm = str_cfm = "V2"
+    length_bits = enc.get_int("Length", 40)
+    if v == 4:
+        cf = enc.get("CF")
+        stmf = enc.get_name("StmF", "Identity")
+        strf = enc.get_name("StrF", "Identity")
+
+        def _method(name: str) -> str:
+            if name == "Identity" or not isinstance(cf, CDict):
+                return "Identity"
+            f = cf.get(name)
+            if isinstance(f, CDict):
+                m = f.get_name("CFM", "None")
+                if m in ("V2", "AESV2"):
+                    return m
+                if m == "None":
+                    return "Identity"
+                raise EParseError(f"unsupported crypt filter method {m}")
+            return "Identity"
+
+        stm_cfm = _method(stmf)
+        str_cfm = _method(strf)
+        _ = Name  # (typed accessors above already unwrap names)
+    return StandardSecurityHandler(
+        v=v,
+        r=r,
+        o=_s("O"),
+        u=_s("U"),
+        p=enc.get_int("P", 0),
+        file_id0=file_id0,
+        length_bits=length_bits,
+        encrypt_metadata=enc.get_bool("EncryptMetadata", True),
+        stm_cfm=stm_cfm,
+        str_cfm=str_cfm,
+    )

@@ -85,6 +85,8 @@ class Parser:
     def __init__(self, data: bytes, settings: Optional[ParserSettings] = None):
         self.raw = Raw(data, settings)
         self.settings = settings or DEFAULT_SETTINGS
+        # consumed by CDict.deref via the bound _resolve (settings knob)
+        self.deref_limit = self.settings.max_deref_depth
         self.xref = XRef()
         self.root_ref: Optional[Ref] = None
         self.info_ref: Optional[Ref] = None
@@ -231,13 +233,20 @@ class Parser:
                     r.skip_ws()
                     flag = r.data[r.pos : r.pos + 1]
                     r.pos += 1
+                    if i == 0 and start == 1 and self._is_broken_first_free(
+                        off, gen, flag
+                    ):
+                        start = 0  # broken-writer fix (PDFParser.java:346-352)
                     if flag == b"n":
                         self._add_classic(start, i, count, off, gen)
                 continue
             rows = np.frombuffer(block, dtype="S20").astype("U20")
-            first_free = count > 0 and block[:18].split()[:2] == [b"0", b"65535"]
-            if start == 1 and first_free:
-                start = 0  # broken-writer fix (PDFParser.java:346-352)
+            if start == 1 and count > 0:
+                fp = block[:20].split()
+                if len(fp) >= 3 and self._is_broken_first_free(
+                    int(fp[0]), int(fp[1]), fp[2][:1]
+                ):
+                    start = 0  # broken-writer fix (PDFParser.java:346-352)
             for i in range(count):
                 parts = rows[i].split()
                 if len(parts) < 3:
@@ -246,6 +255,15 @@ class Parser:
                 if parts[2] == "n":
                     self._add_classic(start, i, count, int(parts[0]), int(parts[1]))
             r.pos += 20 * count
+
+    @staticmethod
+    def _is_broken_first_free(off: int, gen: int, flag: bytes) -> bool:
+        """Mislabeled-start salvage (PDFParser.java:346-352): a
+        subsection claiming `start=1` whose first row is the free-list
+        head `0 65535 f` was written by a 1-indexed writer — every
+        object id in it is shifted by one. Compare numeric values, not
+        raw tokens: strict rows zero-pad the offset to 10 digits."""
+        return off == 0 and gen == 65535 and flag == b"f"
 
     def _add_classic(self, start: int, i: int, count: int, off: int, gen: int) -> None:
         self.xref.add_uncompressed(start + i, gen, off)

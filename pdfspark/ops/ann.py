@@ -80,10 +80,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(q_ids):
                 sims = S[qi]
                 mask = ids != qid
-                # partial top-k per batch: only k·|Q| rows leave Python
-                cand = np.argsort(-sims[mask])[: TOP_K * 2]
-                sel_ids = ids[mask][cand]
-                sel_sims = sims[mask][cand]
+                m_sims, m_ids = sims[mask], ids[mask]
+                # partial top-k per batch: only k·|Q| rows leave Python.
+                # lexsort ties on neighbor_id ASC (sim DESC primary) so
+                # duplicate embeddings straddling the cutoff keep the
+                # same rows the final window's ordering would keep —
+                # an unstable argsort(-sims) could drop the lower id.
+                cand = np.lexsort((m_ids, -m_sims))[: TOP_K * 2]
+                sel_ids = m_ids[cand]
+                sel_sims = m_sims[cand]
                 out_q += [qid] * len(cand)
                 out_n += sel_ids.tolist()
                 out_s += sel_sims.tolist()

@@ -53,6 +53,26 @@ def append_table(df: DataFrame, spark: SparkSession, target: str, partition_col:
         df.write.mode("append").partitionBy(partition_col).parquet(target)
 
 
+def overwrite_partitions(
+    df: DataFrame, spark: SparkSession, target: str, partition_col: str
+) -> None:
+    """Idempotent per-partition commit: only the partitions present in
+    `df` are replaced; everything else is untouched. This is the write
+    mode for retryable units of work — a retried bucket REPLACES its
+    partition instead of appending duplicates (Iceberg
+    `overwritePartitions()`; parquet dynamic partition overwrite)."""
+    if have_iceberg(spark):
+        df.writeTo(target).overwritePartitions()
+    else:
+        sess = df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 # ---------------------------------------------------------------------------
 # 1. Skew salting
 # ---------------------------------------------------------------------------
@@ -168,13 +188,21 @@ def run_checkpointed(
     variant: str = "mixed",
     buckets_per_commit: int = 4,
     fail_after: Optional[int] = None,
+    fail_before_commit: bool = False,
 ) -> int:
     """Extraction over bucket(doc_id) groups with per-group commit.
 
     Resume semantics: rerunning with the same out_dir skips buckets
-    already marked done (anti-join of pending vs lineage). Returns the
-    number of buckets processed THIS run. ``fail_after`` injects a
-    crash after N commits (for the kill-and-rerun test).
+    already marked done (anti-join of pending vs lineage). A bucket is
+    done only when its lineage row lands; the span data itself is
+    written with per-partition OVERWRITE, so a crash in the window
+    between the data write and the lineage commit leaves a bucket that
+    the next run simply rewrites — no duplicate rows, ever. Returns
+    the number of buckets processed THIS run. ``fail_after`` injects a
+    crash after N buckets (for the kill-and-rerun test);
+    ``fail_before_commit`` moves the injected crash INTO the
+    data-written/lineage-pending window to exercise exactly that
+    non-atomic gap.
     """
     from .engine import extract, generate_payloads, load_documents, synth_spans_df
 
@@ -211,9 +239,21 @@ def run_checkpointed(
         extracted = extract(payloads).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
-        append_table(extracted, spark, data_dir, "bucket")
+        overwrite_partitions(extracted, spark, data_dir, "bucket")
+        if fail_before_commit and fail_after is not None and (
+            processed + len(group) >= fail_after
+        ):
+            raise RuntimeError(
+                f"injected failure after data write, before lineage commit "
+                f"(buckets {group})"
+            )
+        # stats come from the data actually committed (read-back of the
+        # just-written partitions) — NOT a re-execution of the full
+        # generate+extract pipeline, which would double the work
         stats = (
-            extracted.groupBy("bucket")
+            spark.read.parquet(data_dir)
+            .where(F.col("bucket").isin([int(b) for b in group]))
+            .groupBy("bucket")
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum(F.length(F.to_json("spans"))).alias("bytes_in"),

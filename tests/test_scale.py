@@ -60,6 +60,30 @@ def test_checkpoint_resume_after_kill(spark, tmp_path):
     assert row.d == n_docs and row.s > 0
 
 
+def test_crash_between_data_write_and_lineage_commit(spark, tmp_path):
+    """The non-atomic window: span data committed, lineage row not.
+    Resume must REWRITE (partition overwrite), not append — exactly
+    one row per doc at the end, never duplicates."""
+    out = str(tmp_path / "ckpt_window")
+    with pytest.raises(RuntimeError, match="before lineage commit"):
+        run_checkpointed(
+            spark, SF_SMOKE, out, n_buckets=8, buckets_per_commit=2,
+            fail_after=2, fail_before_commit=True,
+        )
+    # the crashed group's data IS on disk but its lineage row is not
+    done_first = completed_buckets(spark, os.path.join(out, "lineage"))
+    assert len(done_first) == 0
+    assert spark.read.parquet(os.path.join(out, "spans")).count() > 0
+
+    n2 = run_checkpointed(spark, SF_SMOKE, out, n_buckets=8, buckets_per_commit=2)
+    assert n2 == 8  # every bucket reprocessed (none had committed lineage)
+
+    spans = spark.read.parquet(os.path.join(out, "spans"))
+    n_docs = load_documents(spark, SF_SMOKE).count()
+    assert spans.count() == n_docs  # no duplicates from the rewrite
+    assert spans.select("doc_id").distinct().count() == n_docs
+
+
 def test_skew_large_docs_spread_across_partitions(spark, tmp_path):
     """skew_large family (FIXTURES §3): 0.1%-style oversized docs must
     not concentrate: after salt_by_size, no partition should carry more
