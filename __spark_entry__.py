@@ -63,6 +63,12 @@ def _q_roundtrip(variant: str):
     return q
 
 
+def _q_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import geometry_rows
+
+    return geometry_rows(spark, sf_dir, variant="classic")
+
+
 def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import status_rows
 
@@ -117,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_objstream": _q_roundtrip("objstream"),
         "pdf_roundtrip_incremental": _q_roundtrip("incremental"),
         "pdf_roundtrip_filters": _q_roundtrip("filters_rotate"),
+        "pdf_roundtrip_encrypted": _q_roundtrip("encrypted"),
+        "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
+        "pdf_span_geometry": _q_geometry,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -163,6 +172,45 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         "pdf_roundtrip_objstream": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_incremental": _SPANS_ORACLE_SQL,
         "pdf_roundtrip_filters": _SPANS_ORACLE_SQL,
+        # decryption is lossless: RC4/AES docs must roundtrip to the
+        # exact same spans as every other structural variant
+        "pdf_roundtrip_encrypted": _SPANS_ORACLE_SQL,
+        # Type0 + predefined GBK-EUC-H CMap without ToUnicode: decoding
+        # via the CMap's byte encoding must be lossless (ASCII corpus
+        # here; multi-byte CJK pinned in tests/test_cjk.py)
+        "pdf_roundtrip_cjk": _SPANS_ORACLE_SQL,
+        # span geometry: the generator lays pages out deterministically
+        # (codec._content_for: 5 spans/page, y from 720 stepping -16
+        # per text / -60 per media span; x=10; show-forms 2-3 perform
+        # an implicit T* next-line move of TL=14; media placed by a
+        # 100×50 cm) — so expected (x, y, w, h) is closed-form SQL
+        "pdf_span_geometry": _SPANS_CTE
+        + """,
+s AS (
+  SELECT doc_id, CAST(i + i // 3 AS INT) AS off, 'text' AS kind FROM c
+  UNION ALL
+  SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS off, 'media' AS kind
+  FROM c WHERE i % 3 = 2
+),
+p AS (
+  SELECT doc_id, off, kind, off // 5 AS pg, off % 5 AS j,
+         CASE WHEN kind = 'text' THEN 16 ELSE 60 END AS dy
+  FROM s
+),
+wk AS (
+  SELECT doc_id, off, kind, j,
+         720 - (SUM(dy) OVER (PARTITION BY doc_id, pg ORDER BY j) - dy) AS ybase
+  FROM p
+)
+SELECT doc_id, off AS "offset", kind,
+       CAST(10.0 AS DOUBLE) AS x,
+       CAST(CASE WHEN kind = 'media' THEN ybase
+                 WHEN j % 4 IN (2, 3) THEN ybase - 14
+                 ELSE ybase END AS DOUBLE) AS y,
+       CAST(CASE WHEN kind = 'media' THEN 100.0 END AS DOUBLE) AS w,
+       CAST(CASE WHEN kind = 'media' THEN 50.0 ELSE 12.0 END AS DOUBLE) AS h
+FROM wk
+""",
         "pdf_malformed_policy": malformed_sql,
         "pdf_metadata": meta_sql,
     }

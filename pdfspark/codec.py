@@ -98,6 +98,16 @@ def _show_bytes_cid(text: str) -> bytes:
     return b"<" + text.encode("utf-16-be").hex().encode("ascii") + b">"
 
 
+def _show_bytes_gbk(text: str) -> Optional[bytes]:
+    """Show bytes for the /F3 GBK-EUC-H Type0 font (predefined CMap,
+    NO ToUnicode — the extractor must decode via the CMap's byte
+    encoding). None when text has chars outside GBK."""
+    try:
+        return b"<" + text.encode("gbk").hex().encode("ascii") + b">"
+    except UnicodeEncodeError:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Content-stream emission (one BT..ET per text span, one Do per media
 # span — the contract interpret_content() inverts)
@@ -105,10 +115,12 @@ def _show_bytes_cid(text: str) -> bytes:
 
 
 def _content_for(
-    spans: Sequence[tuple], image_names: dict[str, str]
+    spans: Sequence[tuple], image_names: dict[str, str], cjk: bool = False
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
-    rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3)."""
+    rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
+    ``cjk`` routes GBK-encodable text through /F3 (Type0 + predefined
+    GBK-EUC-H CMap, no ToUnicode)."""
     parts: list[bytes] = []
     used_cid = False
     y = 720
@@ -119,7 +131,10 @@ def _content_for(
             y -= 60
             continue
         simple = _show_bytes_simple(text or "")
-        if simple is None:
+        gbk = _show_bytes_gbk(text or "") if cjk else None
+        if gbk is not None:
+            font, shown, part_fn = b"/F3", gbk, _show_bytes_gbk
+        elif simple is None:
             used_cid = True
             font, shown = b"/F2", _show_bytes_cid(text or "")
         else:
@@ -135,10 +150,15 @@ def _content_for(
         elif form == 1:
             # split the span across a TJ kerning array (§9.4.3); the
             # extractor must reassemble exactly
-            if simple is not None and text and len(text) > 1:
+            splitter = (
+                part_fn
+                if gbk is not None
+                else (_show_bytes_simple if simple is not None else None)
+            )
+            if splitter is not None and text and len(text) > 1:
                 mid = len(text) // 2
-                a = _show_bytes_simple(text[:mid])
-                b = _show_bytes_simple(text[mid:])
+                a = splitter(text[:mid])
+                b = splitter(text[mid:])
                 parts.append(
                     b"BT %s 12 Tf 10 %d Td [%s -250 %s] TJ ET" % (font, y, a, b)
                 )
@@ -228,6 +248,7 @@ def build_object_graph(
     info_fields: Optional[dict] = None,
     catalog_extra: Optional[dict] = None,
     xml_metadata: Optional[bytes] = None,
+    cjk: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -236,8 +257,19 @@ def build_object_graph(
     info_num = g.reserve()
     f1_num = g.reserve()
 
+    def _showable_without_cid(t: str) -> bool:
+        if cjk:
+            # cjk mode routes everything GBK-encodable through /F3
+            try:
+                t.encode("gbk")
+                return True
+            except UnicodeEncodeError:
+                return False
+        return _winansi_encode(t) is not None
+
     needs_cid = any(
-        k == "text" and _winansi_encode(t or "") is None for (k, t, _m, _o) in spans
+        k == "text" and not _showable_without_cid(t or "")
+        for (k, t, _m, _o) in spans
     )
     f2_num = f2_cmap_num = None
     if needs_cid:
@@ -287,11 +319,30 @@ def build_object_graph(
         f2[Name("DescendantFonts")] = [Ref(desc_num, 0)]
         f2[Name("ToUnicode")] = Ref(f2_cmap_num, 0)
         g.objs[f2_num] = f2
+    f3_num = None
+    if cjk:
+        # Type0 + predefined GBK-EUC-H CMap, deliberately NO ToUnicode:
+        # the extractor must decode the code bytes via the CMap's own
+        # encoding (kernel/textops._PREDEFINED_CMAP_CODECS)
+        desc3 = CDict()
+        desc3[Name("Type")] = Name("Font")
+        desc3[Name("Subtype")] = Name("CIDFontType0")
+        desc3[Name("BaseFont")] = Name("STSong-Light")
+        desc3_num = g.add(desc3)
+        f3 = CDict()
+        f3[Name("Type")] = Name("Font")
+        f3[Name("Subtype")] = Name("Type0")
+        f3[Name("BaseFont")] = Name("STSong-Light")
+        f3[Name("Encoding")] = Name("GBK-EUC-H")
+        f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
+        f3_num = g.add(f3)
 
     font_res = CDict()
     font_res[Name("F1")] = Ref(f1_num, 0)
     if needs_cid:
         font_res[Name("F2")] = Ref(f2_num, 0)
+    if f3_num is not None:
+        font_res[Name("F3")] = Ref(f3_num, 0)
     xobj_res = CDict()
     for mref, onum in image_objs.items():
         xobj_res[Name(image_names[mref])] = Ref(onum, 0)
@@ -305,7 +356,7 @@ def build_object_graph(
     page_nums: list[int] = []
     for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
         page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
-        body, _ = _content_for(page_spans, image_names)
+        body, _ = _content_for(page_spans, image_names, cjk=cjk)
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
         page = CDict()
@@ -402,6 +453,28 @@ def _file_id(doc_id: str) -> list:
     return [CString(h, force_hex=True), CString(h, force_hex=True)]
 
 
+def _crypt_transform(v, num: int, gen: int, handler):
+    """Generator-side mirror of Parser._decrypt_value: deep-copy an
+    object graph value with strings and stream bytes ciphered under
+    the containing object's (num, gen). /Length is rewritten to the
+    on-disk (encrypted) byte count — AES grows by IV + PKCS#5 pad."""
+    if isinstance(v, CString):
+        return CString(handler.encrypt(v.raw, num, gen, True), force_hex=True)
+    if isinstance(v, CStream):
+        d = _crypt_transform(v.dict, num, gen, handler)
+        data = handler.encrypt(v.data, num, gen, False)
+        d[Name("Length")] = len(data)
+        return CStream(d, data)
+    if isinstance(v, CDict):
+        out = CDict()
+        for k in v:
+            out[k] = _crypt_transform(v[k], num, gen, handler)
+        return out
+    if isinstance(v, list):
+        return [_crypt_transform(x, num, gen, handler) for x in v]
+    return v
+
+
 def _assemble_classic(
     g: _Graph,
     catalog_num: int,
@@ -410,15 +483,46 @@ def _assemble_classic(
     eol: bytes = b"\n",
     hybrid: bool = False,
     version: bytes = b"1.4",
-    encrypted: bool = False,
+    encryption: Optional[str] = None,
 ) -> bytes:
-    if encrypted:
-        # M10: a minimal /Encrypt dict; decryption is unsupported (as
-        # in the reference, README.md:5) — presence alone flags the doc
+    handler = None
+    if encryption:
+        # standard security handler (crypt.py): "rc4" = V2/R3 128-bit,
+        # "aes" = V4/R4 AESV2, both empty user password (extractable);
+        # "pwd" = RC4 with a real user password (M10 error-bucket path)
+        from .kernel.crypt import build_handler
+
+        aes = encryption == "aes"
+        handler = build_handler(
+            r=4 if aes else 3,
+            owner_pwd=b"owner-" + doc_id.encode(),
+            user_pwd=b"user-secret" if encryption == "pwd" else b"",
+            p=-44,
+            file_id0=hashlib.md5(doc_id.encode()).digest()[:8],
+            length_bits=128,
+            aes=aes,
+        )
         enc = CDict()
         enc[Name("Filter")] = Name("Standard")
-        enc[Name("V")] = 1
-        enc[Name("R")] = 2
+        if aes:
+            enc[Name("V")] = 4
+            enc[Name("R")] = 4
+            std = CDict()
+            std[Name("Type")] = Name("CryptFilter")
+            std[Name("CFM")] = Name("AESV2")
+            std[Name("Length")] = 16
+            cf = CDict()
+            cf[Name("StdCF")] = std
+            enc[Name("CF")] = cf
+            enc[Name("StmF")] = Name("StdCF")
+            enc[Name("StrF")] = Name("StdCF")
+        else:
+            enc[Name("V")] = 2
+            enc[Name("R")] = 3
+        enc[Name("Length")] = 128
+        enc[Name("O")] = CString(handler.o, force_hex=True)
+        enc[Name("U")] = CString(handler.u, force_hex=True)
+        enc[Name("P")] = -44
         g.encrypt_num = g.add(enc)
     out = bytearray()
     out += b"%PDF-" + version + eol + b"%\xe2\xe3\xcf\xd3" + eol
@@ -426,8 +530,11 @@ def _assemble_classic(
     nums = sorted(g.objs)
     for n in nums:
         offsets[n] = len(out)
+        body = g.objs[n]
+        if handler is not None and n != g.encrypt_num:
+            body = _crypt_transform(body, n, 0, handler)
         out += str(n).encode() + b" 0 obj" + eol
-        out += produce(g.objs[n])
+        out += produce(body)
         out += eol + b"endobj" + eol
 
     hybrid_stm_offset = None
@@ -458,7 +565,7 @@ def _assemble_classic(
     trailer[Name("Root")] = Ref(catalog_num, 0)
     trailer[Name("Info")] = Ref(info_num, 0)
     trailer[Name("ID")] = _file_id(doc_id)
-    if encrypted:
+    if handler is not None:
         trailer[Name("Encrypt")] = Ref(g.encrypt_num, 0)
     if hybrid and hybrid_stm_offset is not None:
         trailer[Name("XRefStm")] = hybrid_stm_offset
@@ -693,6 +800,20 @@ def build_pdf(
 
     content_filters: Sequence[str] = ("flate",)
     layout = variant
+    encryption: Optional[str] = "pwd" if encrypted else None
+    cjk = False
+    if variant == "cjk":
+        # Type0 + predefined GBK-EUC-H CMap (no ToUnicode) for every
+        # GBK-encodable text span — the CID-CMap decode path
+        layout = "classic"
+        cjk = True
+    if variant == "encrypted":
+        # empty-user-password docs, cipher rotated per doc: the
+        # extraction pipeline must decrypt BOTH RC4 (V2/R3) and
+        # AES-128 (V4/R4/AESV2) transparently
+        layout = "classic"
+        h = int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16)
+        encryption = "aes" if h % 2 else "rc4"
     if variant.startswith("filters:"):
         layout = "classic"
         content_filters = tuple(variant.split(":", 1)[1].split("+"))
@@ -700,10 +821,11 @@ def build_pdf(
             content_filters = ()
 
     g, cat, info = build_object_graph(
-        doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata
+        doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
+        cjk=cjk,
     )
     if layout == "classic":
-        return _assemble_classic(g, cat, info, doc_id, encrypted=encrypted)
+        return _assemble_classic(g, cat, info, doc_id, encryption=encryption)
     if layout == "crlf":
         return _assemble_classic(g, cat, info, doc_id, eol=b"\r\n")
     if layout == "hybrid":

@@ -298,6 +298,56 @@ def roundtrip_rows(
     return extract_flat(payloads)
 
 
+GEO_SCHEMA = (
+    "doc_id bigint, offset int, kind string, x double, y double, "
+    "w double, h double"
+)
+
+
+def extract_geometry(payloads: DataFrame) -> DataFrame:
+    """Geometry-widened flat extraction: span-start device-space
+    (x, y) projected through Tm × CTM by the interpreter, plus the
+    box where derivable (media: CTM scale; text: h = font size).
+    Same single-UDF-stage shape as extract_flat."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_spans_geo
+
+        for pdf in batches:
+            ids, offs, kinds, xs, ys, ws, hs = [], [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                status, _err, spans = extract_spans_geo(bytes(payload))
+                if status != "ok":
+                    continue
+                for (k, _t, _m, o, x, y, w, h) in spans:
+                    ids.append(did)
+                    offs.append(o)
+                    kinds.append(k)
+                    xs.append(x)
+                    ys.append(y)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "offset": offs, "kind": kinds,
+                    "x": xs, "y": ys, "w": ws, "h": hs,
+                }
+            )
+
+    return payloads.mapInPandas(ker, schema=GEO_SCHEMA)
+
+
+def geometry_rows(spark, sf_dir: str, variant: str = "classic") -> DataFrame:
+    """Span-geometry pipeline: the roundtrip path with the
+    geometry-widened extractor (driver query `pdf_span_geometry`)."""
+    from .scale import salt_spans_by_size
+
+    docs = load_documents(spark, sf_dir)
+    spans = salt_spans_by_size(synth_spans_df(docs))
+    payloads = generate_payloads(spans, variant, ensure=False)
+    return extract_geometry(payloads)
+
+
 def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
     """Malformed-family pipeline: every doc_id % modulo == 0 gets a
     malformed payload (kind rotates) — those must land status='error'

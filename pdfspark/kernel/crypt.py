@@ -49,7 +49,9 @@ except Exception:  # pragma: no cover - env without `cryptography`
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric — one function for both ways)."""
-    if _HAVE_CRYPTOGRAPHY:
+    if _HAVE_CRYPTOGRAPHY and 5 <= len(key) <= 256:
+        # OpenSSL rejects keys under 40 bits; PDF keys are 5-16 bytes,
+        # so this branch covers every spec-conformant file
         return _Cipher(_ARC4(key), mode=None).encryptor().update(data)
     # pure-Python fallback (KSA + PRGA)
     s = list(range(256))

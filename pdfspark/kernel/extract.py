@@ -32,24 +32,34 @@ def parse_document(payload: bytes, settings: Optional[ParserSettings] = None) ->
     """bytes → structural parse → assembled Document (X1-X10 + M1)."""
     p = Parser(payload, settings)
     p.parse()
+    if p.is_encrypted:
+        # best-effort empty-password unlock BEFORE assembly: Document
+        # resolves /Root and /Info eagerly, and decryption happens at
+        # object-resolve time. Callers read parser.security for policy.
+        p.unlock(b"")
     return Document(p)
 
 
 def extract_spans_doc(
-    payload: bytes, settings: Optional[ParserSettings] = None
+    payload: bytes,
+    settings: Optional[ParserSettings] = None,
+    geometry: bool = False,
 ) -> list[tuple]:
-    """One document → ordered [(kind, text, media_ref, offset)].
+    """One document → ordered [(kind, text, media_ref, offset)], or
+    with ``geometry=True`` [(kind, text, media_ref, offset, x, y, w,
+    h)] — span-start device-space positions (textops.Span contract).
 
     Page order = page-tree DFS (M4); within a page, content streams in
     /Contents order are concatenated (ISO 32000-1 §7.8.2: multiple
     streams form one logical stream); offset = global emission ordinal.
     """
     doc = parse_document(payload, settings)
-    if doc.parser.is_encrypted:
-        # M10 policy: content decryption is unsupported (reference
-        # README.md:5); encrypted docs route to the error bucket for
-        # span extraction, while metadata extraction still works
-        raise EParseError("encrypted document: decryption not supported")
+    if doc.parser.is_encrypted and doc.parser.security.key is None:
+        # M10 policy, extended past the reference (README.md:5 has no
+        # decryption at all): empty-user-password docs — the common
+        # real-corpus case — decrypt transparently (crypt.py, RC4 +
+        # AES-128); passworded docs route to the error bucket
+        raise EParseError("encrypted document: password required")
     resolver = doc.parser._resolve
     out: list[tuple] = []
     ordinal = 0
@@ -65,7 +75,10 @@ def extract_spans_doc(
         for sp in interpret_content(
             data, page.resources, resolver, doc_font_cache=font_cache
         ):
-            out.append((sp[0], sp[1], sp[2], ordinal))
+            if geometry:
+                out.append((sp[0], sp[1], sp[2], ordinal, sp[3], sp[4], sp[5], sp[6]))
+            else:
+                out.append((sp[0], sp[1], sp[2], ordinal))
             ordinal += 1
     return out
 
@@ -80,10 +93,23 @@ def extract_spans(
         return ("error", f"{type(e).__name__}: {e}", [])
 
 
+def extract_spans_geo(
+    payload: bytes, settings: Optional[ParserSettings] = None
+) -> tuple[str, Optional[str], list[tuple]]:
+    """PERMISSIVE wrapper, geometry-widened spans (…, x, y, w, h)."""
+    try:
+        return ("ok", None, extract_spans_doc(payload, settings, geometry=True))
+    except Exception as e:
+        return ("error", f"{type(e).__name__}: {e}", [])
+
+
 def extract_meta_doc(payload: bytes, settings: Optional[ParserSettings] = None) -> dict:
     """Metadata-only kernel: info projection (M7), page count (M3 —
     the lazy /Count read, pages NOT materialized), catalog fields
     (M9), encryption flag (M10). Never touches content streams."""
+    # NB encrypted docs: parse_document already attempted the
+    # empty-password unlock; a passworded doc still yields metadata
+    # (ciphered strings), matching the reference's flag-only posture
     doc = parse_document(payload, settings)
     meta = doc.info_fields()
     meta.update(doc.catalog_fields())

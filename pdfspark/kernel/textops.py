@@ -120,29 +120,66 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return out
 
 
+# Predefined CMap name → Python codec (ISO 32000-1 Table 118; public
+# Adobe character collections). For TEXT EXTRACTION the CID layer can
+# be bypassed entirely: each predefined CMap family's CODE BYTES are a
+# well-known character encoding (that is what the names mean), so
+# decoding the raw show-string with that codec yields the text — and
+# handles the variable 1-2-byte code widths for free.
+_PREDEFINED_CMAP_CODECS: dict[str, str] = {}
+for _names, _codec in (
+    # Adobe-GB1 (Simplified Chinese)
+    (("GB-EUC", "GBpc-EUC"), "gb2312"),
+    (("GBK-EUC", "GBKp-EUC"), "gbk"),
+    (("GBK2K",), "gb18030"),
+    # Adobe-CNS1 (Traditional Chinese)
+    (("B5pc", "ETen-B5", "ETenms-B5"), "big5"),
+    (("HKscs-B5",), "big5hkscs"),
+    # Adobe-Japan1
+    (("83pv-RKSJ", "90ms-RKSJ", "90msp-RKSJ", "90pv-RKSJ", "Add-RKSJ",
+      "Ext-RKSJ"), "cp932"),
+    (("EUC",), "euc_jp"),
+    # Adobe-Korea1 / KR
+    (("KSC-EUC", "KSCpc-EUC"), "euc_kr"),
+    (("KSCms-UHC", "KSCms-UHC-HW"), "cp949"),
+    # Unicode CMaps: the code IS the UTF-16BE encoding
+    (("UniGB-UCS2", "UniGB-UTF16", "UniCNS-UCS2", "UniCNS-UTF16",
+      "UniJIS-UCS2", "UniJIS-UTF16", "UniKS-UCS2", "UniKS-UTF16"),
+     "utf-16-be"),
+):
+    for _n in _names:
+        for _sfx in ("-H", "-V"):
+            _PREDEFINED_CMAP_CODECS[_n + _sfx] = _codec
+
+
 class Font:
     """Decoder for one /Font resource (ISO 32000-1 §9.6-9.7).
 
     Supported: simple fonts (1-byte codes) with /WinAnsiEncoding,
     /MacRomanEncoding, default/StandardEncoding (latin-1 approx) and
-    /Differences; Type0 with Identity-H/V (2-byte codes); /ToUnicode
-    CMap takes precedence when present.
+    /Differences; Type0 with Identity-H/V (2-byte codes) or a
+    predefined CJK CMap (decoded via the corresponding byte encoding,
+    Table 118); /ToUnicode CMap takes precedence when present for
+    fixed-width codes.
     """
 
-    __slots__ = ("two_byte", "tounicode", "table")
+    __slots__ = ("two_byte", "tounicode", "table", "codec")
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
         self.two_byte = False
         self.tounicode: Optional[dict[int, str]] = None
         self.table: Optional[list[str]] = None
+        self.codec: Optional[str] = None
 
         subtype = fdict.get_name("Subtype", None, resolver)
         if subtype == "Type0":
             self.two_byte = True
             enc = fdict.get_name("Encoding", None, resolver)
             if enc is not None and not str(enc).startswith("Identity"):
-                # non-identity CMaps unsupported → rely on ToUnicode
-                pass
+                # predefined CJK CMap → known byte encoding; embedded
+                # CMap streams still rely on ToUnicode (CID→Unicode
+                # needs the full character-collection tables)
+                self.codec = _PREDEFINED_CMAP_CODECS.get(str(enc))
         tu = fdict.get_stream("ToUnicode", None, resolver)
         if tu is not None:
             decoded = decode_stream(tu.data, tu.dict, resolver)
@@ -180,6 +217,10 @@ class Font:
 
     def decode(self, raw: bytes) -> str:
         if self.two_byte:
+            if self.codec is not None:
+                # predefined CMap: raw code bytes ARE this encoding
+                # (variable 1-2-byte widths handled by the codec)
+                return raw.decode(self.codec, errors="replace")
             codes = [
                 int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)
             ]
@@ -242,12 +283,55 @@ def _next_token(r: Raw):
 
 
 class Span(tuple):
-    """(kind, text, media_ref) — offset assigned by the caller."""
+    """(kind, text, media_ref, x, y, w, h) — offset assigned by the
+    caller. Geometry is the span-START position in device space
+    (text: first show op's text origin = Tm×CTM translation; media:
+    the CTM translation at `Do`), plus the box where derivable (media:
+    |CTM| scale components; text: h = font size, w = None — glyph
+    width metrics are out of scope, positions are span-accurate, not
+    glyph-accurate)."""
 
     __slots__ = ()
 
-    def __new__(cls, kind: str, text: Optional[str], media_ref: Optional[str]):
-        return super().__new__(cls, (kind, text, media_ref))
+    def __new__(
+        cls,
+        kind: str,
+        text: Optional[str],
+        media_ref: Optional[str],
+        x: Optional[float] = None,
+        y: Optional[float] = None,
+        w: Optional[float] = None,
+        h: Optional[float] = None,
+    ):
+        return super().__new__(cls, (kind, text, media_ref, x, y, w, h))
+
+
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _matmul(m, n):
+    """(a,b,c,d,e,f) ≡ [[a b 0],[c d 0],[e f 1]] row-vector convention
+    (ISO 32000-1 §8.3.4): result applies m, then n."""
+    a, b, c, d, e, f = m
+    A, B, C, D, E, F = n
+    return (
+        a * A + b * C,
+        a * B + b * D,
+        c * A + d * C,
+        c * B + d * D,
+        e * A + f * C + E,
+        e * B + f * D + F,
+    )
+
+
+def _nums(ops, n):
+    """Last n operands as floats, or None if malformed (PERMISSIVE)."""
+    if len(ops) < n:
+        return None
+    tail = ops[-n:]
+    if not all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in tail):
+        return None
+    return [float(v) for v in tail]
 
 
 def interpret_content(
@@ -256,16 +340,19 @@ def interpret_content(
     resolver: Optional[Resolver],
     _depth: int = 0,
     doc_font_cache: Optional[dict] = None,
+    _ctm: tuple = _MAT_ID,
 ) -> list[Span]:
     """Interpret one (decoded) content stream → ordered spans.
 
     Operators handled: BT/ET (text objects, §9.4.1), Tf (font select),
-    Td/TD/Tm/T*/TL (positioning — tracked but not geometry-projected),
-    Tj/TJ/'/\" (show ops, §9.4.3; TJ kerning numbers ignored for text
-    content per §9.10.2 simple extraction), Tc/Tw/Tz/Ts (state, no-op
-    for content), Do (XObject: Image → media span, Form → recurse),
-    BI..EI inline images (skipped as one media span), q/Q/cm/gs/...
-    (graphics state, no-op). Unknown operators are skipped with their
+    Td/TD/Tm/T*/TL (positioning — projected into per-span (x, y)
+    through Tm × CTM), Tj/TJ/'/\" (show ops, §9.4.3; TJ kerning
+    numbers ignored for text content per §9.10.2 simple extraction;
+    '/\" perform their implicit T* next-line move), Tc/Tw/Tz/Ts
+    (state, no-op for content), q/Q/cm (CTM stack, §8.4.4), Do
+    (XObject: Image → media span positioned by the CTM, Form →
+    recurse with /Matrix composed), BI..EI inline images (skipped as
+    one media span). Unknown operators are skipped with their
     operands — the PERMISSIVE posture of §2.8.
     """
     if _depth > 16:
@@ -275,6 +362,13 @@ def interpret_content(
     operands: list = []
     in_text = False
     cur_font = _DEFAULT_FONT
+    cur_size = 0.0
+    ctm = _ctm
+    ctm_stack: list[tuple] = []
+    tm = tlm = _MAT_ID  # text matrix / text line matrix (§9.4.2)
+    leading = 0.0
+    span_xy: Optional[tuple] = None  # first-show origin of the open span
+    span_h: Optional[float] = None
     # fonts are shared across pages via the resources dict — cache at
     # document scope (keyed by the font dict's identity) so ToUnicode
     # CMaps and encoding tables are built once per document, not per page
@@ -304,8 +398,18 @@ def interpret_content(
         return f
 
     def show(s) -> None:
+        nonlocal span_xy, span_h
         if isinstance(s, CString):
+            if span_xy is None:
+                trm = _matmul(tm, ctm)
+                span_xy = (trm[4], trm[5])
+                span_h = cur_size or None
             text_parts.append(cur_font.decode(s.raw))
+
+    def next_line() -> None:
+        nonlocal tlm, tm
+        tlm = _matmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
+        tm = tlm
 
     while True:
         tok = _next_token(r)
@@ -318,13 +422,45 @@ def interpret_content(
         if op == b"BT":
             in_text = True
             text_parts = []
+            tm = tlm = _MAT_ID
+            span_xy, span_h = None, None
         elif op == b"ET":
             if in_text:
-                spans.append(Span("text", "".join(text_parts), None))
+                x, y = span_xy if span_xy is not None else (None, None)
+                spans.append(Span("text", "".join(text_parts), None, x, y, None, span_h))
             in_text = False
         elif op == b"Tf":
             if operands and isinstance(operands[0], Name):
                 cur_font = get_font(str(operands[0]))
+            sz = _nums(operands, 1)
+            if sz is not None:
+                cur_size = sz[0]
+        elif op == b"Td" or op == b"TD":
+            v = _nums(operands, 2)
+            if v is not None:
+                if op == b"TD":
+                    leading = -v[1]
+                tlm = _matmul((1.0, 0.0, 0.0, 1.0, v[0], v[1]), tlm)
+                tm = tlm
+        elif op == b"Tm":
+            v = _nums(operands, 6)
+            if v is not None:
+                tm = tlm = tuple(v)
+        elif op == b"T*":
+            next_line()
+        elif op == b"TL":
+            v = _nums(operands, 1)
+            if v is not None:
+                leading = v[0]
+        elif op == b"q":
+            ctm_stack.append(ctm)
+        elif op == b"Q":
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+        elif op == b"cm":
+            v = _nums(operands, 6)
+            if v is not None:
+                ctm = _matmul(tuple(v), ctm)
         elif op == b"Tj":
             if operands:
                 show(operands[-1])
@@ -334,9 +470,11 @@ def interpret_content(
                     show(item)
         elif op == b"'":
             if operands:
+                next_line()
                 show(operands[-1])
         elif op == b'"':
             if operands:
+                next_line()
                 show(operands[-1])
         elif op == b"Do":
             if operands and isinstance(operands[-1], Name):
@@ -351,20 +489,36 @@ def interpret_content(
                     if sub == "Image":
                         mref = xo.dict.get_name("Name", None, resolver)
                         spans.append(
-                            Span("media", None, str(mref) if mref else str(operands[-1]))
+                            Span(
+                                "media",
+                                None,
+                                str(mref) if mref else str(operands[-1]),
+                                ctm[4],
+                                ctm[5],
+                                ctm[0],
+                                ctm[3],
+                            )
                         )
                     elif sub == "Form":
                         sub_res = xo.dict.get_dict("Resources", None, resolver) or resources
                         decoded = decode_stream(xo.data, xo.dict, resolver)
+                        sub_ctm = ctm
+                        fm = xo.dict.get_array("Matrix", None, resolver)
+                        fv = _nums(list(fm), 6) if fm else None
+                        if fv is not None:
+                            sub_ctm = _matmul(tuple(fv), ctm)
                         spans.extend(
                             interpret_content(
-                                decoded, sub_res, resolver, _depth + 1, font_cache
+                                decoded, sub_res, resolver, _depth + 1, font_cache,
+                                _ctm=sub_ctm,
                             )
                         )
         elif op == b"BI":
             # inline image: scan for EI delimiter → one media span
             idx = r.data.find(b"EI", r.pos)
             r.pos = len(r.data) if idx < 0 else idx + 2
-            spans.append(Span("media", None, "inline"))
+            spans.append(
+                Span("media", None, "inline", ctm[4], ctm[5], ctm[0], ctm[3])
+            )
         operands = [] if isinstance(tok, bytes) else operands
     return spans

@@ -26,6 +26,7 @@ from .cos import (
     COS_NULL,
     COSValue,
     CStream,
+    CString,
     Name,
     Ref,
     parse_object,
@@ -87,6 +88,8 @@ class Parser:
         self.settings = settings or DEFAULT_SETTINGS
         # consumed by CDict.deref via the bound _resolve (settings knob)
         self.deref_limit = self.settings.max_deref_depth
+        self.security = None  # StandardSecurityHandler after unlock()
+        self._encrypt_direct = None  # direct (non-ref) /Encrypt dict
         self.xref = XRef()
         self.root_ref: Optional[Ref] = None
         self.info_ref: Optional[Ref] = None
@@ -293,6 +296,7 @@ class Parser:
             if self.encrypt_ref is None and isinstance(t.get("Encrypt"), CDict):
                 # direct /Encrypt dict also marks encryption
                 self.encrypt_ref = Ref(-1, -1)
+                self._encrypt_direct = t.get("Encrypt")
         if self.file_id is None:
             fid = t.get("ID")
             if isinstance(fid, list):
@@ -384,6 +388,12 @@ class Parser:
             val = self._get_compressed(e)
         else:
             val = self._parse_indirect_at(e)
+            if (
+                self.security is not None
+                and self.security.key is not None
+                and not (self.encrypt_ref and num == self.encrypt_ref.num)
+            ):
+                val = self._decrypt_value(val, num, e.gen)
         self.xref.cache[num] = val
         return val
 
@@ -482,3 +492,61 @@ class Parser:
     def is_encrypted(self) -> bool:
         """M10 (PDFFile.java:104-106): /Encrypt present in trailer."""
         return self.encrypt_ref is not None
+
+    # ---- standard security handler (EXTENSION past the reference,
+    # which only flags /Encrypt — README.md:5) -------------------------
+    def unlock(self, password: bytes = b"") -> bool:
+        """Authenticate the standard security handler with a user
+        password (empty = the overwhelmingly common real-corpus case).
+        On success every subsequently resolved object has its strings
+        and stream bytes decrypted transparently; returns False (and
+        leaves the file readable-but-ciphered) otherwise."""
+        if not self.is_encrypted:
+            return True
+        if self.security is None:
+            from .crypt import handler_from_dict
+
+            if self._encrypt_direct is not None:
+                enc = self._encrypt_direct
+            else:
+                enc = self.get_object(self.encrypt_ref.num, self.encrypt_ref.gen)
+            fid0 = b""
+            if self.file_id and isinstance(self.file_id[0], CString):
+                fid0 = self.file_id[0].raw
+            self.security = handler_from_dict(enc, fid0)
+        if self.security.key is not None:
+            return True
+        ok = self.security.authenticate(password)
+        if ok:
+            # drop anything memoized pre-unlock (it was cached with
+            # ciphered strings/streams); repopulated decrypted on demand
+            self.xref.cache.clear()
+            self.xref.container_data.clear()
+        return ok
+
+    def _decrypt_value(self, v: COSValue, num: int, gen: int) -> COSValue:
+        """Recursive in-place decryption of one resolved indirect
+        object (ISO 32000-1 §7.6.2): strings and stream bytes only;
+        nested dicts/arrays inherit the container's (num, gen). Never
+        called for objects inside object streams (the container was
+        decrypted as a stream; members are stored plaintext)."""
+        h = self.security
+        if isinstance(v, CString):
+            v.raw = h.decrypt(v.raw, num, gen, is_string=True)
+            return v
+        if isinstance(v, CStream):
+            self._decrypt_value(v.dict, num, gen)
+            tp = v.dict.get_name("Type")
+            if tp == "XRef" or (tp == "Metadata" and not h.encrypt_metadata):
+                return v  # never encrypted / exempted by the handler
+            v.data = h.decrypt(v.data, num, gen, is_string=False)
+            return v
+        if isinstance(v, CDict):
+            for k in v:
+                self._decrypt_value(v[k], num, gen)
+            return v
+        if isinstance(v, list):
+            for item in v:
+                self._decrypt_value(item, num, gen)
+            return v
+        return v

@@ -30,6 +30,8 @@ N_QUERIES = 10
 N_TABLES = 4
 BITS_PER_TABLE = 4
 DIM = 64
+ANN_BUCKET_CAP = 256  # max candidates kept per (table, bucket) —
+# bounds join fan-out when a degenerate bucket swallows the corpus
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,6 +190,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     union. Recall vs brute force asserted in tests."""
     emb = _emb(spark, sf_dir)
     buckets = _bucketed(emb)
+    # per-bucket candidate cap: a degenerate bucket (many identical /
+    # near-zero embeddings hashing together) is truncated to the first
+    # ANN_BUCKET_CAP members by vec_id — deterministic, mirrored in
+    # the DuckDB oracle. Bounds the join fan-out per (table, bucket)
+    # at 10^12 rows; queries keep N_TABLES chances to find neighbors.
+    wb = Window.partitionBy("table", "bucket").orderBy("vec_id")
+    buckets = (
+        buckets.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= ANN_BUCKET_CAP)
+        .drop("rk")
+    )
     queries = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
@@ -242,21 +255,38 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
 
+    TILE = 1024  # rows of the similarity matrix materialized at once
+
     def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         E = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        S = En @ En.T
-        iu = np.triu_indices(len(ids), k=1)
-        keep = S[iu] >= NEARDUP_TAU
+        n = len(ids)
+        lab = int(pdf["label"].iloc[0])
+        a_out, b_out, s_out = [], [], []
+        # tiled upper-triangle matmul: memory is O(TILE × n), never
+        # O(n²) — one oversized block degrades to more tiles, not an
+        # executor OOM. Compute is still quadratic per block; at 10^12
+        # rows the blocking key must be an LSH bucket (see docstring).
+        for i0 in range(0, n, TILE):
+            i1 = min(i0 + TILE, n)
+            S = En[i0:i1] @ En.T  # (tile × n)
+            ti, tj = np.nonzero(S >= NEARDUP_TAU)
+            upper = ti + i0 < tj  # strict upper triangle only
+            a_out.append(ids[ti[upper] + i0])
+            b_out.append(ids[tj[upper]])
+            s_out.append(np.round(S[ti[upper], tj[upper]], 5))
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        s = np.concatenate(s_out) if s_out else np.array([], dtype=np.float64)
         return pd.DataFrame(
             {
-                "a_id": ids[iu[0][keep]],
-                "b_id": ids[iu[1][keep]],
-                "label": np.full(int(keep.sum()), int(pdf["label"].iloc[0]), dtype=np.int32),
-                "sim_r5": np.round(S[iu][keep], 5),
+                "a_id": a,
+                "b_id": b,
+                "label": np.full(len(a), lab, dtype=np.int32),
+                "sim_r5": s,
             }
         )
 
@@ -292,8 +322,13 @@ def _lsh_oracle_sql() -> str:
         )
     buckets = "\nUNION ALL\n".join(table_rows)
     return f"""
-WITH buckets AS (
+WITH buckets0 AS (
 {buckets}
+),
+buckets AS (
+  SELECT vec_id, embedding, tbl, bucket FROM buckets0
+  QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id)
+          <= {ANN_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qe,

@@ -19,10 +19,26 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-N_HASHES = 8  # MinHash signature length
-N_BANDS = 4  # bands of r = 2 rows → s-curve threshold ≈ (1/4)^(1/2) = 0.5
+N_HASHES = 64  # MinHash signature length (real-corpus scale, r2)
+N_BANDS = 16  # bands of r = 4 rows → s-curve threshold ≈ (1/16)^(1/4) = 0.5
+BUCKET_CAP = 32  # LSH buckets larger than this are skipped (degenerate
+# keys — empty/boilerplate docs — would otherwise go quadratic in ONE
+# task; cap² bounds the worst per-bucket pair count)
 JACCARD_MIN = 0.5
 SIM_BITS = 16
+
+# universal-hash MinHash: ONE md5 per shingle → 60-bit int h0, then
+# N_HASHES affine transforms (aᵢ·h0 + bᵢ) mod P — 64 signatures for
+# the price of one digest (vs 64 md5s per shingle). P = 2³¹-1 keeps
+# every product < 2⁶² (BIGINT-safe in both Spark and DuckDB, which
+# ERRORS on overflow rather than wrapping).
+P_MINHASH = (1 << 31) - 1
+
+
+def _minhash_seed(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % P_MINHASH
+    b = (40503 * i + 17) % P_MINHASH
+    return a, b
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,22 +106,40 @@ def shingles_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_val): per-seed minhash = lexicographic min
-    of md5(seed|shingle) prefixes; bands of 2 seeds hashed together.
-    Aggregation is map-side combinable (min) → one shuffle by doc_id."""
-    sh = shingles_df(docs)
-    aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))), 1, 16)).alias(
-            f"h{s}"
-        )
-        for s in range(N_HASHES)
+def _hex_prefix_to_int(expr: str, n: int = 15) -> str:
+    """Portable md5-prefix → BIGINT: identical expression text runs in
+    Spark SQL and DuckDB (instr/substr/md5, 1-based). 15 hex chars =
+    60 bits < 2⁶³."""
+    # the CAST is load-bearing: Spark types instr() as INT, and terms
+    # with power < 16⁸ get INT literals too — INT×INT then overflows
+    # int32 under ANSI mode (DuckDB's instr is already BIGINT)
+    digits = [
+        f"(CAST(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1))"
+        f" AS BIGINT) - 1) * {16 ** (n - 1 - k)}"
+        for k in range(n)
     ]
+    return "(" + " + ".join(digits) + ")"
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_val): universal-hash minhash — h0 =
+    md5-prefix int per shingle, hᵢ = min (aᵢ·h0 + bᵢ) mod P; bands of
+    r = n_hashes/n_bands values hashed together. Aggregation is
+    map-side combinable (min) → one shuffle by doc_id."""
+    sh = shingles_df(docs).selectExpr(
+        "doc_id", f"{_hex_prefix_to_int('sh')} % {P_MINHASH} AS h0"
+    )
+    aggs = []
+    for i in range(n_hashes):
+        a, b = _minhash_seed(i)
+        aggs.append(F.expr(f"min(({a} * h0 + {b}) % {P_MINHASH})").alias(f"h{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     bands = []
-    r = N_HASHES // N_BANDS
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{b * r + j}") for j in range(r)]
+    r = n_hashes // n_bands
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * r + j}").cast("string") for j in range(r)]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
@@ -118,14 +152,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs_df(_docs(spark, sf_dir))
+
+
+def minhash_pairs_df(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
     """LSH candidate pairs (same band bucket) verified with exact
     shingle-set Jaccard ≥ 0.5. Counts (not float division) are emitted
-    so the oracle comparison is integer-exact."""
-    docs = _docs(spark, sf_dir)
+    so the oracle comparison is integer-exact.
+
+    Buckets holding more than ``bucket_cap`` docs are SKIPPED before
+    the self-join: one degenerate key (empty/boilerplate text) would
+    otherwise put O(bucket²) pairs in a single task. The frequency
+    window shuffles on the same (band, band_val) key the join uses, so
+    it adds no new partitioning at scale."""
     # shingles and band signatures feed 2-3 downstream joins each —
     # persist so the explode+md5 work runs once, not per consumer
     # (at cluster scale: MEMORY_AND_DISK, sized ~16B/shingle-row)
-    bands = minhash_signatures(docs).persist()
+    wb = Window.partitionBy("band", "band_val")
+    bands = (
+        minhash_signatures(docs, n_hashes, n_bands)
+        .withColumn("bn", F.count("*").over(wb))
+        .where(F.col("bn") <= bucket_cap)
+        .drop("bn")
+        .persist()
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -173,16 +228,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> str:
     hmins = ",\n         ".join(
-        f"min(substr(md5('{s}|' || sh), 1, 16)) AS h{s}" for s in range(N_HASHES)
+        "min(({a} * h0 + {b}) % {p}) AS h{i}".format(
+            a=_minhash_seed(i)[0], b=_minhash_seed(i)[1], p=P_MINHASH, i=i
+        )
+        for i in range(n_hashes)
     )
-    r = N_HASHES // N_BANDS
+    r = n_hashes // n_bands
     band_rows = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, md5("
-        + " || '#' || ".join(f"h{b * r + j}" for j in range(r))
-        + ") AS band_val FROM sig"
-        for b in range(N_BANDS)
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('#', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")) AS band_val FROM sig"
+        for b in range(n_bands)
     )
     return f"""
 WITH sh AS (
@@ -191,17 +253,24 @@ WITH sh AS (
   )) AS sh
   FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) documents
 ),
+sh0 AS (
+  SELECT doc_id, {_hex_prefix_to_int('sh')} % {P_MINHASH} AS h0 FROM sh
+),
 sig AS (
   SELECT doc_id,
          {hmins}
-  FROM sh GROUP BY doc_id
+  FROM sh0 GROUP BY doc_id
 ),
 bands AS (
 {band_rows}
 ),
+capped AS (
+  SELECT doc_id, band, band_val FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, band_val) <= {bucket_cap}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

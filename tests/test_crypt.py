@@ -1,0 +1,111 @@
+"""Standard security handler (kernel/crypt.py) — an extension past
+the reference (README.md:5: no decryption): RC4 V2/R3, AES-128
+V4/R4/AESV2, empty-user-password auto-unlock, passworded error
+bucket (M10 policy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdfspark.codec import build_pdf, synth_spans_py
+from pdfspark.kernel import extract_meta, extract_spans, parse_document
+from pdfspark.kernel.crypt import (
+    StandardSecurityHandler,
+    aes_decrypt,
+    aes_encrypt,
+    build_handler,
+    rc4,
+)
+
+TEXT = "the quick brown fox jumps over the lazy dog " * 8
+
+
+def _spans(doc_id: str):
+    return synth_spans_py(doc_id, TEXT)
+
+
+def _expected(doc_id: str):
+    return [(k, t, m, i) for i, (k, t, m, _o) in enumerate(_spans(doc_id))]
+
+
+def test_rc4_known_vector():
+    # public RC4 test vector (RFC 6229 family): Key/Plaintext from
+    # the original Usenet posting
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+
+
+def test_aes_roundtrip_and_padding():
+    key = bytes(range(16))
+    iv = bytes(range(100, 116))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes((i * 7) % 256 for i in range(n))
+        ct = aes_encrypt(key, iv, data)
+        assert ct[:16] == iv and len(ct) % 16 == 0 and len(ct) > len(data)
+        assert aes_decrypt(key, ct) == data
+
+
+@pytest.mark.parametrize("aes", [False, True])
+def test_handler_auth_and_object_roundtrip(aes):
+    h = build_handler(
+        r=4 if aes else 3, owner_pwd=b"owner", user_pwd=b"", p=-44,
+        file_id0=b"\x01" * 8, length_bits=128, aes=aes,
+    )
+    h2 = StandardSecurityHandler(
+        v=h.v, r=h.r, o=h.o, u=h.u, p=h.p, file_id0=b"\x01" * 8,
+        length_bits=128, stm_cfm=h.stm_cfm, str_cfm=h.str_cfm,
+    )
+    assert h2.authenticate(b"wrong") is False
+    assert h2.authenticate(b"") is True
+    blob = b"stream payload bytes" * 9
+    assert h2.decrypt(h.encrypt(blob, 7, 0, False), 7, 0, False) == blob
+    # a different object number must NOT decrypt (per-object keys)
+    assert h2.decrypt(h.encrypt(blob, 7, 0, False), 8, 0, False) != blob
+
+
+@pytest.mark.parametrize("doc_id", ["enc0", "enc1", "enc2", "enc3"])
+def test_encrypted_variant_extracts(doc_id):
+    """The 'encrypted' generator variant (cipher rotates rc4/aes by
+    doc hash) must roundtrip spans exactly like the classic layout."""
+    payload = build_pdf(doc_id, _spans(doc_id), "encrypted")
+    status, err, spans = extract_spans(payload)
+    assert status == "ok", err
+    assert spans == _expected(doc_id)
+
+
+def test_encrypted_metadata_decrypts():
+    payload = build_pdf("encm", _spans("encm"), "encrypted")
+    st, err, meta = extract_meta(payload)
+    assert st == "ok", err
+    assert meta["encrypted"] is True
+    assert meta["title"] == "doc encm"  # Info strings really decrypted
+
+
+def test_passworded_doc_error_bucket_and_manual_unlock():
+    payload = build_pdf("pw1", _spans("pw1"), "classic", encrypted=True)
+    st, err, spans = extract_spans(payload)
+    assert st == "error" and "password required" in err and spans == []
+    # with the right user password the same bytes unlock fine
+    doc = parse_document(payload)
+    assert doc.parser.unlock(b"nope") is False
+    assert doc.parser.unlock(b"user-secret") is True
+    # re-assemble: unlock invalidates the object cache, and Document
+    # resolves /Info eagerly at construction
+    from pdfspark.kernel.docmodel import Document
+
+    title = Document(doc.parser).info_fields()["title"]
+    assert title == "doc pw1"
+
+
+def test_tampered_u_rejected():
+    payload = build_pdf("t1", _spans("t1"), "encrypted")
+    from pdfspark.kernel.cos import CString
+    from pdfspark.kernel.xref import Parser
+
+    p = Parser(payload)
+    p.parse()
+    enc = p.get_object(p.encrypt_ref.num, 0)
+    u = enc.get("U")
+    assert isinstance(u, CString)
+    u.raw = bytes(32)  # corrupt /U in place before unlock
+    assert p.unlock(b"") is False

@@ -1,0 +1,59 @@
+"""Span geometry (textops Tm×CTM projection): the generator's layout
+is closed-form (codec._content_for), so expected (x, y, w, h) per
+span is exact; real reference PDFs must produce finite positions."""
+
+from __future__ import annotations
+
+from conftest import ref_bytes
+from pdfspark.codec import build_pdf, synth_spans_py
+from pdfspark.kernel import extract_spans_geo
+
+
+def _expected_geo(n_spans: int):
+    """Mirror of the SQL oracle in __spark_entry__ (pdf_span_geometry)."""
+    out = []
+    for off in range(n_spans):
+        kind = "media" if off % 4 == 3 else "text"
+        pg, j = off // 5, off % 5
+        ybase = 720
+        for k in range(j):
+            ko = pg * 5 + k
+            ybase -= 60 if ko % 4 == 3 else 16
+        if kind == "media":
+            out.append((kind, off, 10.0, float(ybase), 100.0, 50.0))
+        else:
+            y = ybase - 14 if j % 4 in (2, 3) else ybase
+            out.append((kind, off, 10.0, float(y), None, 12.0))
+    return out
+
+
+def test_generator_layout_geometry_exact():
+    text = "y" * (80 * 11)  # 11 chunks -> 11 + 3 = 14 spans, 3 pages
+    spans = synth_spans_py("geo1", text)
+    payload = build_pdf("geo1", spans, "classic")
+    st, err, got = extract_spans_geo(payload)
+    assert st == "ok", err
+    assert [(g[0], g[3], g[4], g[5], g[6], g[7]) for g in got] == _expected_geo(
+        len(spans)
+    )
+
+
+def test_geometry_through_encryption_and_filters():
+    text = "z" * (80 * 5)
+    spans = synth_spans_py("geo2", text)
+    exp = _expected_geo(len(spans))
+    for variant in ("encrypted", "filters:a85+flate", "objstream", "incremental"):
+        st, err, got = extract_spans_geo(build_pdf("geo2", spans, variant))
+        assert st == "ok", (variant, err)
+        assert [(g[0], g[3], g[4], g[5], g[6], g[7]) for g in got] == exp, variant
+
+
+def test_real_pdfs_have_finite_positions():
+    for fname in ("loremipsum2.pdf", "vrml.pdf", "24c16.pdf"):
+        st, err, got = extract_spans_geo(ref_bytes(fname))
+        assert st == "ok", (fname, err)
+        placed = [g for g in got if g[4] is not None and g[5] is not None]
+        # every span that showed text must have a projected origin
+        assert placed, fname
+        for g in placed:
+            assert -10000 < g[4] < 10000 and -10000 < g[5] < 10000, (fname, g)

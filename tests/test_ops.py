@@ -93,6 +93,25 @@ def test_minhash_detects_planted_neardup(spark, tmp_path):
     assert len(found) >= len(planted) * 0.6  # banding probability bound
 
 
+def test_minhash_degenerate_bucket_capped(spark):
+    """One degenerate LSH bucket (200 identical empty-ish docs) must
+    NOT go quadratic: the bucket-frequency cap drops it before the
+    self-join, while genuinely near-dup pairs in small buckets
+    survive."""
+    degenerate = [(i, "boilerplate") for i in range(200)]
+    real = [(1000, "alpha beta gamma delta epsilon"),
+            (1001, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(degenerate + real, "doc_id long, text string")
+    pairs = dedup.minhash_pairs_df(docs, bucket_cap=32).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert (1000, 1001) in got  # real near-dup found
+    # no pair from the capped-out degenerate bucket: 200 docs > cap
+    assert all(a >= 1000 for a, _ in got), got
+    # and without the cap the quadratic pair set WOULD be there
+    uncapped = dedup.minhash_pairs_df(docs, bucket_cap=10**9).collect()
+    assert len(uncapped) >= 200 * 199 // 2
+
+
 def test_streaming_extraction_equals_batch(spark, tmp_path):
     """The batch extract kernel under readStream: spans from the
     streaming run must equal the batch round trip."""
