@@ -428,15 +428,29 @@ def parse_dict_or_stream(r: Raw, resolver: Optional[Resolver]) -> Union[CDict, C
         raise EParseError(f"dict expected at {r.pos}")
     r.pos += 2
     out = CDict()
+    name_match = _NAME_RUN_RE.match
+    name_cache = _NAME_CACHE
     while True:
         r.skip_ws_and_comments()
-        if r.pos >= n:
+        p = r.pos
+        if p >= n:
             raise EParseError("EOF inside dictionary")
-        if d.startswith(b">>", r.pos):
-            r.pos += 2
-            break
-        key = parse_name(r)
-        r.skip_ws_and_comments()
+        if d[p] == 0x3E:  # '>'
+            if d.startswith(b">>", p):
+                r.pos = p + 2
+                break
+            raise EParseError(f"lone '>' inside dictionary at {p}")
+        # inlined parse_name fast path (keys are the hottest names;
+        # parse_object would re-skip ws and double the call depth)
+        if d[p] != 0x2F:
+            raise EParseError(f"name expected at {p}")
+        run = name_match(d, p + 1).group()
+        r.pos = p + 1 + len(run)
+        key = name_cache.get(run)
+        if key is None:
+            r.pos = p
+            key = parse_name(r)  # slow path: #xx escapes / cold cache
+        # no skip here: parse_object skips ws itself
         val = parse_object(r, resolver)
         out[key] = val
     # stream follow-up

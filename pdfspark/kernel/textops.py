@@ -163,13 +163,14 @@ class Font:
     fixed-width codes.
     """
 
-    __slots__ = ("two_byte", "tounicode", "table", "codec")
+    __slots__ = ("two_byte", "tounicode", "table", "codec", "trans")
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
         self.two_byte = False
         self.tounicode: Optional[dict[int, str]] = None
         self.table: Optional[list[str]] = None
         self.codec: Optional[str] = None
+        self.trans: Optional[dict[int, str]] = None  # lazy str.translate map
 
         subtype = fdict.get_name("Subtype", None, resolver)
         if subtype == "Type0":
@@ -235,8 +236,13 @@ class Font:
             return raw.decode("utf-16-be", errors="replace")
         if self.tounicode is not None:
             return "".join(self.tounicode.get(b, "�") for b in raw)
-        t = self.table or [chr(i) for i in range(256)]
-        return "".join(t[b] for b in raw)
+        # one C-level translate instead of a per-byte Python genexpr
+        # (simple-font show strings are the hottest decode path)
+        tr = self.trans
+        if tr is None:
+            t = self.table or [chr(i) for i in range(256)]
+            tr = self.trans = {i: t[i] for i in range(256)}
+        return raw.decode("latin-1").translate(tr)
 
 
 _DEFAULT_FONT = Font(CDict(), None)
@@ -249,14 +255,32 @@ _DEFAULT_FONT = Font(CDict(), None)
 
 import re as _re
 
-# content-stream master scanner: one classifying match per token.
-# Content streams contain NO indirect references (ISO 32000-1 §7.8.2),
-# so numbers never need the `id gen R` backtracking probe — skipping
-# it roughly halves tokens-per-second cost vs the generic tokenizer.
+# content-stream master scanner: whitespace/comments are consumed
+# implicitly by the leading group, then ONE classifying match per
+# token — no per-token skip_ws calls, no Raw indirection (together
+# those were ~45% of interpreter time). Content streams contain NO
+# indirect references (ISO 32000-1 §7.8.2), so numbers never need the
+# `id gen R` backtracking probe of the generic tokenizer. Strings,
+# hex strings, dicts and arrays fall out of the match (delim group)
+# and are delegated to parse_object at that offset.
 _CT_TOKEN_RE = _re.compile(
     rb"(?P<num>[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+))(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
     rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+\-.][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
 )
+
+_CT_MASTER_RE = _re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<num>[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+))"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%0-9+\-.][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<delim>[()<>\[\]{}])"
+    rb")?"
+)
+
+# interned content-stream names (F1, Im0… repeat massively per doc)
+_CT_NAME_CACHE: dict[bytes, Name] = {}
+_CT_NAME_CACHE_MAX = 4096
 
 
 def _next_token(r: Raw):
@@ -328,10 +352,14 @@ def _nums(ops, n):
     """Last n operands as floats, or None if malformed (PERMISSIVE)."""
     if len(ops) < n:
         return None
-    tail = ops[-n:]
-    if not all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in tail):
-        return None
-    return [float(v) for v in tail]
+    out = []
+    for v in ops[-n:]:
+        t = type(v)  # exact-type check: bool is an int subclass
+        if t is int or t is float:
+            out.append(float(v))
+        else:
+            return None
+    return out
 
 
 def interpret_content(
@@ -411,14 +439,64 @@ def interpret_content(
         tlm = _matmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
         tm = tlm
 
-    while True:
-        tok = _next_token(r)
-        if tok is None:
-            break
-        if not isinstance(tok, bytes):
-            operands.append(tok)
+    pos = 0
+    end = len(data)
+    master = _CT_MASTER_RE.match
+    name_cache = _CT_NAME_CACHE
+    arr_stack: list[list] = []
+    while pos < end:
+        m = master(data, pos)
+        if m is None:  # cannot happen (alternation is total) — safety
+            pos += 1
             continue
-        op = tok
+        mend = m.end()
+        lg = m.lastgroup
+        if lg is None:
+            if mend == pos:  # no progress: stray byte, consume opaque
+                pos += 1
+                operands = []
+                continue
+            pos = mend  # trailing whitespace/comment run
+            continue
+        pos = mend
+        if lg == "num":
+            num = m.group("num")
+            operands.append(float(num) if b"." in num else int(num))
+            continue
+        if lg == "name":
+            nm = m.group("name")
+            name_obj = name_cache.get(nm)
+            if name_obj is None:
+                if b"#" in nm:  # #xx escapes: the generic parser's job
+                    r.pos = m.start("name")
+                    operands.append(parse_object(r, None))
+                    pos = r.pos
+                    continue
+                name_obj = Name(nm[1:].decode("latin-1"))
+                if len(name_cache) < _CT_NAME_CACHE_MAX:
+                    name_cache[nm] = name_obj
+            operands.append(name_obj)
+            continue
+        if lg == "delim":
+            c = m.group("delim")
+            if c == b"[":  # arrays built inline (TJ is 1 in 4 spans):
+                arr_stack.append(operands)  # no generic-parser round-trip
+                operands = []
+            elif c == b"]":
+                if arr_stack:
+                    finished = operands
+                    operands = arr_stack.pop()
+                    operands.append(finished)
+                else:
+                    operands = []  # stray — opaque operator semantics
+            elif c in (b"(", b"<"):
+                r.pos = m.start("delim")
+                operands.append(parse_object(r, None))
+                pos = r.pos
+            else:  # stray ) > { } — opaque operator, PERMISSIVE skip
+                operands = []
+            continue
+        op = m.group("op")
         if op == b"BT":
             in_text = True
             text_parts = []
@@ -515,10 +593,10 @@ def interpret_content(
                         )
         elif op == b"BI":
             # inline image: scan for EI delimiter → one media span
-            idx = r.data.find(b"EI", r.pos)
-            r.pos = len(r.data) if idx < 0 else idx + 2
+            idx = data.find(b"EI", pos)
+            pos = end if idx < 0 else idx + 2
             spans.append(
                 Span("media", None, "inline", ctm[4], ctm[5], ctm[0], ctm[3])
             )
-        operands = [] if isinstance(tok, bytes) else operands
+        operands = []
     return spans

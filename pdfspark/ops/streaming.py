@@ -171,3 +171,83 @@ def run_streaming_extraction(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_streaming_extraction_to_table(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    fail_after_batches: int | None = None,
+) -> int:
+    """Production streaming sink: readStream → extract_flat →
+    foreachBatch → per-batch-partition OVERWRITE + lineage row.
+
+    Exactly-once without an idempotent sink format: Spark's
+    checkpointed file-source offsets guarantee a replayed micro-batch
+    carries the SAME batch_id, and `overwrite_partitions` makes the
+    write idempotent per batch_id — a batch that crashed between the
+    data write and the lineage append is simply rewritten on restart
+    (same contract as scale.run_checkpointed, asserted by the
+    kill-and-rerun streaming test). ``fail_after_batches`` injects the
+    crash for that test. Returns the number of batches committed in
+    THIS run."""
+    import os
+    import time
+
+    from ..engine import extract_flat
+    from ..scale import overwrite_partitions
+
+    data_dir = os.path.join(out_dir, "spans")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    ckpt = os.path.join(out_dir, "_checkpoint")
+    committed = {"n": 0}
+
+    payloads = (
+        spark.readStream.schema("doc_id bigint, payload binary, size_class int")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    rows = extract_flat(payloads)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        data = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+        overwrite_partitions(data, spark, data_dir, "batch_id")
+        if (
+            fail_after_batches is not None
+            and committed["n"] + 1 >= fail_after_batches
+        ):
+            # crash INSIDE the data-written/lineage-pending window
+            raise RuntimeError(f"injected failure in batch {batch_id}")
+        stats = (
+            spark.read.parquet(data_dir)
+            .where(F.col("batch_id") == int(batch_id))
+            .agg(
+                F.count("*").alias("rows"),
+                F.countDistinct("doc_id").alias("docs"),
+            )
+            .first()
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        spark.createDataFrame(
+            [(int(batch_id), "done", int(stats.docs), int(stats.rows), wall_ms)],
+            "batch_id long, status string, doc_count long, rows_out long, wall_ms long",
+        ).coalesce(1).write.mode("append").parquet(lineage_dir)
+        committed["n"] += 1
+
+    q = (
+        rows.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        exc = q.exception()
+    except Exception as e:  # StreamingQueryException wraps sink errors
+        exc = e
+    finally:
+        q.stop()
+    if exc is not None:
+        raise RuntimeError(f"streaming query failed: {exc}")
+    return committed["n"]

@@ -93,6 +93,47 @@ def test_minhash_detects_planted_neardup(spark, tmp_path):
     assert len(found) >= len(planted) * 0.6  # banding probability bound
 
 
+def test_streaming_sink_exactly_once_after_kill(spark, tmp_path):
+    """foreachBatch production sink: crash in the data-written/
+    lineage-pending window, restart, and the replayed batch must
+    REPLACE its partition (same batch_id + overwrite) — final table
+    equals the batch pipeline exactly, no duplicates."""
+    import pytest as _pytest
+
+    from pdfspark.engine import generate_payloads, load_documents, synth_spans_df
+    from pdfspark.ops.streaming import run_streaming_extraction_to_table
+
+    docs = load_documents(spark, SF_SMOKE).limit(60)
+    payloads = generate_payloads(synth_spans_df(docs), "classic")
+    landing = str(tmp_path / "landing")
+    payloads.repartition(3).write.parquet(landing)  # 3 files → 3 batches
+    out = str(tmp_path / "stream_out")
+
+    with _pytest.raises(RuntimeError, match="injected failure|streaming query failed"):
+        run_streaming_extraction_to_table(spark, landing, out, fail_after_batches=1)
+    # the crash window left data for the failed batch but no lineage
+    import os
+
+    assert os.path.isdir(os.path.join(out, "spans"))
+    assert not os.path.isdir(os.path.join(out, "lineage"))
+
+    n2 = run_streaming_extraction_to_table(spark, landing, out)
+    assert n2 >= 3  # replayed batch + the rest
+
+    got = spark.read.parquet(os.path.join(out, "spans"))
+    from pdfspark.engine import extract_flat
+
+    expect = extract_flat(payloads)
+    assert got.count() == expect.count()  # no duplicate rows
+    assert (
+        got.select("doc_id", "offset").distinct().count()
+        == expect.select("doc_id", "offset").distinct().count()
+    )
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.where(F.col("status") == "done").count() == n2
+    assert lin.agg(F.sum("rows_out")).first()[0] == expect.count()
+
+
 def test_minhash_degenerate_bucket_capped(spark):
     """One degenerate LSH bucket (200 identical empty-ish docs) must
     NOT go quadratic: the bucket-frequency cap drops it before the

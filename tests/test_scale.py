@@ -114,6 +114,38 @@ def test_skew_large_docs_spread_across_partitions(spark, tmp_path):
     assert max(r.bytes for r in per_part) < 0.55 * total
 
 
+def test_iceberg_dispatch_mocked(spark, monkeypatch):
+    """Dress rehearsal for a jar-equipped cluster: with the catalog
+    'present', both sinks must route through DataFrameWriterV2
+    (writeTo().append() / overwritePartitions()) and never touch the
+    parquet fallback."""
+    import pdfspark.scale as scale
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, target):
+            self.target = target
+
+        def append(self):
+            calls.append(("append", self.target))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.target))
+
+    monkeypatch.setattr(scale, "have_iceberg", lambda s: True)
+    df = spark.range(3)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, t: FakeWriter(t), raising=True
+    )
+    scale.append_table(df, spark, "iceberg.db.spans", "bucket")
+    scale.overwrite_partitions(df, spark, "iceberg.db.spans", "bucket")
+    assert calls == [
+        ("append", "iceberg.db.spans"),
+        ("overwritePartitions", "iceberg.db.spans"),
+    ]
+
+
 def test_lineage_attempt_counter(spark, tmp_path):
     from pdfspark.scale import bucket_attempts
 
