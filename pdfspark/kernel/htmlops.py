@@ -1,0 +1,143 @@
+"""HTML main-content extraction — boilerplate stripping via DOM-free
+block heuristics (north rule: "HTML boilerplate strip … DOM
+heuristics" alongside the PDF parse).
+
+No HTML parsing library exists in this sandbox (and none is needed):
+the classifier below is a block-scoring heuristic in the
+Arc90-readability / boilerpipe family, built from public descriptions
+of those algorithms — NOT a port of either:
+
+1. drop <script>/<style>/<noscript>/comment subtrees outright;
+2. split the document into TEXT BLOCKS at block-level tag boundaries
+   (p, div, li, td, h1-6, article, section, nav, header, footer, …);
+3. score each block: text length, link density (chars inside <a> /
+   total chars), and the enclosing semantic tag;
+4. keep content blocks, drop boilerplate: high link density (menus),
+   very short blocks (buttons, copyright lines), and blocks whose
+   nearest semantic ancestor is nav/header/footer/aside.
+
+The generator (ops/html.py) wraps corpus text in a deterministic page
+with genuinely link-heavy nav, a link-heavy sidebar, a short footer
+and an <article> of <p> chunks — the stripper must recover exactly
+the article text ON MERIT (the oracle reconstructs it from the
+documents table; a misclassification breaks the roundtrip).
+"""
+
+from __future__ import annotations
+
+import re
+
+# block-level boundaries (HTML5 content categories, public spec)
+_BLOCK_TAGS = (
+    "p|div|li|ul|ol|td|th|tr|table|h1|h2|h3|h4|h5|h6|article|section|"
+    "nav|header|footer|aside|main|blockquote|pre|figure|figcaption|"
+    "form|fieldset|dl|dt|dd|body|html"
+)
+_DROP_SUBTREE_RE = re.compile(
+    r"<(script|style|noscript|svg|iframe|head|title)\b.*?</\1\s*>|<!--.*?-->",
+    re.IGNORECASE | re.DOTALL,
+)
+_BLOCK_SPLIT_RE = re.compile(rf"(</?(?:{_BLOCK_TAGS})\b[^>]*>)", re.IGNORECASE)
+_TAG_NAME_RE = re.compile(rf"</?({_BLOCK_TAGS})\b", re.IGNORECASE)
+_A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RUN_RE = re.compile(r"\s+")
+
+# boilerplate containers: anything inside these is dropped regardless
+# of its own score (the "DOM heuristic" part — semantic ancestors)
+_BOILER_ANCESTORS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+# thresholds (boilerpipe-family defaults, public literature)
+MAX_LINK_DENSITY = 0.33
+MIN_BLOCK_CHARS = 8
+
+
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&nbsp;": " "}
+_ENTITY_RE = re.compile("|".join(_ENTITIES) + r"|&#x?[0-9a-fA-F]{1,6};")
+
+
+def _ent(m: re.Match) -> str:
+    s = m.group()
+    fixed = _ENTITIES.get(s)
+    if fixed is not None:
+        return fixed
+    body = s[2:-1]
+    try:
+        return chr(int(body[1:], 16) if body[0] in "xX" else int(body))
+    except ValueError:
+        return s
+
+
+def _unescape(s: str) -> str:
+    return _ENTITY_RE.sub(_ent, s)
+
+
+def _block_text(fragment: str) -> tuple[str, int]:
+    """(visible text, chars-inside-links) for one inter-boundary
+    fragment; inline tags (<a>, <b>, <span>…) are stripped in place."""
+    linked = sum(
+        len(_ANY_TAG_RE.sub("", m)) for m in _A_TEXT_RE.findall(fragment)
+    )
+    text = _ANY_TAG_RE.sub("", fragment)
+    text = _WS_RUN_RE.sub(" ", _unescape(text)).strip(" ")
+    return text, linked
+
+
+def main_content_blocks(html: str) -> list[dict]:
+    """Every text block with its features + keep/drop classification.
+
+    Returns dicts: {text, n_chars, n_linked, link_density, ancestor,
+    keep} in document order (empty blocks omitted)."""
+    html = _DROP_SUBTREE_RE.sub(" ", html)
+    parts = _BLOCK_SPLIT_RE.split(html)
+    out: list[dict] = []
+    stack: list[str] = []
+    boiler_depth = 0
+    for part in parts:
+        m = _TAG_NAME_RE.match(part)
+        if m is not None:  # a block boundary tag
+            name = m.group(1).lower()
+            if part.startswith("</"):
+                # pop to the matching open tag (tolerates misnesting)
+                if name in stack:
+                    while stack:
+                        top = stack.pop()
+                        if top in _BOILER_ANCESTORS:
+                            boiler_depth -= 1
+                        if top == name:
+                            break
+            elif not part.rstrip(">").endswith("/"):  # ignore <br/>-style
+                stack.append(name)
+                if name in _BOILER_ANCESTORS:
+                    boiler_depth += 1
+            continue
+        text, linked = _block_text(part)
+        # a leading stripped-space block boundary leaves '' — skip
+        text = text.strip("\n").strip()
+        if not text:
+            continue
+        n = len(text)
+        density = linked / n if n else 1.0
+        keep = (
+            boiler_depth == 0
+            and n >= MIN_BLOCK_CHARS
+            and density <= MAX_LINK_DENSITY
+        )
+        out.append(
+            {
+                "text": text,
+                "n_chars": n,
+                "n_linked": linked,
+                "link_density": density,
+                "ancestor": next(
+                    (t for t in reversed(stack) if t in _BOILER_ANCESTORS), ""
+                ),
+                "keep": keep,
+            }
+        )
+    return out
+
+
+def strip_boilerplate(html: str) -> str:
+    """Main content of one HTML document: kept blocks joined by \\n."""
+    return "\n".join(b["text"] for b in main_content_blocks(html) if b["keep"])

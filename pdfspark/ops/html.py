@@ -1,0 +1,178 @@
+"""HTML main-content extraction over the corpus (north rule: "HTML
+boilerplate strip … DOM heuristics").
+
+Same roundtrip-identity contract as the PDF pipelines: corpus text is
+wrapped into a deterministic HTML page (link-heavy nav, header,
+link-heavy aside, an <article> of 80-char <p> chunks, short footer),
+then `kernel.htmlops.strip_boilerplate` must recover exactly the
+article text ON MERIT — the DuckDB oracle reconstructs the expected
+main text from the documents table, so a misclassified block breaks
+the hash. Generation and stripping run in ONE mapInPandas stage: no
+shuffle anywhere in the query (scan → UDF → result).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernel.htmlops import MIN_BLOCK_CHARS, main_content_blocks, strip_boilerplate
+
+CHUNK = 80  # article paragraph size — matches the PDF span chunking
+
+
+def _esc(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def wrap_html(doc_id: str, text: str) -> str:
+    """Deterministic page: every boilerplate region is genuinely
+    boilerplate-shaped (nav/aside are link-dense, footer is short), so
+    the stripper cannot pass by cheating on tag names alone."""
+    paras = "\n".join(
+        f"<p>{_esc(text[i : i + CHUNK])}</p>" for i in range(0, len(text), CHUNK)
+    )
+    return f"""<!DOCTYPE html>
+<html><head><title>doc {doc_id}</title>
+<style>body {{ margin: 0; }} nav li {{ display: inline }}</style>
+<script>function track() {{ return "doc {doc_id}"; }}</script>
+</head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/docs">Docs</a></li>
+<li><a href="/about">About corp</a></li></ul></nav>
+<header><h1><a href="/d/{doc_id}">doc {doc_id}</a></h1></header>
+<aside><p>Subscribe to our newsletter <a href="/sub">Subscribe now</a>
+<a href="/promo">Special offer</a></p></aside>
+<article>
+{paras}
+</article>
+<footer><p>&#169; 2024 corp</p></footer>
+</body></html>"""
+
+
+# fixed boilerplate text blocks per page: nav's 3 <li> texts, the
+# header <h1>, the aside <p>, the footer <p> — pinned by
+# tests/test_html.py::test_template_boiler_block_count
+N_TEMPLATE_BOILER_BLOCKS = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, main_text): wrap → strip in one Arrow-batched stage."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                strip_boilerplate(wrap_html(str(d), t or ""))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "main_text": out})
+
+    return _docs(spark, sf_dir).mapInPandas(
+        ker, schema="doc_id bigint, main_text string"
+    )
+
+
+def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, n_dropped, content_chars, boiler_chars): the
+    block classifier's feature surface, per document."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                blocks = main_content_blocks(wrap_html(str(d), t or ""))
+                kept = [b for b in blocks if b["keep"]]
+                dropped = [b for b in blocks if not b["keep"]]
+                rows.append(
+                    (
+                        d,
+                        len(kept),
+                        len(dropped),
+                        sum(b["n_chars"] for b in kept),
+                        sum(b["n_chars"] for b in dropped),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_kept", "n_dropped", "content_chars", "boiler_chars"],
+            )
+
+    return _docs(spark, sf_dir).mapInPandas(
+        ker,
+        schema="doc_id bigint, n_kept int, n_dropped int, "
+        "content_chars bigint, boiler_chars bigint",
+    )
+
+
+# --- oracles ---------------------------------------------------------------
+
+# chunks mirror wrap_html: substr windows of CHUNK chars, trimmed by
+# the stripper's whitespace normalization; blocks shorter than
+# MIN_BLOCK_CHARS are classified boilerplate (threshold mirrored here)
+_CHUNKS_CTE = f"""
+WITH c AS (
+  SELECT doc_id, trim(substr(text, CAST(i*{CHUNK}+1 AS INT), {CHUNK})) AS chunk,
+         i
+  FROM (SELECT doc_id, text,
+               unnest(range(CAST(ceil(length(text)/{CHUNK}.0) AS BIGINT))) AS i
+        FROM documents)
+)
+"""
+
+HTML_MAIN_TEXT_SQL = (
+    _CHUNKS_CTE
+    + f"""
+SELECT d.doc_id,
+       coalesce(m.main_text, '') AS main_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(chunk, chr(10) ORDER BY i) AS main_text
+  FROM c WHERE length(chunk) >= {MIN_BLOCK_CHARS}
+  GROUP BY doc_id
+) m ON m.doc_id = d.doc_id
+"""
+)
+
+HTML_BLOCK_STATS_SQL = (
+    _CHUNKS_CTE
+    + f"""
+SELECT d.doc_id,
+       CAST(coalesce(k.n, 0) AS INT) AS n_kept,
+       CAST({N_TEMPLATE_BOILER_BLOCKS} + coalesce(s.n, 0) AS INT) AS n_dropped,
+       CAST(coalesce(k.chars, 0) AS BIGINT) AS content_chars,
+       CAST(
+         -- template boiler text: 'Home'(4) 'Docs'(4) 'About corp'(10)
+         -- + 'doc <id>'(4+len) + aside(55) + footer '© 2024 corp'(11)
+         4 + 4 + 10 + 4 + length(CAST(d.doc_id AS VARCHAR)) + 55 + 11
+         + coalesce(s.chars, 0) AS BIGINT) AS boiler_chars
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n, sum(length(chunk)) AS chars
+  FROM c WHERE length(chunk) >= {MIN_BLOCK_CHARS} GROUP BY doc_id
+) k ON k.doc_id = d.doc_id
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n, sum(length(chunk)) AS chars
+  FROM c WHERE length(chunk) BETWEEN 1 AND {MIN_BLOCK_CHARS - 1} GROUP BY doc_id
+) s ON s.doc_id = d.doc_id
+"""
+)
+
+
+def queries():
+    return {
+        "html_main_text": html_main_text,
+        "html_block_stats": html_block_stats,
+    }
+
+
+def oracles():
+    return {
+        "html_main_text": HTML_MAIN_TEXT_SQL,
+        "html_block_stats": HTML_BLOCK_STATS_SQL,
+    }
