@@ -228,6 +228,84 @@ def minhash_pairs_df(
     return out
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, labels = min doc_id per component; every
+    corpus document gets a row (singletons are their own cluster).
+    This is the step that turns pairwise dedup into "keep one
+    representative per group" at corpus scale.
+
+    Implementation: iterative min-label propagation (the Pregel shape)
+    — per round, each node takes min(own label, neighbors' labels);
+    converges in component-diameter rounds, checked by a changed-label
+    count. Each round is ONE shuffle on doc_id; labels are eagerly
+    localCheckpoint-ed so lineage doesn't snowball. Near-dup graphs
+    have tiny diameters (cliques and short chains), so rounds ≈ 2-4;
+    a corpus with adversarially long chains would want the published
+    large-star/small-star variant instead (same oracle)."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_pairs_df(docs).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
+    labels = labels.localCheckpoint(eager=True)
+    while True:
+        nbr = (
+            edges.join(labels, edges.a_id == labels.doc_id)
+            .groupBy("b_id")
+            .agg(F.min("lab").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.b_id, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("lab"), F.coalesce("nl", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("doc_id") != F.col("lab")).alias("is_dup"),
+    )
+
+
+def _clusters_oracle_sql() -> str:
+    """Connected components in DuckDB: recursive reachability from
+    each node over the (symmetric) verified-pair edge set, component
+    label = min reachable doc_id."""
+    pairs = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION ALL
+  SELECT b_id AS a, a_id AS b FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc_id
+)
+SELECT doc_id, min(lab) AS cluster_id,
+       doc_id != min(lab) AS is_dup
+FROM reach GROUP BY doc_id
+"""
+
+
 def _minhash_oracle_sql(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
@@ -429,6 +507,7 @@ def queries():
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
     }
@@ -438,6 +517,7 @@ def oracles():
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_clusters": _clusters_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
     }

@@ -153,6 +153,23 @@ def test_minhash_degenerate_bucket_capped(spark):
     assert len(uncapped) >= 200 * 199 // 2
 
 
+def test_dedup_clusters_planted_group(spark, tmp_path):
+    """Planted near-dup group + singleton: one cluster labeled by its
+    min doc_id, every corpus doc present, singleton labels itself."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(i, (base + " tail" * i).strip()) for i in range(4)]
+    rows.append((100, "utterly unrelated content about differential geometry and sheaves"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cluster_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = {r.doc_id: (r.cluster_id, r.is_dup) for r in dedup.dedup_clusters(spark, path).collect()}
+    assert len(out) == 5  # every document has a row
+    assert out[0] == (0, False)  # representative
+    for i in (1, 2, 3):
+        assert out[i] == (0, True)
+    assert out[100] == (100, False)  # singleton
+
+
 def test_streaming_extraction_equals_batch(spark, tmp_path):
     """The batch extract kernel under readStream: spans from the
     streaming run must equal the batch round trip."""
