@@ -55,6 +55,34 @@ COMMENTARY = {
         "the same Sort+Window pass, and the final session aggregation "
         "keeps the same partitioning — no second shuffle."
     ),
+    "pdf_roundtrip_encrypted": (
+        "Decryption changes NOTHING in the plan — same pruned "
+        "(doc_id, text) scan, same single pre-generation salt "
+        "Exchange, same back-to-back MapInPandas pair. RC4/AES key "
+        "derivation is per-document Python inside the extract stage, "
+        "so ciphertext never costs an extra shuffle or scan column."
+    ),
+    "pdf_span_geometry": (
+        "The geometry-widened extractor keeps the flagship shape: "
+        "one Exchange (spans salt), generate+extract pipelined in a "
+        "single stage; only the UDF output schema widens (x, y, w, h "
+        "doubles) — no new plan nodes."
+    ),
+    "html_main_text": (
+        "ZERO Exchanges: parquet scan pruned to (doc_id, text) feeds "
+        "one MapInPandas (wrap + strip fused in a single Arrow batch "
+        "pass). At 10^12 docs this is embarrassingly parallel — "
+        "partition count = input splits, no shuffle boundary at all."
+    ),
+    "dedup_clusters": (
+        "The iterative component labeling is driver-coordinated "
+        "(Pregel shape); the plan shown is the FINAL labels projection "
+        "— each converged round behind it was one hash Exchange on "
+        "doc_id plus an eager localCheckpoint, so the lineage shown "
+        "here is flat (scan of checkpointed RDD) instead of a "
+        "10-round join tree. Rounds = component diameter (2-4 on "
+        "near-dup graphs)."
+    ),
 }
 
 
