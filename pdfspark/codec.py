@@ -486,7 +486,40 @@ def _assemble_classic(
     encryption: Optional[str] = None,
 ) -> bytes:
     handler = None
-    if encryption:
+    if encryption == "aes256":
+        # AES-256 (V5/R6, ISO 32000-2): file-key cipher, /Perms block
+        from .kernel.crypt import build_handler_v5, compute_perms
+
+        handler = build_handler_v5(
+            owner_pwd=b"owner-" + doc_id.encode(),
+            user_pwd=b"",
+            p=-44,
+            seed=doc_id.encode(),
+        )
+        enc = CDict()
+        enc[Name("Filter")] = Name("Standard")
+        enc[Name("V")] = 5
+        enc[Name("R")] = 6
+        enc[Name("Length")] = 256
+        std = CDict()
+        std[Name("Type")] = Name("CryptFilter")
+        std[Name("CFM")] = Name("AESV3")
+        std[Name("Length")] = 32
+        cf = CDict()
+        cf[Name("StdCF")] = std
+        enc[Name("CF")] = cf
+        enc[Name("StmF")] = Name("StdCF")
+        enc[Name("StrF")] = Name("StdCF")
+        enc[Name("O")] = CString(handler.o, force_hex=True)
+        enc[Name("U")] = CString(handler.u, force_hex=True)
+        enc[Name("OE")] = CString(handler.oe, force_hex=True)
+        enc[Name("UE")] = CString(handler.ue, force_hex=True)
+        enc[Name("P")] = -44
+        enc[Name("Perms")] = CString(
+            compute_perms(-44, True, handler.key, doc_id.encode()), force_hex=True
+        )
+        g.encrypt_num = g.add(enc)
+    elif encryption:
         # standard security handler (crypt.py): "rc4" = V2/R3 128-bit,
         # "aes" = V4/R4 AESV2, both empty user password (extractable);
         # "pwd" = RC4 with a real user password (M10 error-bucket path)
@@ -809,11 +842,11 @@ def build_pdf(
         cjk = True
     if variant == "encrypted":
         # empty-user-password docs, cipher rotated per doc: the
-        # extraction pipeline must decrypt BOTH RC4 (V2/R3) and
-        # AES-128 (V4/R4/AESV2) transparently
+        # extraction pipeline must decrypt RC4 (V2/R3), AES-128
+        # (V4/R4/AESV2) and AES-256 (V5/R6/AESV3) transparently
         layout = "classic"
         h = int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16)
-        encryption = "aes" if h % 2 else "rc4"
+        encryption = ("rc4", "aes", "aes256")[h % 3]
     if variant.startswith("filters:"):
         layout = "classic"
         content_filters = tuple(variant.split(":", 1)[1].split("+"))

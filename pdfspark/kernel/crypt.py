@@ -92,6 +92,30 @@ def aes_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return iv + _aes_cbc(key, iv, data + bytes([npad]) * npad, decrypt=False)
 
 
+def _aes_ecb(key: bytes, data: bytes, decrypt: bool) -> bytes:
+    if not _HAVE_CRYPTOGRAPHY:
+        raise EParseError("AES crypt filter requires the `cryptography` package")
+    c = _Cipher(_algos.AES(key), _modes.ECB())
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
+    SHA-256/384/512 with an AES-128-CBC mixing step. The 64× repeat
+    makes every K1 length a multiple of 16, so no padding is needed."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc(k[:16], k[16:32], k1, decrypt=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _pad_password(pwd: bytes) -> bytes:
     return (pwd + PAD)[:32]
 
@@ -117,15 +141,21 @@ class StandardSecurityHandler:
         encrypt_metadata: bool = True,
         stm_cfm: str = "V2",
         str_cfm: str = "V2",
+        oe: bytes = b"",
+        ue: bytes = b"",
     ):
-        if v not in (1, 2, 4):
+        if v not in (1, 2, 4, 5):
             raise EParseError(f"unsupported /Encrypt /V {v}")
-        if r not in (2, 3, 4):
+        if r not in (2, 3, 4, 6):
             raise EParseError(f"unsupported /Encrypt /R {r}")
         self.v, self.r = v, r
         self.o, self.u, self.p = o, u, p
+        self.oe, self.ue = oe, ue  # V5/R6 encrypted file keys
         self.file_id0 = file_id0
-        self.n = 5 if r == 2 else max(5, min(16, length_bits // 8))
+        if r == 6:
+            self.n = 32
+        else:
+            self.n = 5 if r == 2 else max(5, min(16, length_bits // 8))
         self.encrypt_metadata = encrypt_metadata
         self.stm_cfm = stm_cfm  # crypt filter method for streams
         self.str_cfm = str_cfm  # ... and for strings
@@ -157,12 +187,35 @@ class StandardSecurityHandler:
         return out  # 16 bytes; stored /U appends 16 arbitrary bytes
 
     def authenticate(self, user_pwd: bytes = b"") -> bool:
+        if self.r == 6:
+            return self._authenticate_r6(user_pwd)
         key = self._file_key(user_pwd)
         u = self._compute_u(key)
         ok = u == self.u[:32] if self.r == 2 else u[:16] == self.u[:16]
         if ok:
             self.key = key
         return ok
+
+    def _authenticate_r6(self, pwd: bytes) -> bool:
+        """ISO 32000-2 Algorithms 2.A / 8 / 9: /U = hash ‖ validation
+        salt ‖ key salt (48 bytes); /UE = AES-256-CBC(iv=0, no pad) of
+        the 32-byte file key under hash(pwd + key salt). The same
+        password is tried in both the user and the owner role (owner
+        hashing appends the 48-byte /U string)."""
+        pwd = pwd[:127]
+        if len(self.u) >= 48 and hash_2b(pwd, self.u[32:40], b"") == self.u[:32]:
+            ik = hash_2b(pwd, self.u[40:48], b"")
+            self.key = _aes_cbc(ik, b"\x00" * 16, self.ue[:32], decrypt=True)
+            return True
+        if (
+            len(self.o) >= 48
+            and len(self.u) >= 48
+            and hash_2b(pwd, self.o[32:40], self.u[:48]) == self.o[:32]
+        ):
+            ik = hash_2b(pwd, self.o[40:48], self.u[:48])
+            self.key = _aes_cbc(ik, b"\x00" * 16, self.oe[:32], decrypt=True)
+            return True
+        return False
 
     # --- Algorithm 1 ------------------------------------------------------
     def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
@@ -176,6 +229,8 @@ class StandardSecurityHandler:
         return h.digest()[: min(self.n + 5, 16)]
 
     def _cfm(self, is_string: bool) -> str:
+        if self.v == 5:
+            return self.str_cfm if is_string else self.stm_cfm
         if self.v != 4:
             return "V2"
         return self.str_cfm if is_string else self.stm_cfm
@@ -184,6 +239,8 @@ class StandardSecurityHandler:
         cfm = self._cfm(is_string)
         if cfm == "Identity":
             return data
+        if cfm == "AESV3":  # V5: the FILE key directly, no object key
+            return aes_decrypt(self.key, data)
         if cfm == "AESV2":
             return aes_decrypt(self._object_key(num, gen, aes=True), data)
         return rc4(self._object_key(num, gen, aes=False), data)
@@ -195,8 +252,10 @@ class StandardSecurityHandler:
         cfm = self._cfm(is_string)
         if cfm == "Identity":
             return data
+        iv = hashlib.md5(b"iv%d/%d" % (num, gen) + data[:16]).digest()
+        if cfm == "AESV3":
+            return aes_encrypt(self.key, iv, data)
         if cfm == "AESV2":
-            iv = hashlib.md5(b"iv%d/%d" % (num, gen) + data[:16]).digest()
             return aes_encrypt(self._object_key(num, gen, aes=True), iv, data)
         return rc4(self._object_key(num, gen, aes=False), data)
 
@@ -250,6 +309,42 @@ def build_handler(
     return h
 
 
+def build_handler_v5(
+    *, owner_pwd: bytes, user_pwd: bytes, p: int, seed: bytes
+) -> StandardSecurityHandler:
+    """Generator entry for AES-256 (V5/R6, ISO 32000-2 Algorithms
+    8-10): derive /U /UE /O /OE from deterministic salts + a
+    deterministic 32-byte file key (codec.py contract: no RNG)."""
+    file_key = hashlib.sha256(b"filekey:" + seed).digest()
+    vs_u = hashlib.md5(b"vsu:" + seed).digest()[:8]
+    ks_u = hashlib.md5(b"ksu:" + seed).digest()[:8]
+    vs_o = hashlib.md5(b"vso:" + seed).digest()[:8]
+    ks_o = hashlib.md5(b"kso:" + seed).digest()[:8]
+    u = hash_2b(user_pwd, vs_u, b"") + vs_u + ks_u
+    ue = _aes_cbc(hash_2b(user_pwd, ks_u, b""), b"\x00" * 16, file_key, decrypt=False)
+    o = hash_2b(owner_pwd, vs_o, u) + vs_o + ks_o
+    oe = _aes_cbc(hash_2b(owner_pwd, ks_o, u), b"\x00" * 16, file_key, decrypt=False)
+    h = StandardSecurityHandler(
+        v=5, r=6, o=o, u=u, p=p, file_id0=b"", length_bits=256,
+        stm_cfm="AESV3", str_cfm="AESV3", oe=oe, ue=ue,
+    )
+    h.key = file_key
+    return h
+
+
+def compute_perms(p: int, encrypt_metadata: bool, file_key: bytes, seed: bytes) -> bytes:
+    """/Perms (ISO 32000-2 Algorithm 10): P ‖ 0xFFFFFFFF ‖ T/F ‖
+    'adb' ‖ 4 arbitrary bytes, AES-256-ECB under the file key."""
+    blk = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + hashlib.md5(b"perms:" + seed).digest()[:4]
+    )
+    return _aes_ecb(file_key, blk, decrypt=False)
+
+
 def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler:
     """/Encrypt CDict → handler (parser side). Raises EParseError on
     non-/Standard filters or unsupported revisions."""
@@ -269,7 +364,7 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
     r = enc.get_int("R", 0)
     stm_cfm = str_cfm = "V2"
     length_bits = enc.get_int("Length", 40)
-    if v == 4:
+    if v in (4, 5):
         cf = enc.get("CF")
         stmf = enc.get_name("StmF", "Identity")
         strf = enc.get_name("StrF", "Identity")
@@ -280,7 +375,7 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
             f = cf.get(name)
             if isinstance(f, CDict):
                 m = f.get_name("CFM", "None")
-                if m in ("V2", "AESV2"):
+                if m in ("V2", "AESV2", "AESV3"):
                     return m
                 if m == "None":
                     return "Identity"
@@ -301,4 +396,6 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
         encrypt_metadata=enc.get_bool("EncryptMetadata", True),
         stm_cfm=stm_cfm,
         str_cfm=str_cfm,
+        oe=_s("OE"),
+        ue=_s("UE"),
     )
