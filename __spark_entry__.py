@@ -63,6 +63,12 @@ def _q_roundtrip(variant: str):
     return q
 
 
+def _q_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import salvage_rows
+
+    return salvage_rows(spark, sf_dir)
+
+
 def _q_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import geometry_rows
 
@@ -125,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_filters": _q_roundtrip("filters_rotate"),
         "pdf_roundtrip_encrypted": _q_roundtrip("encrypted"),
         "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
+        "pdf_salvage": _q_salvage,
         "pdf_span_geometry": _q_geometry,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
@@ -179,6 +186,9 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # via the CMap's byte encoding must be lossless (ASCII corpus
         # here; multi-byte CJK pinned in tests/test_cjk.py)
         "pdf_roundtrip_cjk": _SPANS_ORACLE_SQL,
+        # §C.2 reconstruction: startxref-less payloads must salvage to
+        # the identical span sequence
+        "pdf_salvage": _SPANS_ORACLE_SQL,
         # span geometry: the generator lays pages out deterministically
         # (codec._content_for: 5 spans/page, y from 720 stepping -16
         # per text / -60 per media span; x=10; show-forms 2-3 perform

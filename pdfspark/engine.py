@@ -195,22 +195,28 @@ def extract(payloads: DataFrame) -> DataFrame:
 FLAT_SCHEMA = "doc_id bigint, offset int, kind string, text string, media_ref string"
 
 
-def extract_flat(payloads: DataFrame) -> DataFrame:
+def extract_flat(payloads: DataFrame, lenient: bool = False) -> DataFrame:
     """Row-oriented extraction: emits exploded span rows directly.
 
     Functionally extract() + explode, but the kernel stage yields FLAT
     Arrow columns — no per-row list-of-dict building, no nested
     struct-array conversion through Arrow, no JVM-side Generate. For
     comparison/row sinks this is the fast path; extract() remains the
-    grouped (spans[]) form for document-shaped sinks."""
+    grouped (spans[]) form for document-shaped sinks.
+
+    ``lenient=True`` turns on §C.2 xref reconstruction (broken or
+    missing startxref chains salvaged by whole-file object scan)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel import extract_spans
+        from .kernel.errors import ParserSettings
+
+        settings = ParserSettings(allow_reconstruction=True) if lenient else None
 
         for pdf in batches:
             ids, offs, kinds, texts, refs = [], [], [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                status, _err, spans = extract_spans(bytes(payload))
+                status, _err, spans = extract_spans(bytes(payload), settings)
                 if status != "ok":
                     continue
                 for (k, t, m, o) in spans:
@@ -335,6 +341,19 @@ def extract_geometry(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(ker, schema=GEO_SCHEMA)
+
+
+def salvage_rows(spark, sf_dir: str) -> DataFrame:
+    """Reconstruction pipeline (driver query `pdf_salvage`): every
+    payload is generated WITHOUT its startxref chain, and lenient
+    extraction must still recover the exact span sequence — the §C.2
+    whole-file-scan path, oracled like any other roundtrip."""
+    from .scale import salt_spans_by_size
+
+    docs = load_documents(spark, sf_dir)
+    spans = salt_spans_by_size(synth_spans_df(docs))
+    payloads = generate_payloads(spans, "malformed:no_startxref", ensure=False)
+    return extract_flat(payloads, lenient=True)
 
 
 def geometry_rows(spark, sf_dir: str, variant: str = "classic") -> DataFrame:

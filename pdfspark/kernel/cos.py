@@ -465,6 +465,20 @@ def parse_dict_or_stream(r: Raw, resolver: Optional[Resolver]) -> Union[CDict, C
                 raise EParseError("/Length is indirect but no resolver available")
             length = resolver(length)
         if not isinstance(length, int) or isinstance(length, bool):
+            if r.settings.allow_reconstruction:
+                # §C.2 salvage: no usable /Length — take everything up
+                # to the next `endstream`, minus the writer's EOL
+                end = d.find(b"endstream", r.pos)
+                if end < 0:
+                    raise EParseError("stream /Length missing and no endstream")
+                body = d[r.pos : end]
+                if body.endswith(b"\r\n"):
+                    body = body[:-2]
+                elif body.endswith((b"\n", b"\r")):
+                    body = body[:-1]
+                r.pos = end + 9
+                out[Name("Length")] = len(body)
+                return CStream(out, body)
             raise EParseError("stream /Length missing or non-integer")
         body = r.read_stream_body(length)
         return CStream(out, body)

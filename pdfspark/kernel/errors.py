@@ -49,6 +49,11 @@ class ParserSettings:
     max_scan_range: int = 100
     # reference COSDictionary.dereference() depth guard (COSDictionary.java:102-110)
     max_deref_depth: int = 5
+    # opt-in ISO 32000-1 §C.2 table reconstruction for files whose
+    # startxref/xref chain is broken or absent. Default False: the
+    # reference REQUIRES startxref (PDFParser.java:97-98), and the
+    # malformed-corpus contract (no-xref family must fail) depends on it.
+    allow_reconstruction: bool = False
 
     # --- four-tier soft asserts (Diagnostics.java:20-42) -------------
     def soft_syntax(self, cond: bool, msg: str) -> None:

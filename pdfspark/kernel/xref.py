@@ -113,6 +113,17 @@ class Parser:
             if hdr < 0:
                 raise EParseError("no %PDF- header found")
         self._parse_version(hdr)
+        if st.allow_reconstruction:
+            try:
+                self._parse_entry()
+            except EParseError:
+                self._reconstruct()
+            return
+        self._parse_entry()
+
+    def _parse_entry(self) -> None:
+        d = self.raw.data
+        st = self.settings
         # %%EOF reverse scan within 1024 of end; missing marker is a
         # SOFT syntax event — fall back to EOF = file end
         # (PDFParser.java:91-95, ParserSettings.java:16)
@@ -147,6 +158,94 @@ class Parser:
             self._parse_xref_section(alt)
         if self.root_ref is None:
             raise EParseError("trailer has no /Root")
+
+    def _reconstruct(self) -> None:
+        """§C.2 full table reconstruction (opt-in via
+        ParserSettings.allow_reconstruction; the reference has no
+        equivalent — it requires startxref, PDFParser.java:97-98):
+
+        1. whole-file ``id gen obj`` scan, last occurrence wins
+           (newest incremental revision);
+        2. harvest every ``trailer`` dict newest-first for
+           /Root /Info /Encrypt /ID;
+        3. expand any scanned object streams so compressed members
+           resolve;
+        4. if still no /Root, adopt the last /Type /Catalog object.
+        """
+        self.xref = XRef()
+        self.root_ref = self.info_ref = self.encrypt_ref = None
+        self.file_id = None
+        self._encrypt_direct = None
+        table = self._scan_table()
+        if not table:
+            raise EParseError("reconstruction failed: no indirect objects")
+        for num, off in table.items():
+            self.xref.add_uncompressed(num, 0, off)
+        # trailers, newest (latest in file) first — harvest is first-wins
+        d = self.raw.data
+        r = self.raw
+        pos = len(d)
+        while True:
+            i = d.rfind(b"trailer", 0, pos)
+            if i < 0:
+                break
+            pos = i
+            save = r.pos
+            try:
+                r.pos = i + 7
+                r.skip_ws_and_comments()
+                t = parse_object(r, self._resolve)
+                if isinstance(t, CDict):
+                    self._harvest_trailer(t)
+            except Exception:
+                pass
+            finally:
+                r.pos = save
+        # expand object streams found by the scan
+        catalog_num: Optional[int] = None
+        for num in sorted(table):
+            try:
+                obj = self.get_object(num, 0)
+            except Exception:
+                continue
+            if isinstance(obj, CStream):
+                if obj.dict.get_name("Type") == "XRef":
+                    # xref-stream files carry the trailer fields in
+                    # the stream dict — harvest Root/Info/Encrypt/ID
+                    self._harvest_trailer(obj.dict)
+                if obj.dict.get_name("Type") == "ObjStm":
+                    try:
+                        n = obj.dict.get_int("N", 0, self._resolve)
+                        hdr = Raw(
+                            decode_stream(obj.data, obj.dict, self._resolve),
+                            self.settings,
+                        )
+                        pairs = [
+                            (hdr.fetch_uint(), hdr.fetch_uint()) for _ in range(n)
+                        ]
+                    except Exception:
+                        continue
+                    for idx, (mnum, _rel) in enumerate(pairs):
+                        if mnum not in self.xref.entries:
+                            self.xref.add_compressed(mnum, num, idx)
+            elif isinstance(obj, CDict) and obj.get_name("Type") == "Catalog":
+                catalog_num = num
+        if self.root_ref is None and catalog_num is not None:
+            self.root_ref = Ref(catalog_num, 0)
+        if self.root_ref is None:
+            # last resort: the catalog may live inside an object stream
+            for num, e in list(self.xref.entries.items()):
+                if not e.compressed:
+                    continue
+                try:
+                    obj = self.get_object(num, 0)
+                except Exception:
+                    continue
+                if isinstance(obj, CDict) and obj.get_name("Type") == "Catalog":
+                    self.root_ref = Ref(num, 0)
+                    break
+        if self.root_ref is None:
+            raise EParseError("reconstruction failed: no /Root, no /Catalog")
 
     def _find_xref_keyword(self, before: int) -> Optional[int]:
         d = self.raw.data

@@ -1,0 +1,69 @@
+"""Opt-in §C.2 xref reconstruction (ParserSettings.allow_reconstruction):
+files with a broken or missing startxref/xref chain extract anyway;
+the DEFAULT contract (reject, like the reference) is unchanged."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from conftest import REF
+from pdfspark.codec import build_pdf, synth_spans_py
+from pdfspark.kernel import extract_spans
+from pdfspark.kernel.errors import ParserSettings
+
+LENIENT = ParserSettings(allow_reconstruction=True)
+TEXT = "reconstruction corpus text " * 20
+
+
+def _expected(spans):
+    return [(k, t, m, i) for i, (k, t, m, _o) in enumerate(spans)]
+
+
+@pytest.mark.parametrize("variant", ["classic", "objstream"])
+def test_no_startxref_reconstructs(variant):
+    spans = synth_spans_py("rx1", TEXT)
+    payload = build_pdf("rx1", spans, variant)
+    i = payload.rfind(b"startxref")
+    broken = payload[:i] + b"%%EOF\n"
+    # default contract: reject (reference requires startxref)
+    st, err, got = extract_spans(broken)
+    assert st == "error" and "startxref" in err
+    # lenient: full recovery, exact span sequence
+    st2, err2, got2 = extract_spans(broken, LENIENT)
+    assert st2 == "ok", (variant, err2)
+    assert got2 == _expected(spans)
+
+
+def test_zeroed_xref_offset_reconstructs():
+    spans = synth_spans_py("rx2", TEXT)
+    payload = build_pdf("rx2", spans, "classic")
+    # corrupt the xref table itself: overwrite 'xref' keyword
+    i = payload.rfind(b"\nxref\n")
+    broken = payload[:i] + b"\nXXXX\n" + payload[i + 6 :]
+    st, _e, _g = extract_spans(broken)
+    assert st == "error"
+    st2, err2, got2 = extract_spans(broken, LENIENT)
+    assert st2 == "ok", err2
+    assert got2 == _expected(spans)
+
+
+def test_reference_no_xref_family_recovers_or_fails_cleanly():
+    """The reference's own `no xref` fixtures: default = reject
+    (pinned elsewhere); lenient mode must never crash, and the
+    text-bearing fixture must actually yield its text."""
+    for path in sorted(glob.glob(os.path.join(REF, "minimal", "no xref", "*.pdf"))):
+        with open(path, "rb") as f:
+            data = f.read()
+        st, _err, spans = extract_spans(data, ParserSettings(allow_reconstruction=True))
+        assert st in ("ok", "error")
+        if os.path.basename(path).startswith("a1"):
+            assert st == "ok"
+            assert any(k == "text" and t for (k, t, _m, _o) in spans)
+
+
+def test_noise_still_fails_in_lenient_mode():
+    st, _e, _g = extract_spans(b"\x00\x01" * 50, LENIENT)
+    assert st == "error"
