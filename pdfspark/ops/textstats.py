@@ -156,12 +156,161 @@ FROM documents
 """
 
 
+# --- normalization + PII scrub ----------------------------------------------
+
+# conservative patterns (no lookaround) so the SAME regex text runs in
+# Spark (Java regex) and DuckDB (RE2): emails, URLs, phone-ish digit runs
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{5,}[0-9]"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + PII scrub, the pre-training hygiene pass:
+    lowercase, whitespace-collapse, emails/URLs/phone-runs replaced by
+    typed placeholders. The corpus text is clean, so deterministic PII
+    is appended per doc first — the scrub must remove exactly it
+    (oracle reconstructs the expectation). Pure codegen projection:
+    zero shuffles, fuses into the scan."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com  or https://ex.com/d/"), F.col("doc_id").cast("string"),
+        F.lit(" tel +1 (555) 010-02"), F.col("doc_id").cast("string"),
+    )
+    clean = F.lower(dirty)
+    n_pii = (
+        F.regexp_count(clean, F.lit(PII_EMAIL))
+        + F.regexp_count(clean, F.lit(PII_URL))
+        + F.regexp_count(clean, F.lit(PII_PHONE))
+    )
+    for pat, tok in ((PII_EMAIL, "<EMAIL>"), (PII_URL, "<URL>"), (PII_PHONE, "<PHONE>")):
+        clean = F.regexp_replace(clean, pat, tok)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_pii.cast("int").alias("n_pii"),
+    )
+
+
+TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(dirty, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_URL}', '<URL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+         '\\s+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(dirty, '{PII_EMAIL}'))
+          + len(regexp_extract_all(dirty, '{PII_URL}'))
+          + len(regexp_extract_all(dirty, '{PII_PHONE}')) AS INT) AS n_pii
+FROM (
+  SELECT doc_id,
+         lower(text || ' Contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com  or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+               || ' tel +1 (555) 010-02' || CAST(doc_id AS VARCHAR)) AS dirty
+  FROM documents
+)
+"""
+
+
+# --- BM25 relevance ranking -------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "stream", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus for a fixed term set → top-20 docs.
+
+    Plan shape at 10^12 docs: one explode + one (doc_id, w) groupBy
+    for term frequencies (map-side combinable), document-frequency and
+    corpus stats are TINY aggregates broadcast back (≤|terms| rows and
+    1 row), so the only real shuffle is the tf groupBy; final top-k is
+    a global sort of |matching docs| scored rows. All JVM-side."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("dl"))
+    words = docs.select(
+        "doc_id", "dl", F.explode("ws").alias("w")
+    ).where(F.col("w").isin(list(BM25_TERMS)))
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .select("doc_id", F.round("score", 5).alias("score_r5"))
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+words AS (
+  SELECT doc_id, dl, unnest(ws) AS w FROM d
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+  FROM words WHERE w IN ({terms}) GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+scored AS (
+  SELECT t.doc_id,
+         sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (t.tf * ({BM25_K1} + 1))
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+         ) AS score
+  FROM tf t JOIN dfreq f ON f.w = t.w CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 5) AS score_r5
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
         "text_quality": text_quality,
         "lang_id": lang_id,
         "text_fingerprint": fingerprint,
+        "text_normalize": text_normalize,
+        "bm25_topk": bm25_topk,
     }
 
 
@@ -171,4 +320,6 @@ def oracles():
         "text_quality": TEXT_QUALITY_SQL,
         "lang_id": _lang_id_sql(),
         "text_fingerprint": FINGERPRINT_SQL,
+        "text_normalize": TEXT_NORMALIZE_SQL,
+        "bm25_topk": _bm25_oracle_sql(),
     }

@@ -203,3 +203,30 @@ def test_sketch_aggregates_near_exact(spark):
     ).first()
     assert abs(row.approx_src - row.exact_src) <= max(2, row.exact_src * 0.05)
     assert abs(row.p50 - row.exact_p50) <= row.exact_p50 * 0.1
+
+
+def test_text_normalize_scrubs_pii(spark):
+    from pdfspark.ops.textstats import text_normalize
+
+    rows = text_normalize(spark, SF_SMOKE).limit(20).collect()
+    assert rows
+    for r in rows:
+        t = r.clean_text
+        assert "@example.com" not in t and "https://" not in t
+        assert "<EMAIL>" in t and "<URL>" in t and "<PHONE>" in t
+        assert r.n_pii >= 3
+        assert "  " not in t  # whitespace collapsed
+
+
+def test_bm25_scores_monotone_in_tf(spark, tmp_path):
+    from pdfspark.ops.textstats import bm25_topk
+
+    rows = [(1, "spark spark spark join filler words here"),
+            (2, "spark join filler words here and there"),
+            (3, "no relevant terms at all in this one")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r.score_r5 for r in bm25_topk(spark, path).collect()}
+    assert 3 not in got          # no matching terms -> no score
+    assert got[1] > got[2] > 0   # higher tf ranks higher
