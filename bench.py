@@ -27,14 +27,18 @@ HEADLINE = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_filters",
+    "pdf_roundtrip_encrypted",
+    "pdf_salvage",
     "pdf_malformed_policy",
     "pdf_metadata",
+    "html_main_text",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_cosine_topk",
     "embed_neardup_pairs",
     "text_quality",
+    "bm25_topk",
     "media_meta",
     "events_sessionize",
     "events_asof_click",
