@@ -72,6 +72,34 @@ def main() -> None:
     # flagship throughput: docs/sec through the full round-trip pipeline
     rt = timings.get("pdf_roundtrip_interleaved", 1e9)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # BASELINE.json's metric is documents-extracted/sec: measure the
+    # full pipeline at saturating volume (in-plan replication so
+    # compute dominates the per-query scheduling constant that small
+    # SFs are charged). Skipped if replicate_docs is unavailable.
+    replicated = None
+    try:
+        from pdfspark.engine import (
+            extract_flat, generate_payloads, load_documents,
+            replicate_docs, synth_spans_df,
+        )
+        from pdfspark.scale import salt_spans_by_size
+
+        k = int(os.environ.get("BENCH_REPLICATE", "16"))
+        docs = replicate_docs(load_documents(spark, SF_DIR), k)
+        rows = extract_flat(
+            generate_payloads(
+                salt_spans_by_size(synth_spans_df(docs)), "mixed", ensure=False
+            )
+        )
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            rows.count()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        replicated = round(n_docs * k / best, 1)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -82,6 +110,7 @@ def main() -> None:
                 "sf": float(sf),
                 "docs": n_docs,
                 "roundtrip_docs_per_sec": round(n_docs / rt, 1),
+                "replicated_pipeline_docs_per_sec": replicated,
             }
         )
     )

@@ -129,7 +129,9 @@ def minhash_signatures(
     r = n_hashes/n_bands values hashed together. Aggregation is
     map-side combinable (min) → one shuffle by doc_id."""
     sh = shingles_df(docs).selectExpr(
-        "doc_id", f"{_hex_prefix_to_int('sh')} % {P_MINHASH} AS h0"
+        # 8 hex digits (32 bits) is plenty of entropy for a minhash
+        # seed value and halves the instr/substr chain vs 15 digits
+        "doc_id", f"{_hex_prefix_to_int('sh', 8)} % {P_MINHASH} AS h0"
     )
     aggs = []
     for i in range(n_hashes):
@@ -332,7 +334,7 @@ WITH sh AS (
   FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) documents
 ),
 sh0 AS (
-  SELECT doc_id, {_hex_prefix_to_int('sh')} % {P_MINHASH} AS h0 FROM sh
+  SELECT doc_id, {_hex_prefix_to_int('sh', 8)} % {P_MINHASH} AS h0 FROM sh
 ),
 sig AS (
   SELECT doc_id,
