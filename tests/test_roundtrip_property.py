@@ -157,3 +157,83 @@ def test_roundtrip_arbitrary_text_hypothesis(items):
     assert [(k, t, m) for (k, t, m, _) in got] == [
         (k, t, m) for (k, t, m, _) in spans
     ]
+
+
+# --- round-2 surfaces under the same seeded-random regime -------------------
+
+R2_VARIANTS = ["encrypted", "cjk"]
+
+
+@pytest.mark.parametrize("variant", R2_VARIANTS)
+def test_roundtrip_random_spans_r2_variants(variant):
+    rng = random.Random(hash(variant) & 0xFFFF)
+    for trial in range(6):
+        spans = random_spans(rng, rng.randrange(0, 30), unicode_frac=0.3)
+        payload = build_pdf(f"r2{trial}", spans, variant)
+        status, err, got = extract_spans(payload)
+        assert status == "ok", (variant, trial, err)
+        assert [(k, t, m) for (k, t, m, _) in got] == [
+            (k, t, m) for (k, t, m, _) in spans
+        ], (variant, trial)
+
+
+def test_roundtrip_reconstruction_random():
+    """Random spans, startxref stripped, lenient reconstruction must
+    still produce the exact sequence — across structural variants."""
+    from pdfspark.kernel.errors import ParserSettings
+
+    lenient = ParserSettings(allow_reconstruction=True)
+    rng = random.Random(0xC2)
+    for variant in ("classic", "crlf", "objstream"):
+        spans = random_spans(rng, 15)
+        payload = build_pdf("rc", spans, variant)
+        i = payload.rfind(b"startxref")
+        broken = payload[:i] + b"%%EOF\n"
+        status, err, got = extract_spans(broken, lenient)
+        assert status == "ok", (variant, err)
+        assert [(k, t, m) for (k, t, m, _) in got] == [
+            (k, t, m) for (k, t, m, _) in spans
+        ], variant
+
+
+def test_html_strip_random_texts():
+    """Random word texts through wrap→strip must reproduce the chunk
+    sequence the oracle predicts (trim + min-length filter)."""
+    from pdfspark.kernel.htmlops import MIN_BLOCK_CHARS, strip_boilerplate
+    from pdfspark.ops.html import CHUNK, wrap_html
+
+    rng = random.Random(0xA7)
+    for trial in range(12):
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randrange(1, 200)))
+        got = strip_boilerplate(wrap_html(str(trial), text))
+        exp = "\n".join(
+            c
+            for c in (
+                text[i : i + CHUNK].strip() for i in range(0, len(text), CHUNK)
+            )
+            if len(c) >= MIN_BLOCK_CHARS
+        )
+        assert got == exp, trial
+
+
+def test_geometry_random_texts_match_closed_form():
+    from pdfspark.kernel import extract_spans_geo
+
+    rng = random.Random(0x9E)
+    for trial in range(8):
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randrange(1, 150)))
+        spans = synth_spans_py(str(trial), text)
+        st, err, got = extract_spans_geo(build_pdf(str(trial), spans, "classic"))
+        assert st == "ok", err
+        for g in got:
+            off, x, y = g[3], g[4], g[5]
+            kind = g[0]
+            pg, j = off // 5, off % 5
+            ybase = 720
+            for k in range(j):
+                ybase -= 60 if (pg * 5 + k) % 4 == 3 else 16
+            assert x == 10.0
+            if kind == "media":
+                assert y == float(ybase)
+            else:
+                assert y == float(ybase - 14 if j % 4 in (2, 3) else ybase)
