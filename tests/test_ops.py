@@ -230,3 +230,21 @@ def test_bm25_scores_monotone_in_tf(spark, tmp_path):
     got = {r.doc_id: r.score_r5 for r in bm25_topk(spark, path).collect()}
     assert 3 not in got          # no matching terms -> no score
     assert got[1] > got[2] > 0   # higher tf ranks higher
+
+
+def test_corpus_curate_reasons(spark, tmp_path):
+    from pdfspark.ops.curate import corpus_curate
+
+    rows = [
+        (1, "the a is and " + "spark data join table scan merge sort batch " * 3),  # kept
+        (2, "the a is and " + "spark data join table scan merge sort batch " * 3),  # duplicate of 1
+        (3, "der die und nicht der die und nicht der die und nicht"),               # lang=de
+        (4, "the a is and spark"),                                                  # too_short
+        (5, ("the a is and " + "word " * 96).strip()),                              # low_diversity
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "curate_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r.reason for r in corpus_curate(spark, path).collect()}
+    assert got == {1: "kept", 2: "duplicate", 3: "lang",
+                   4: "too_short", 5: "low_diversity"}
