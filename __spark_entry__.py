@@ -194,21 +194,26 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # per text / -60 per media span; x=10; show-forms 2-3 perform
         # an implicit T* next-line move of TL=14; media placed by a
         # 100×50 cm) — so expected (x, y, w, h) is closed-form SQL
+        # text width = glyph-advance sum: the generator's /Widths are a
+        # constant 500/1000 em at size 12 → (500·tlen·12)/1000, exact
+        # in IEEE because every factor is an integer
         "pdf_span_geometry": _SPANS_CTE
         + """,
 s AS (
-  SELECT doc_id, CAST(i + i // 3 AS INT) AS off, 'text' AS kind FROM c
+  SELECT doc_id, CAST(i + i // 3 AS INT) AS off, 'text' AS kind,
+         length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen
+  FROM c
   UNION ALL
-  SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS off, 'media' AS kind
+  SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS off, 'media' AS kind, 0 AS tlen
   FROM c WHERE i % 3 = 2
 ),
 p AS (
-  SELECT doc_id, off, kind, off // 5 AS pg, off % 5 AS j,
+  SELECT doc_id, off, kind, tlen, off // 5 AS pg, off % 5 AS j,
          CASE WHEN kind = 'text' THEN 16 ELSE 60 END AS dy
   FROM s
 ),
 wk AS (
-  SELECT doc_id, off, kind, j,
+  SELECT doc_id, off, kind, tlen, j,
          720 - (SUM(dy) OVER (PARTITION BY doc_id, pg ORDER BY j) - dy) AS ybase
   FROM p
 )
@@ -217,7 +222,8 @@ SELECT doc_id, off AS "offset", kind,
        CAST(CASE WHEN kind = 'media' THEN ybase
                  WHEN j % 4 IN (2, 3) THEN ybase - 14
                  ELSE ybase END AS DOUBLE) AS y,
-       CAST(CASE WHEN kind = 'media' THEN 100.0 END AS DOUBLE) AS w,
+       CAST(CASE WHEN kind = 'media' THEN 100.0
+                 ELSE (500 * tlen * 12) / 1000.0 END AS DOUBLE) AS w,
        CAST(CASE WHEN kind = 'media' THEN 50.0 ELSE 12.0 END AS DOUBLE) AS h
 FROM wk
 """,

@@ -302,6 +302,12 @@ def build_object_graph(
     f1[Name("Subtype")] = Name("Type1")
     f1[Name("BaseFont")] = Name("Helvetica")
     f1[Name("Encoding")] = Name("WinAnsiEncoding")
+    # constant-width metrics over the printable-ASCII window so the
+    # extractor can project span WIDTHS (glyph-advance sum); 500/1000em
+    # → text-space width = 0.5 × size per char, SQL-expressible
+    f1[Name("FirstChar")] = 32
+    f1[Name("LastChar")] = 126
+    f1[Name("Widths")] = [500] * 95
     g.objs[f1_num] = f1
     if needs_cid:
         cmap = _encode_content(_TOUNICODE_IDENTITY, ["flate"])

@@ -163,7 +163,10 @@ class Font:
     fixed-width codes.
     """
 
-    __slots__ = ("two_byte", "tounicode", "table", "codec", "trans")
+    __slots__ = (
+        "two_byte", "tounicode", "table", "codec", "trans",
+        "widths", "first_char", "default_width",
+    )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
         self.two_byte = False
@@ -171,6 +174,12 @@ class Font:
         self.table: Optional[list[str]] = None
         self.codec: Optional[str] = None
         self.trans: Optional[dict[int, str]] = None  # lazy str.translate map
+        # glyph metrics: simple fonts /FirstChar + /Widths (1000-em
+        # units); Type0 defaults to /DW 1000 per code. None ⇒ width
+        # projection unavailable for this font (span w stays null).
+        self.widths: Optional[list[int]] = None
+        self.first_char = 0
+        self.default_width = 0
 
         subtype = fdict.get_name("Subtype", None, resolver)
         if subtype == "Type0":
@@ -181,6 +190,27 @@ class Font:
                 # CMap streams still rely on ToUnicode (CID→Unicode
                 # needs the full character-collection tables)
                 self.codec = _PREDEFINED_CMAP_CODECS.get(str(enc))
+        if self.two_byte:
+            # /W parsing is out of scope; /DW (default 1000) covers the
+            # constant-advance case (ISO 32000-1 §9.7.4.3)
+            dfs = fdict.get_array("DescendantFonts", None, resolver)
+            dw = 1000
+            if dfs:
+                d0 = fdict.deref(dfs[0], resolver)
+                if isinstance(d0, CDict):
+                    dw = d0.get_int("DW", 1000, resolver)
+            self.default_width = dw
+        else:
+            ws = fdict.get_array("Widths", None, resolver)
+            if ws:
+                vals = [
+                    int(fdict.deref(x, resolver))
+                    for x in ws
+                    if isinstance(fdict.deref(x, resolver), (int, float))
+                ]
+                if vals:
+                    self.widths = vals
+                    self.first_char = fdict.get_int("FirstChar", 0, resolver)
         tu = fdict.get_stream("ToUnicode", None, resolver)
         if tu is not None:
             decoded = decode_stream(tu.data, tu.dict, resolver)
@@ -243,6 +273,25 @@ class Font:
             t = self.table or [chr(i) for i in range(256)]
             tr = self.trans = {i: t[i] for i in range(256)}
         return raw.decode("latin-1").translate(tr)
+
+    def advance_1000(self, raw: bytes) -> Optional[int]:
+        """Glyph-advance sum for one show string in 1000-em units, as
+        an exact INTEGER (so width math is bit-identical across
+        engines), or None when this font carries no metrics."""
+        if self.two_byte:
+            if self.codec is not None:
+                # variable-width codes: advance per DECODED char
+                n = len(raw.decode(self.codec, errors="replace"))
+            else:
+                n = len(raw) // 2
+            return n * self.default_width
+        if self.widths is None:
+            return None
+        w, fc, ws, dflt = 0, self.first_char, self.widths, self.default_width
+        hi = fc + len(ws)
+        for b in raw:
+            w += ws[b - fc] if fc <= b < hi else dflt
+        return w
 
 
 _DEFAULT_FONT = Font(CDict(), None)
@@ -397,6 +446,8 @@ def interpret_content(
     leading = 0.0
     span_xy: Optional[tuple] = None  # first-show origin of the open span
     span_h: Optional[float] = None
+    span_adv = 0.0  # accumulated device-space glyph advance (width)
+    span_w_known = True  # False once any show op lacks font metrics
     # fonts are shared across pages via the resources dict — cache at
     # document scope (keyed by the font dict's identity) so ToUnicode
     # CMaps and encoding tables are built once per document, not per page
@@ -426,12 +477,20 @@ def interpret_content(
         return f
 
     def show(s) -> None:
-        nonlocal span_xy, span_h
+        nonlocal span_xy, span_h, span_adv, span_w_known
         if isinstance(s, CString):
+            trm = _matmul(tm, ctm)
             if span_xy is None:
-                trm = _matmul(tm, ctm)
                 span_xy = (trm[4], trm[5])
                 span_h = cur_size or None
+            adv = cur_font.advance_1000(s.raw)
+            if adv is None:
+                span_w_known = False
+            else:
+                # glyph advances only (Tc/Tw/TJ kerning excluded —
+                # documented width semantics); the association order
+                # (int·size)/1000·scale is mirrored by the SQL oracle
+                span_adv += (adv * cur_size) / 1000.0 * trm[0]
             text_parts.append(cur_font.decode(s.raw))
 
     def next_line() -> None:
@@ -502,10 +561,12 @@ def interpret_content(
             text_parts = []
             tm = tlm = _MAT_ID
             span_xy, span_h = None, None
+            span_adv, span_w_known = 0.0, True
         elif op == b"ET":
             if in_text:
                 x, y = span_xy if span_xy is not None else (None, None)
-                spans.append(Span("text", "".join(text_parts), None, x, y, None, span_h))
+                w = span_adv if (span_w_known and span_xy is not None) else None
+                spans.append(Span("text", "".join(text_parts), None, x, y, w, span_h))
             in_text = False
         elif op == b"Tf":
             if operands and isinstance(operands[0], Name):

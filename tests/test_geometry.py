@@ -9,8 +9,9 @@ from pdfspark.codec import build_pdf, synth_spans_py
 from pdfspark.kernel import extract_spans_geo
 
 
-def _expected_geo(n_spans: int):
-    """Mirror of the SQL oracle in __spark_entry__ (pdf_span_geometry)."""
+def _expected_geo(n_spans: int, tlens=None):
+    """Mirror of the SQL oracle in __spark_entry__ (pdf_span_geometry):
+    text w = glyph-advance sum = (500·tlen·12)/1000 (constant /Widths)."""
     out = []
     for off in range(n_spans):
         kind = "media" if off % 4 == 3 else "text"
@@ -23,8 +24,13 @@ def _expected_geo(n_spans: int):
             out.append((kind, off, 10.0, float(ybase), 100.0, 50.0))
         else:
             y = ybase - 14 if j % 4 in (2, 3) else ybase
-            out.append((kind, off, 10.0, float(y), None, 12.0))
+            w = (500 * tlens[off] * 12) / 1000.0 if tlens else None
+            out.append((kind, off, 10.0, float(y), w, 12.0))
     return out
+
+
+def _tlens(spans):
+    return {off: len(t or "") for (k, t, _m, off) in spans}
 
 
 def test_generator_layout_geometry_exact():
@@ -34,14 +40,14 @@ def test_generator_layout_geometry_exact():
     st, err, got = extract_spans_geo(payload)
     assert st == "ok", err
     assert [(g[0], g[3], g[4], g[5], g[6], g[7]) for g in got] == _expected_geo(
-        len(spans)
+        len(spans), _tlens(spans)
     )
 
 
 def test_geometry_through_encryption_and_filters():
     text = "z" * (80 * 5)
     spans = synth_spans_py("geo2", text)
-    exp = _expected_geo(len(spans))
+    exp = _expected_geo(len(spans), _tlens(spans))
     for variant in ("encrypted", "filters:a85+flate", "objstream", "incremental"):
         st, err, got = extract_spans_geo(build_pdf("geo2", spans, variant))
         assert st == "ok", (variant, err)
