@@ -302,12 +302,21 @@ def build_object_graph(
     f1[Name("Subtype")] = Name("Type1")
     f1[Name("BaseFont")] = Name("Helvetica")
     f1[Name("Encoding")] = Name("WinAnsiEncoding")
-    # constant-width metrics over the printable-ASCII window so the
-    # extractor can project span WIDTHS (glyph-advance sum); 500/1000em
-    # → text-space width = 0.5 × size per char, SQL-expressible
+    # constant-width metrics so the extractor can project span WIDTHS
+    # (glyph-advance sum): a 1-entry /Widths window + /MissingWidth
+    # covering everything else — 500/1000 em → 0.5 × size per char,
+    # SQL-expressible, and only TWO numbers to tokenize per document
+    # (a full 95-entry array measurably slowed structural parse)
+    fdesc = CDict()
+    fdesc[Name("Type")] = Name("FontDescriptor")
+    fdesc[Name("FontName")] = Name("Helvetica")
+    fdesc[Name("Flags")] = 32
+    fdesc[Name("MissingWidth")] = 500
+    fdesc_num = g.add(fdesc)
     f1[Name("FirstChar")] = 32
-    f1[Name("LastChar")] = 126
-    f1[Name("Widths")] = [500] * 95
+    f1[Name("LastChar")] = 32
+    f1[Name("Widths")] = [500]
+    f1[Name("FontDescriptor")] = Ref(fdesc_num, 0)
     g.objs[f1_num] = f1
     if needs_cid:
         cmap = _encode_content(_TOUNICODE_IDENTITY, ["flate"])

@@ -115,10 +115,21 @@ def ensure_parallelism(df: DataFrame, factor: int = 3) -> DataFrame:
     would serialize every downstream mapInPandas stage. If the scan is
     under-partitioned relative to the cluster, hash-repartition on
     doc_id up front (at 10^12-doc scale the source is already
-    thousands of splits and this is a no-op)."""
+    thousands of splits and this is a no-op).
+
+    The decision uses `inputFiles()` — pure metadata — NOT
+    `df.rdd.getNumPartitions()`, which under AQE would materialize
+    every upstream shuffle stage eagerly (the work then runs twice).
+    A frame with no input files (in-memory/derived) is assumed
+    under-partitioned and repartitioned; callers that already
+    repartitioned pass ensure=False."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target, "doc_id")
     return df
 

@@ -221,6 +221,12 @@ _NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _NAME_CACHE: dict = {}
 _NAME_CACHE_MAX = 4096
 _NUMBER_RE = re.compile(rb"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)")
+# one-pass "ref or number" for the digit-led dispatch in parse_object
+_NUMREF_RE = re.compile(
+    rb"(?P<id>[0-9]{1,9})[\x00\t\n\x0c\r ]+(?P<gen>[0-9]{1,5})"
+    rb"[\x00\t\n\x0c\r ]+(?P<kw>R|obj)"
+    rb"|(?P<num>[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+))"
+)
 _IDGEN_RE = re.compile(rb"([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]+(R|obj)")
 _LITERAL_SPECIAL_RE = re.compile(rb"[\\()\r]")
 
@@ -541,12 +547,33 @@ def parse_object(r: Raw, resolver: Optional[Resolver] = None) -> COSValue:
             return COS_NULL
         raise EParseError(f"bad token at {p}")
     if 0x30 <= b <= 0x39:
-        got = try_read_id(r)
-        if got is not None and got[2] == b"R":
-            return Ref(got[0], got[1])
-        if got is not None:  # 'obj' header is not a value here
-            r.pos = p
-        return parse_number(r)
+        # combined ref-or-number scan: ONE regex pass instead of the
+        # try_read_id probe followed by a second number match (numbers
+        # vastly outnumber refs in dicts/arrays — widths, boxes, dates)
+        m = _NUMREF_RE.match(d, p)
+        if m is None:
+            raise EParseError(f"malformed number at {p}")
+        kw = m.group("kw")
+        if kw is not None:
+            q = m.end()
+            if kw == b"R":
+                nxt = d[q] if q < n else 0x20
+                if is_ws(nxt) or is_delim(nxt):
+                    r.pos = q
+                    return Ref(int(m.group("id")), int(m.group("gen")))
+            # 'obj' header (or R abutting non-delim) is not a value
+            # here — re-match as a plain number
+            m = _NUMBER_RE.match(d, p)
+            if m is None:
+                raise EParseError(f"malformed number at {p}")
+            num = m.group()
+        else:
+            num = m.group("num")
+        q = m.end()
+        if q < n and not (is_ws(d[q]) or is_delim(d[q])):
+            raise EParseError(f"malformed number at {p}: bad terminator {d[q]:#x}")
+        r.pos = q
+        return float(num) if b"." in num else int(num)
     if b in (0x2B, 0x2D, 0x2E):  # + - .
         return parse_number(r)
     raise EParseError(f"unknown token {bytes([b])!r} at {p}")

@@ -203,14 +203,21 @@ class Font:
         else:
             ws = fdict.get_array("Widths", None, resolver)
             if ws:
-                vals = [
-                    int(fdict.deref(x, resolver))
-                    for x in ws
-                    if isinstance(fdict.deref(x, resolver), (int, float))
-                ]
+                vals = []
+                for x in ws:
+                    v = fdict.deref(x, resolver)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        vals.append(int(v))
                 if vals:
                     self.widths = vals
                     self.first_char = fdict.get_int("FirstChar", 0, resolver)
+            fd = fdict.get_dict("FontDescriptor", None, resolver)
+            if fd is not None:
+                mw = fd.get_int("MissingWidth", -1, resolver)
+                if mw >= 0:
+                    self.default_width = mw
+                    if self.widths is None:
+                        self.widths = []  # metrics known via MissingWidth
         tu = fdict.get_stream("ToUnicode", None, resolver)
         if tu is not None:
             decoded = decode_stream(tu.data, tu.dict, resolver)
@@ -287,8 +294,12 @@ class Font:
             return n * self.default_width
         if self.widths is None:
             return None
-        w, fc, ws, dflt = 0, self.first_char, self.widths, self.default_width
+        ws, dflt = self.widths, self.default_width
+        if not ws or (len(ws) == 1 and ws[0] == dflt):
+            return len(raw) * dflt  # constant-width fast path
+        fc = self.first_char
         hi = fc + len(ws)
+        w = 0
         for b in raw:
             w += ws[b - fc] if fc <= b < hi else dflt
         return w
@@ -476,12 +487,15 @@ def interpret_content(
             font_cache[key] = f
         return f
 
+    trm_c: Optional[tuple] = None  # lazily computed tm×ctm (show ops)
+
     def show(s) -> None:
-        nonlocal span_xy, span_h, span_adv, span_w_known
+        nonlocal span_xy, span_h, span_adv, span_w_known, trm_c
         if isinstance(s, CString):
-            trm = _matmul(tm, ctm)
+            if trm_c is None:
+                trm_c = _matmul(tm, ctm)
             if span_xy is None:
-                span_xy = (trm[4], trm[5])
+                span_xy = (trm_c[4], trm_c[5])
                 span_h = cur_size or None
             adv = cur_font.advance_1000(s.raw)
             if adv is None:
@@ -490,13 +504,14 @@ def interpret_content(
                 # glyph advances only (Tc/Tw/TJ kerning excluded —
                 # documented width semantics); the association order
                 # (int·size)/1000·scale is mirrored by the SQL oracle
-                span_adv += (adv * cur_size) / 1000.0 * trm[0]
+                span_adv += (adv * cur_size) / 1000.0 * trm_c[0]
             text_parts.append(cur_font.decode(s.raw))
 
     def next_line() -> None:
-        nonlocal tlm, tm
+        nonlocal tlm, tm, trm_c
         tlm = _matmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
         tm = tlm
+        trm_c = None
 
     pos = 0
     end = len(data)
@@ -562,6 +577,7 @@ def interpret_content(
             tm = tlm = _MAT_ID
             span_xy, span_h = None, None
             span_adv, span_w_known = 0.0, True
+            trm_c = None
         elif op == b"ET":
             if in_text:
                 x, y = span_xy if span_xy is not None else (None, None)
@@ -581,10 +597,12 @@ def interpret_content(
                     leading = -v[1]
                 tlm = _matmul((1.0, 0.0, 0.0, 1.0, v[0], v[1]), tlm)
                 tm = tlm
+                trm_c = None
         elif op == b"Tm":
             v = _nums(operands, 6)
             if v is not None:
                 tm = tlm = tuple(v)
+                trm_c = None
         elif op == b"T*":
             next_line()
         elif op == b"TL":
@@ -596,10 +614,12 @@ def interpret_content(
         elif op == b"Q":
             if ctm_stack:
                 ctm = ctm_stack.pop()
+                trm_c = None
         elif op == b"cm":
             v = _nums(operands, 6)
             if v is not None:
                 ctm = _matmul(tuple(v), ctm)
+                trm_c = None
         elif op == b"Tj":
             if operands:
                 show(operands[-1])
