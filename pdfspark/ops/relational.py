@@ -225,6 +225,36 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT discrete percentiles of document length —
+    the deterministic (oracle-able) twin of the approx sketches:
+    percentile_disc picks an actual data value, so Spark and DuckDB
+    agree bit-for-bit where percentile_approx would not. One shuffle
+    (the groupBy); at corpus scale the per-group sort is the cost,
+    which is what the approx sketch trades away."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    aggs = [
+        F.expr(f"percentile_disc({frac}) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint")
+        .alias(name)
+        for name, frac in qs.items()
+    ]
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), *aggs
+    ).withColumn("n_docs", F.col("n_docs").cast("bigint"))
+
+
+CORPUS_QUANTILES_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+FROM documents GROUP BY lang
+"""
+
+
 CORPUS_PROFILE_SQL = """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -286,6 +316,7 @@ FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
 def queries():
     return {
         "corpus_profile": corpus_profile,
+        "corpus_quantiles": corpus_quantiles,
         "events_range_join": events_range_join,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "orders_revenue_by_nation": orders_revenue_by_nation,
@@ -300,6 +331,7 @@ def queries():
 def oracles():
     return {
         "corpus_profile": CORPUS_PROFILE_SQL,
+        "corpus_quantiles": CORPUS_QUANTILES_SQL,
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
         "lineitem_pricing_summary": LINEITEM_Q1_SQL,
         "orders_revenue_by_nation": ORDERS_REVENUE_SQL,

@@ -162,3 +162,37 @@ def test_lineage_attempt_counter(spark, tmp_path):
     assert len(done) == 4
     # the two buckets finished on the second run carry attempt 2
     assert sorted(done.values()) == [1, 1, 2, 2]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing evidence for the 100 TB co-located-join story: two
+    tables bucketed+sorted on the join key must SortMergeJoin with
+    ZERO Exchange (and zero Sort) in the physical plan — the shuffle
+    happens once at write time, then every future join on that key is
+    free. (Broadcast is suppressed with a merge hint so the test pins
+    the bucketed path, not the small-table shortcut.)"""
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    dim = load_documents(spark, SF_SMOKE).select("doc_id", "n_chars")
+    try:
+        docs.write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+            "overwrite"
+        ).saveAsTable("tb_docs")
+        dim.write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+            "overwrite"
+        ).saveAsTable("tb_dim")
+        joined = (
+            spark.table("tb_docs")
+            .hint("merge")
+            .join(spark.table("tb_dim"), "doc_id")
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # correctness too: every doc matched exactly once
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_docs")
+        spark.sql("DROP TABLE IF EXISTS tb_dim")
