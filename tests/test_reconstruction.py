@@ -67,3 +67,24 @@ def test_reference_no_xref_family_recovers_or_fails_cleanly():
 def test_noise_still_fails_in_lenient_mode():
     st, _e, _g = extract_spans(b"\x00\x01" * 50, LENIENT)
     assert st == "error"
+
+
+def test_lenient_mode_never_crashes_on_adversarial_noise():
+    """Reconstruction scans the whole file with regexes — adversarial
+    byte soup with embedded `obj`/`trailer`/`stream` tokens must come
+    back ('ok'|'error'), never raise through the PERMISSIVE wrapper."""
+    import random
+
+    rng = random.Random(0xBAD)
+    tokens = [b" obj ", b"trailer", b"stream\n", b"endstream", b"<<", b">>",
+              b"%PDF-1.4\n", b"0 0 R", b"[", b"(", b"xref\n", b"%%EOF"]
+    for trial in range(25):
+        chunks = [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 60)))]
+        for _ in range(rng.randrange(0, 12)):
+            chunks.append(rng.choice(tokens))
+            chunks.append(bytes(rng.randrange(32, 127) for _ in range(rng.randrange(0, 30))))
+        payload = b"%PDF-1.4\n" + b"".join(chunks)
+        st, _err, spans = extract_spans(payload, LENIENT)
+        assert st in ("ok", "error"), trial
+        if st == "error":
+            assert spans == []

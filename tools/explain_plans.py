@@ -74,6 +74,20 @@ COMMENTARY = {
         "pass). At 10^12 docs this is embarrassingly parallel — "
         "partition count = input splits, no shuffle boundary at all."
     ),
+    "bm25_topk": (
+        "The only real shuffle is the (doc_id, w) term-frequency "
+        "groupBy (map-side combinable). Document frequencies and the "
+        "corpus stats come back as BroadcastExchanges of ≤4 rows and "
+        "1 row; the final top-20 is a TakeOrderedAndProject, not a "
+        "global sort."
+    ),
+    "corpus_curate": (
+        "The whole curation pipeline is ONE plan with ONE Exchange — "
+        "the md5(text) duplicate-cluster window. Language argmax, "
+        "token counts and diversity ratios are codegen projections "
+        "fused into the scan; the reason CASE is evaluated post-window "
+        "with no further movement."
+    ),
     "dedup_clusters": (
         "The iterative component labeling is driver-coordinated "
         "(Pregel shape); the plan shown is the FINAL labels projection "
