@@ -124,11 +124,19 @@ def _hex_prefix_to_int(expr: str, n: int = 15) -> str:
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
+    return signatures_from_shingles(shingles_df(docs), n_hashes, n_bands)
+
+
+def signatures_from_shingles(
+    shingles: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """(doc_id, band, band_val): universal-hash minhash — h0 =
     md5-prefix int per shingle, hᵢ = min (aᵢ·h0 + bᵢ) mod P; bands of
     r = n_hashes/n_bands values hashed together. Aggregation is
-    map-side combinable (min) → one shuffle by doc_id."""
-    sh = shingles_df(docs).selectExpr(
+    map-side combinable (min) → one shuffle by doc_id. Takes the
+    (doc_id, sh) frame so callers that also need shingles downstream
+    (the verify join) compute + cache them ONCE."""
+    sh = shingles.selectExpr(
         # 8 hex digits (32 bits) is plenty of entropy for a minhash
         # seed value and halves the instr/substr chain vs 15 digits
         "doc_id", f"{_hex_prefix_to_int('sh', 8)} % {P_MINHASH} AS h0"
@@ -172,12 +180,14 @@ def minhash_pairs_df(
     otherwise put O(bucket²) pairs in a single task. The frequency
     window shuffles on the same (band, band_val) key the join uses, so
     it adds no new partitioning at scale."""
-    # shingles and band signatures feed 2-3 downstream joins each —
-    # persist so the explode+md5 work runs once, not per consumer
-    # (at cluster scale: MEMORY_AND_DISK, sized ~16B/shingle-row)
+    # shingles feed BOTH the signature aggregation and the exact-
+    # Jaccard verify joins — persist so the explode+md5 work runs
+    # once, not once per consumer (at cluster scale: MEMORY_AND_DISK,
+    # sized ~16B/shingle-row)
+    sh = shingles_df(docs).persist()
     wb = Window.partitionBy("band", "band_val")
     bands = (
-        minhash_signatures(docs, n_hashes, n_bands)
+        signatures_from_shingles(sh, n_hashes, n_bands)
         .withColumn("bn", F.count("*").over(wb))
         .where(F.col("bn") <= bucket_cap)
         .drop("bn")
@@ -196,7 +206,6 @@ def minhash_pairs_df(
         )
         .distinct()
     )
-    sh = shingles_df(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
