@@ -490,16 +490,12 @@ def _crypt_transform(v, num: int, gen: int, handler):
     return v
 
 
-def _assemble_classic(
-    g: _Graph,
-    catalog_num: int,
-    info_num: int,
-    doc_id: str,
-    eol: bytes = b"\n",
-    hybrid: bool = False,
-    version: bytes = b"1.4",
-    encryption: Optional[str] = None,
-) -> bytes:
+def _build_encryption(g: _Graph, doc_id: str, encryption: Optional[str]):
+    """Build the security handler + /Encrypt dict and register the
+    dict as its own top-level object (g.encrypt_num). Shared by every
+    layout; returns None for unencrypted docs. The /Encrypt dict is
+    never packed into an object stream — resolving it must not itself
+    require decryption (ISO 32000-1 §7.5.8.2)."""
     handler = None
     if encryption == "aes256":
         # AES-256 (V5/R6, ISO 32000-2): file-key cipher, /Perms block
@@ -572,6 +568,20 @@ def _assemble_classic(
         enc[Name("U")] = CString(handler.u, force_hex=True)
         enc[Name("P")] = -44
         g.encrypt_num = g.add(enc)
+    return handler
+
+
+def _assemble_classic(
+    g: _Graph,
+    catalog_num: int,
+    info_num: int,
+    doc_id: str,
+    eol: bytes = b"\n",
+    hybrid: bool = False,
+    version: bytes = b"1.4",
+    encryption: Optional[str] = None,
+) -> bytes:
+    handler = _build_encryption(g, doc_id, encryption)
     out = bytearray()
     out += b"%PDF-" + version + eol + b"%\xe2\xe3\xcf\xd3" + eol
     offsets: dict[int, int] = {}
@@ -632,6 +642,7 @@ def _xref_stream_bytes(
     compressed: Optional[dict[int, tuple[int, int]]] = None,
     self_offset: Optional[int] = None,
     size: Optional[int] = None,
+    encrypt_num: Optional[int] = None,
 ) -> bytes:
     """Emit one xref-stream object covering `offsets` (type 1) and
     `compressed` (type 2) entries. /W [1 4 2], Flate + Predictor 12
@@ -677,6 +688,8 @@ def _xref_stream_bytes(
     d[Name("Root")] = Ref(catalog_num, 0)
     d[Name("Info")] = Ref(info_num, 0)
     d[Name("ID")] = _file_id(doc_id)
+    if encrypt_num is not None:
+        d[Name("Encrypt")] = Ref(encrypt_num, 0)
     d[Name("Length")] = len(body)
     out = bytearray()
     out += str(obj_num).encode() + b" 0 obj\n"
@@ -685,18 +698,43 @@ def _xref_stream_bytes(
     return bytes(out)
 
 
-def _assemble_objstream(g: _Graph, catalog_num: int, info_num: int, doc_id: str) -> bytes:
+def _assemble_objstream(
+    g: _Graph,
+    catalog_num: int,
+    info_num: int,
+    doc_id: str,
+    encryption: Optional[str] = None,
+) -> bytes:
     """PDF 1.5 layout: non-stream objects packed into object streams
-    (≤25 members each), xref stream with type-2 entries (X4/X9)."""
+    (≤25 members each), xref stream with type-2 entries (X4/X9).
+
+    With ``encryption`` this is the standard real-corpus PDF-1.5+
+    encrypted shape (§7.5.8.2/§7.6.2): top-level streams and the
+    ObjStm containers' bytes are ciphered under their own (num, gen);
+    member objects INSIDE an ObjStm are stored plaintext (the
+    container decrypt covers them); the xref stream and the /Encrypt
+    dict itself are never encrypted."""
+    handler = _build_encryption(g, doc_id, encryption)
     out = bytearray()
     out += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
     stream_objs = {n: v for n, v in g.objs.items() if isinstance(v, CStream)}
     plain_objs = {n: v for n, v in g.objs.items() if not isinstance(v, CStream)}
+    if handler is not None:
+        # the /Encrypt dict stays a top-level uncompressed object
+        enc_dict = plain_objs.pop(g.encrypt_num)
 
     offsets: dict[int, int] = {}
     for n in sorted(stream_objs):
+        body = stream_objs[n]
+        if handler is not None:
+            body = _crypt_transform(body, n, 0, handler)
         offsets[n] = len(out)
-        out += str(n).encode() + b" 0 obj\n" + produce(stream_objs[n]) + b"\nendobj\n"
+        out += str(n).encode() + b" 0 obj\n" + produce(body) + b"\nendobj\n"
+    if handler is not None:
+        offsets[g.encrypt_num] = len(out)
+        out += (
+            str(g.encrypt_num).encode() + b" 0 obj\n" + produce(enc_dict) + b"\nendobj\n"
+        )
 
     compressed: dict[int, tuple[int, int]] = {}
     plain_nums = sorted(plain_objs)
@@ -715,6 +753,10 @@ def _assemble_objstream(g: _Graph, catalog_num: int, info_num: int, doc_id: str)
         first = len(header)
         payload = bytes(header) + bytes(bodies)
         comp = flate_encode(payload)
+        if handler is not None:
+            # encryption applies to the stored (post-filter) bytes;
+            # the parser decrypts first, then FlateDecodes (§7.6.2)
+            comp = handler.encrypt(comp, cont_num, 0, False)
         d = CDict()
         d[Name("Type")] = Name("ObjStm")
         d[Name("N")] = len(members)
@@ -737,6 +779,7 @@ def _assemble_objstream(g: _Graph, catalog_num: int, info_num: int, doc_id: str)
         obj_num=xref_num,
         compressed=compressed,
         self_offset=xref_off,
+        encrypt_num=g.encrypt_num if handler is not None else None,
     )
     out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
     return bytes(out)
@@ -856,12 +899,15 @@ def build_pdf(
         layout = "classic"
         cjk = True
     if variant == "encrypted":
-        # empty-user-password docs, cipher rotated per doc: the
-        # extraction pipeline must decrypt RC4 (V2/R3), AES-128
-        # (V4/R4/AESV2) and AES-256 (V5/R6/AESV3) transparently
-        layout = "classic"
+        # empty-user-password docs, cipher AND layout rotated per doc:
+        # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
+        # (V4/R4/AESV2) and AES-256 (V5/R6/AESV3) transparently, in
+        # both the classic layout and the PDF-1.5+ object-stream
+        # layout (encrypted ObjStm containers — the standard real-
+        # corpus pairing the r2 advisor flagged as untested)
         h = int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16)
         encryption = ("rc4", "aes", "aes256")[h % 3]
+        layout = ("classic", "objstream")[(h >> 8) % 2]
     if variant.startswith("filters:"):
         layout = "classic"
         content_filters = tuple(variant.split(":", 1)[1].split("+"))
@@ -879,7 +925,7 @@ def build_pdf(
     if layout == "hybrid":
         return _assemble_classic(g, cat, info, doc_id, hybrid=True)
     if layout == "objstream":
-        return _assemble_objstream(g, cat, info, doc_id)
+        return _assemble_objstream(g, cat, info, doc_id, encryption=encryption)
     if layout == "incremental":
         return _assemble_incremental(g, cat, info, doc_id, spans)
     raise ValueError(f"unknown variant {variant}")

@@ -160,13 +160,20 @@ class StandardSecurityHandler:
         self.stm_cfm = stm_cfm  # crypt filter method for streams
         self.str_cfm = str_cfm  # ... and for strings
         self.key: Optional[bytes] = None
+        # Algorithm 1 memo: every string/stream of one object shares a
+        # (num, gen) key — without the memo a doc pays one MD5 per
+        # decrypt() call instead of one per object
+        self._okey_cache: dict[tuple[int, int, bool], bytes] = {}
 
     # --- Algorithm 2 ----------------------------------------------------
     def _file_key(self, user_pwd: bytes) -> bytes:
         h = hashlib.md5()
         h.update(_pad_password(user_pwd))
         h.update(self.o[:32])
-        h.update(struct.pack("<i", self.p))
+        # /P is defined as a SIGNED 32-bit value but real writers store
+        # it unsigned (e.g. 4294967252 for -44); hash its two's-
+        # complement bit pattern so both spellings derive the same key
+        h.update(struct.pack("<I", self.p & 0xFFFFFFFF))
         h.update(self.file_id0)
         if self.r >= 4 and not self.encrypt_metadata:
             h.update(b"\xff\xff\xff\xff")
@@ -194,6 +201,7 @@ class StandardSecurityHandler:
         ok = u == self.u[:32] if self.r == 2 else u[:16] == self.u[:16]
         if ok:
             self.key = key
+            self._okey_cache.clear()  # keys derive from self.key
         return ok
 
     def _authenticate_r6(self, pwd: bytes) -> bool:
@@ -220,13 +228,18 @@ class StandardSecurityHandler:
     # --- Algorithm 1 ------------------------------------------------------
     def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
         assert self.key is not None, "authenticate() first"
+        k = self._okey_cache.get((num, gen, aes))
+        if k is not None:
+            return k
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<i", num)[:3])
         h.update(struct.pack("<i", gen)[:2])
         if aes:
             h.update(b"sAlT")
-        return h.digest()[: min(self.n + 5, 16)]
+        k = h.digest()[: min(self.n + 5, 16)]
+        self._okey_cache[(num, gen, aes)] = k
+        return k
 
     def _cfm(self, is_string: bool) -> str:
         if self.v == 5:
@@ -336,7 +349,7 @@ def compute_perms(p: int, encrypt_metadata: bool, file_key: bytes, seed: bytes) 
     """/Perms (ISO 32000-2 Algorithm 10): P ‖ 0xFFFFFFFF ‖ T/F ‖
     'adb' ‖ 4 arbitrary bytes, AES-256-ECB under the file key."""
     blk = (
-        struct.pack("<i", p)
+        struct.pack("<I", p & 0xFFFFFFFF)  # tolerate unsigned-/P writers
         + b"\xff\xff\xff\xff"
         + (b"T" if encrypt_metadata else b"F")
         + b"adb"

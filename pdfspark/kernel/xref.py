@@ -345,8 +345,14 @@ class Parser:
             rows = np.frombuffer(block, dtype="S20").astype("U20")
             if start == 1 and count > 0:
                 fp = block[:20].split()
-                if len(fp) >= 3 and self._is_broken_first_free(
-                    int(fp[0]), int(fp[1]), fp[2][:1]
+                # a corrupt first row (non-numeric tokens) is simply
+                # not the `0 65535 f` free-list head — it must stay on
+                # the typed-error path below, never raise ValueError
+                if (
+                    len(fp) >= 3
+                    and fp[0].isdigit()
+                    and fp[1].isdigit()
+                    and self._is_broken_first_free(int(fp[0]), int(fp[1]), fp[2][:1])
                 ):
                     start = 0  # broken-writer fix (PDFParser.java:346-352)
             for i in range(count):
@@ -355,7 +361,12 @@ class Parser:
                     self.settings.soft_structure(False, "short xref row")
                     continue
                 if parts[2] == "n":
-                    self._add_classic(start, i, count, int(parts[0]), int(parts[1]))
+                    try:
+                        off, gen = int(parts[0]), int(parts[1])
+                    except ValueError:
+                        self.settings.soft_structure(False, "non-numeric xref row")
+                        continue
+                    self._add_classic(start, i, count, off, gen)
             r.pos += 20 * count
 
     @staticmethod
@@ -550,7 +561,14 @@ class Parser:
             ce = self.xref.entries.get(e.container)
             if ce is None or ce.compressed:
                 raise EParseError(f"object stream container {e.container} missing")
-            cobj = self._parse_indirect_at(ce)
+            # Resolve via get_object, NOT _parse_indirect_at: on an
+            # encrypted file (PDF 1.5+ pairs /Encrypt with ObjStm
+            # routinely) the container stream bytes are ciphered under
+            # the container's own (num, gen) and must pass the
+            # _decrypt_value hook before decode_stream; member objects
+            # inside are stored plaintext (ISO 32000-1 §7.6.2) and are
+            # correctly NOT re-decrypted below.
+            cobj = self.get_object(e.container, ce.gen)
             if not isinstance(cobj, CStream):
                 raise EParseError(f"container {e.container} is not a stream")
             sd = cobj.dict

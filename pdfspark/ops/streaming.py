@@ -185,13 +185,19 @@ def run_streaming_extraction_to_table(
 
     Exactly-once without an idempotent sink format: Spark's
     checkpointed file-source offsets guarantee a replayed micro-batch
-    carries the SAME batch_id, and `overwrite_partitions` makes the
-    write idempotent per batch_id — a batch that crashed between the
-    data write and the lineage append is simply rewritten on restart
-    (same contract as scale.run_checkpointed, asserted by the
-    kill-and-rerun streaming test). ``fail_after_batches`` injects the
-    crash for that test. Returns the number of batches committed in
-    THIS run."""
+    carries the SAME batch_id, and `overwrite_partitions` makes BOTH
+    writes (span data AND the lineage row) idempotent per batch_id — a
+    batch that crashed anywhere between the data write and the offset
+    commit is simply rewritten on restart, replacing rather than
+    duplicating its lineage partition (same contract as
+    scale.run_checkpointed, asserted by the kill-and-rerun streaming
+    test). Residual window: a crash after the lineage overwrite but
+    before the offset commit briefly leaves a lineage row for a batch
+    whose offsets are uncommitted; the replay overwrites it with the
+    identical row, so readers never see duplicates — at worst one
+    transiently-early row. ``fail_after_batches`` injects the crash
+    for that test. Returns the number of batches committed in THIS
+    run."""
     import os
     import time
 
@@ -230,10 +236,13 @@ def run_streaming_extraction_to_table(
             .first()
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        spark.createDataFrame(
+        lineage = spark.createDataFrame(
             [(int(batch_id), "done", int(stats.docs), int(stats.rows), wall_ms)],
             "batch_id long, status string, doc_count long, rows_out long, wall_ms long",
-        ).coalesce(1).write.mode("append").parquet(lineage_dir)
+        ).coalesce(1)
+        # partition-overwrite on batch_id: a replayed batch REPLACES
+        # its lineage row instead of appending a duplicate
+        overwrite_partitions(lineage, spark, lineage_dir, "batch_id")
         committed["n"] += 1
 
     q = (

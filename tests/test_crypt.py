@@ -96,6 +96,50 @@ def test_encrypted_variant_extracts(doc_id):
     assert spans == _expected(doc_id)
 
 
+@pytest.mark.parametrize("cipher", ["rc4", "aes", "aes256"])
+def test_encrypted_objstream_roundtrip(cipher):
+    """PDF-1.5+ shape: /Encrypt paired with object-stream layout (the
+    standard real-corpus case). The ObjStm container bytes are ciphered
+    under the container's (num, gen) and must be decrypted BEFORE
+    FlateDecode (the r2 advisor's repro: _get_compressed previously
+    bypassed the decrypt hook → 'incorrect header check')."""
+    from pdfspark.codec import _assemble_objstream, build_object_graph
+
+    doc_id = f"encobj-{cipher}"
+    g, cat, info = build_object_graph(doc_id, _spans(doc_id), ("flate",), None, None, None)
+    payload = _assemble_objstream(g, cat, info, doc_id, encryption=cipher)
+    status, err, spans = extract_spans(payload)
+    assert status == "ok", err
+    assert spans == _expected(doc_id)
+    # metadata path too: /Info lives inside an encrypted ObjStm
+    st, merr, meta = extract_meta(payload)
+    assert st == "ok", merr
+    assert meta["encrypted"] is True
+    assert meta["title"] == f"doc {doc_id}"
+
+
+def test_p_unsigned_writer_quirk():
+    """Real writers store /P as unsigned 32-bit (4294967252 == -44);
+    key derivation must use the two's-complement bit pattern for both
+    spellings — and never raise struct.error."""
+    h = build_handler(
+        r=3, owner_pwd=b"owner", user_pwd=b"", p=-44,
+        file_id0=b"\x02" * 8, length_bits=128,
+    )
+    h2 = StandardSecurityHandler(
+        v=h.v, r=h.r, o=h.o, u=h.u, p=4294967252, file_id0=b"\x02" * 8,
+        length_bits=128,
+    )
+    assert h2.authenticate(b"") is True
+    assert h2.key == h.key
+    # /Perms (AES-256 generator path) accepts the unsigned spelling too
+    from pdfspark.kernel.crypt import compute_perms
+
+    assert compute_perms(4294967252, True, bytes(32), b"s") == compute_perms(
+        -44, True, bytes(32), b"s"
+    )
+
+
 def test_encrypted_metadata_decrypts():
     payload = build_pdf("encm", _spans("encm"), "encrypted")
     st, err, meta = extract_meta(payload)

@@ -132,6 +132,9 @@ def test_streaming_sink_exactly_once_after_kill(spark, tmp_path):
     lin = spark.read.parquet(os.path.join(out, "lineage"))
     assert lin.where(F.col("status") == "done").count() == n2
     assert lin.agg(F.sum("rows_out")).first()[0] == expect.count()
+    # lineage is partition-overwritten by batch_id: a replayed batch
+    # REPLACES its row — consumers never see duplicate batch rows
+    assert lin.count() == lin.select("batch_id").distinct().count()
 
 
 def test_minhash_degenerate_bucket_capped(spark):

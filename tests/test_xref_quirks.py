@@ -60,3 +60,42 @@ def test_honest_start_one_subsection_not_shifted():
     status, err, spans = extract_spans(fixed)
     assert status == "ok", err
     assert spans == [("text", "Hi", None, 0)]
+
+
+def test_corrupt_first_row_stays_typed_error():
+    """A corrupt first xref row in a start==1 subsection (non-numeric
+    offset/gen) must stay inside the kernel's typed-error contract —
+    the broken-first-free probe and the row parse both skip it softly
+    instead of leaking ValueError (r2 advisor finding)."""
+    pdf = _build_broken_start_pdf(True)
+    head, mid, tail = pdf.partition(b"0000000000 65535 f \n")
+    assert mid
+    # same 20-byte geometry (cols 10 and 16 stay spaces) so the strict
+    # vectorized path is taken, but both numeric fields are garbage
+    corrupt = head + b"xxxxxxxxxx yyyyy f \n" + tail
+    status, err, spans = extract_spans(corrupt)  # PERMISSIVE wrapper
+    assert "ValueError" not in (err or "")
+    # and the raw parser never raises anything but EParseError
+    from pdfspark.kernel.errors import EParseError
+    from pdfspark.kernel.xref import Parser
+
+    p = Parser(corrupt)
+    try:
+        p.parse()
+    except EParseError:
+        pass
+
+
+def test_corrupt_nonfirst_row_skipped_softly():
+    """Garbage in a NON-first in-use row is skipped with a soft
+    structure note; the remaining rows still resolve."""
+    pdf = _build_broken_start_pdf(True)
+    rows_at = pdf.index(b"0000000000 65535 f \n")
+    # corrupt the SECOND row's offset field but keep 'n' flag + geometry
+    second = pdf.index(b" n \n", rows_at)  # end of first 'n' row
+    start_of_second = second - 16
+    corrupt = (
+        pdf[:start_of_second] + b"??????????" + pdf[start_of_second + 10 :]
+    )
+    status, err, spans = extract_spans(corrupt)
+    assert "ValueError" not in (err or "")
