@@ -23,6 +23,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Cross-round comparability (VERDICT r2 #1): BENCH artifacts from
+# different rounds are not comparable on a shared noisy host, so this
+# run ALSO executes a pinned previous-round commit in a throwaway git
+# worktree, interleaved subprocess-vs-subprocess (tools/ab_bench.py),
+# and embeds per-query cur/prev ratios as `vs_prev_ratio`.
+PREV_ROUND_COMMIT = "2963dc82a9414cede6ceb8b9d9ad06ac51301bc6"  # round-2 final
+AB_QUERIES = [
+    "pdf_roundtrip_interleaved",
+    "pdf_roundtrip_filters",
+    "pdf_metadata",
+    "pdf_malformed_policy",
+    # NB: pdf_roundtrip_encrypted rotates layouts (classic+objstream)
+    # since r3 — its ratio compares a strictly HARDER r3 workload
+    "pdf_roundtrip_encrypted",
+    "dedup_simhash",
+    "events_sessionize",
+]
+
 HEADLINE = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
@@ -100,21 +118,37 @@ def main() -> None:
         replicated = round(n_docs * k / best, 1)
     except Exception:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite-wall-clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "docs": n_docs,
-                "roundtrip_docs_per_sec": round(n_docs / rt, 1),
-                "replicated_pipeline_docs_per_sec": replicated,
-            }
-        )
-    )
-    spark.stop()
+    spark.stop()  # free the JVM before the A/B subprocesses run
+
+    ab = None
+    if os.environ.get("BENCH_AB", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from ab_bench import ab_compare
+
+            ab = ab_compare(
+                PREV_ROUND_COMMIT,
+                AB_QUERIES,
+                SF_DIR,
+                reps=int(os.environ.get("BENCH_AB_REPS", "3")),
+            )
+        except Exception as e:  # A/B is evidence, never a bench failure
+            ab = {"error": f"{type(e).__name__}: {e}"}
+
+    out = {
+        "metric": "headline-suite-wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "docs": n_docs,
+        "roundtrip_docs_per_sec": round(n_docs / rt, 1),
+        "replicated_pipeline_docs_per_sec": replicated,
+    }
+    if ab is not None:
+        out["vs_prev_ratio"] = ab.get("vs_prev_ratio", {})
+        out["ab"] = ab
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
