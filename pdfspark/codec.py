@@ -108,6 +108,77 @@ def _show_bytes_gbk(text: str) -> Optional[bytes]:
         return None
 
 
+def _build_embedded_cmap(chars: Sequence[str]) -> tuple[bytes, dict[str, bytes]]:
+    """Fully custom embedded CMap (ISO 32000-1 §9.7.5.3): a mixed
+    1-byte ASCII space plus a 2-byte <8140>-<FEFE> space whose codes
+    are assigned per unique non-ASCII char, rotating the mapping form
+    per char (cidchar with CID = Unicode scalar / bfchar / bfrange) so
+    the kernel's codespacerange + cidrange + cidchar + bfchar + bfrange
+    parsing is all exercised; deliberately NO ToUnicode on the font.
+    Returns (CMap stream bytes, char → 2-byte code map)."""
+    code_of: dict[str, bytes] = {}
+    cidchars: list[bytes] = []
+    bfchars: list[bytes] = []
+    bfranges: list[bytes] = []
+    for k, ch in enumerate(chars):
+        code = bytes((0x81 + k // 0xBF, 0x40 + k % 0xBF))
+        code_of[ch] = code
+        chex = code.hex().encode("ascii")
+        uhex = ch.encode("utf-16-be", "surrogatepass").hex().encode("ascii")
+        sec = k % 3
+        if sec == 0:
+            cidchars.append(b"<%s> %d" % (chex, ord(ch)))
+        elif sec == 1:
+            bfchars.append(b"<%s> <%s>" % (chex, uhex))
+        else:
+            bfranges.append(b"<%s> <%s> <%s>" % (chex, chex, uhex))
+    parts = [
+        b"%!PS-Adobe-3.0 Resource-CMap",
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin\nbegincmap",
+        b"/CIDSystemInfo << /Registry (pdfspark) /Ordering (Custom)"
+        b" /Supplement 0 >> def",
+        b"/CMapName /pdfspark-Custom-H def",
+        b"/CMapType 1 def",
+        b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\nendcodespacerange",
+        # 1-byte space: CID == code (covers controls too, lossless)
+        b"1 begincidrange\n<00> <7f> 0\nendcidrange",
+    ]
+    if cidchars:
+        parts.append(
+            b"%d begincidchar\n" % len(cidchars)
+            + b"\n".join(cidchars)
+            + b"\nendcidchar"
+        )
+    if bfchars:
+        parts.append(
+            b"%d beginbfchar\n" % len(bfchars)
+            + b"\n".join(bfchars)
+            + b"\nendbfchar"
+        )
+    if bfranges:
+        parts.append(
+            b"%d beginbfrange\n" % len(bfranges)
+            + b"\n".join(bfranges)
+            + b"\nendbfrange"
+        )
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    return b"\n".join(parts), code_of
+
+
+def _show_bytes_embedded(text: str, code_of: dict[str, bytes]) -> bytes:
+    """Show bytes under the custom embedded CMap: ASCII one byte,
+    everything else its assigned 2-byte code."""
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80:
+            out.append(o)
+        else:
+            out += code_of[ch]
+    return b"<" + bytes(out).hex().encode("ascii") + b">"
+
+
 # ---------------------------------------------------------------------------
 # Content-stream emission (one BT..ET per text span, one Do per media
 # span — the contract interpret_content() inverts)

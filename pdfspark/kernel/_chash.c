@@ -1,0 +1,137 @@
+/* _chash — C fast path for ISO 32000-2 Algorithm 2.B (crypt.hash_2b).
+ *
+ * The R6 password hash iterates {SHA-256/384/512 + AES-128-CBC over a
+ * 64x-repeated buffer} at least 64 times — a KDF that is intentionally
+ * slow, and ~3 ms/call in pure Python almost entirely from per-
+ * iteration cipher-context churn. This module runs the whole loop in
+ * C on OpenSSL EVP (the same primitives the `cryptography` package
+ * wraps), ~100x faster, with bit-identical output enforced by
+ * tests/test_ctok_parity.py::test_chash_parity.
+ *
+ * Optional: compiled on demand by kernel/ctok.py (needs gcc + system
+ * libcrypto headers); any failure keeps the pure-Python hash_2b.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <openssl/evp.h>
+#include <string.h>
+
+/* pwd <=127 (spec truncation upstream), k <=64, udata <=48 */
+#define MAX_K1 ((127 + 64 + 48) * 64)
+
+/* OpenSSL 3: explicit one-time fetches — the legacy EVP_aes_128_cbc()
+ * constants trigger an implicit provider fetch on EVERY init, which
+ * dominates a loop this tight (~10 us per fetch x ~200 inits/call) */
+static EVP_CIPHER *g_aes;
+static EVP_MD *g_sha256, *g_sha384, *g_sha512;
+
+static PyObject *
+chash_hash_2b(PyObject *self, PyObject *args)
+{
+    const unsigned char *pwd, *salt, *udata;
+    Py_ssize_t plen, slen, ulen;
+    unsigned char k[64];
+    unsigned int klen = 0;
+    unsigned char seed[127 + 8 + 48];
+    unsigned char k1[MAX_K1], e[MAX_K1];
+    int i, rounds;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "y#y#y#", &pwd, &plen, &salt, &slen, &udata,
+                          &ulen))
+        return NULL;
+    if (plen > 127 || slen > 8 || ulen > 48) {
+        PyErr_SetString(PyExc_ValueError, "hash_2b input too long");
+        return NULL;
+    }
+
+    /* k = SHA256(pwd + salt + udata) */
+    memcpy(seed, pwd, plen);
+    memcpy(seed + plen, salt, slen);
+    memcpy(seed + plen + slen, udata, ulen);
+    if (!EVP_Digest(seed, plen + slen + ulen, k, &klen, g_sha256, NULL)) {
+        PyErr_SetString(PyExc_RuntimeError, "EVP_Digest failed");
+        return NULL;
+    }
+
+    {
+        EVP_CIPHER_CTX *ctx = EVP_CIPHER_CTX_new();
+        EVP_MD_CTX *mctx = EVP_MD_CTX_new();
+        if (ctx == NULL || mctx == NULL) {
+            EVP_CIPHER_CTX_free(ctx);
+            EVP_MD_CTX_free(mctx);
+            return PyErr_NoMemory();
+        }
+        for (rounds = 1;; rounds++) {
+            Py_ssize_t unit = plen + klen + ulen;
+            Py_ssize_t k1len = unit * 64;
+            int outl = 0, tmpl = 0, mod;
+            unsigned char block[256];
+            Py_ssize_t off;
+            /* k1 = (pwd + k + udata) * 64 — build one unit, tile it */
+            memcpy(block, pwd, plen);
+            memcpy(block + plen, k, klen);
+            memcpy(block + plen + klen, udata, ulen);
+            for (off = 0; off < k1len; off += unit)
+                memcpy(k1 + off, block, unit);
+            /* e = AES-128-CBC(key=k[0:16], iv=k[16:32], k1), no pad */
+            if (!EVP_EncryptInit_ex(ctx, g_aes, NULL, k, k + 16) ||
+                !EVP_CIPHER_CTX_set_padding(ctx, 0) ||
+                !EVP_EncryptUpdate(ctx, e, &outl, k1, (int)k1len) ||
+                !EVP_EncryptFinal_ex(ctx, e + outl, &tmpl)) {
+                EVP_CIPHER_CTX_free(ctx);
+                EVP_MD_CTX_free(mctx);
+                PyErr_SetString(PyExc_RuntimeError, "EVP AES failed");
+                return NULL;
+            }
+            outl += tmpl;
+            /* next k = {sha256, sha384, sha512}[sum(e[:16]) % 3](e) */
+            mod = 0;
+            for (i = 0; i < 16; i++)
+                mod += e[i];
+            mod %= 3;
+            {
+                const EVP_MD *md = mod == 0   ? g_sha256
+                                   : mod == 1 ? g_sha384
+                                              : g_sha512;
+                if (!EVP_DigestInit_ex(mctx, md, NULL) ||
+                    !EVP_DigestUpdate(mctx, e, outl) ||
+                    !EVP_DigestFinal_ex(mctx, k, &klen)) {
+                    EVP_CIPHER_CTX_free(ctx);
+                    EVP_MD_CTX_free(mctx);
+                    PyErr_SetString(PyExc_RuntimeError, "EVP_Digest failed");
+                    return NULL;
+                }
+            }
+            if (rounds >= 64 && e[outl - 1] <= (unsigned)(rounds - 32))
+                break;
+        }
+        EVP_CIPHER_CTX_free(ctx);
+        EVP_MD_CTX_free(mctx);
+    }
+    return PyBytes_FromStringAndSize((const char *)k, 32);
+}
+
+static PyMethodDef chash_methods[] = {
+    {"hash_2b", chash_hash_2b, METH_VARARGS,
+     "hash_2b(pwd, salt, udata) -> 32-byte key (ISO 32000-2 Alg 2.B)"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef chash_module = {
+    PyModuleDef_HEAD_INIT, "_chash",
+    "C fast path for the ISO 32000-2 Algorithm 2.B password hash", -1,
+    chash_methods, NULL, NULL, NULL, NULL};
+
+PyMODINIT_FUNC
+PyInit__chash(void)
+{
+    g_aes = EVP_CIPHER_fetch(NULL, "AES-128-CBC", NULL);
+    g_sha256 = EVP_MD_fetch(NULL, "SHA2-256", NULL);
+    g_sha384 = EVP_MD_fetch(NULL, "SHA2-384", NULL);
+    g_sha512 = EVP_MD_fetch(NULL, "SHA2-512", NULL);
+    if (!g_aes || !g_sha256 || !g_sha384 || !g_sha512) {
+        PyErr_SetString(PyExc_ImportError, "OpenSSL EVP fetch failed");
+        return NULL;
+    }
+    return PyModule_Create(&chash_module);
+}

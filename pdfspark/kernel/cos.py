@@ -424,159 +424,274 @@ def parse_hex_string(r: Raw) -> CString:
     raise EParseError("unterminated hex string")
 
 
-def parse_dict_or_stream(r: Raw, resolver: Optional[Resolver]) -> Union[CDict, CStream]:
-    """T6 + T8 — ``<<...>>`` dictionary, then if followed by the
-    ``stream`` keyword, read `/Length` body bytes (length may itself be
-    an indirect reference resolved mid-tokenize — PDFParser.java:259-270,
-    cos/COSStream.java:34-46)."""
-    d, n = r.data, r.length
-    if not d.startswith(b"<<", r.pos):
-        raise EParseError(f"dict expected at {r.pos}")
-    r.pos += 2
-    out = CDict()
-    name_match = _NAME_RUN_RE.match
-    name_cache = _NAME_CACHE
-    while True:
-        r.skip_ws_and_comments()
-        p = r.pos
-        if p >= n:
-            raise EParseError("EOF inside dictionary")
-        if d[p] == 0x3E:  # '>'
-            if d.startswith(b">>", p):
-                r.pos = p + 2
-                break
-            raise EParseError(f"lone '>' inside dictionary at {p}")
-        # inlined parse_name fast path (keys are the hottest names;
-        # parse_object would re-skip ws and double the call depth)
-        if d[p] != 0x2F:
-            raise EParseError(f"name expected at {p}")
-        run = name_match(d, p + 1).group()
-        r.pos = p + 1 + len(run)
-        key = name_cache.get(run)
-        if key is None:
-            r.pos = p
-            key = parse_name(r)  # slow path: #xx escapes / cold cache
-        # no skip here: parse_object skips ws itself
-        val = parse_object(r, resolver)
-        out[key] = val
-    # stream follow-up
+# --- master token scanner -------------------------------------------------
+# ONE compiled regex per token: leading whitespace/comments are folded
+# into the token match, numbers/refs carry their terminator rule as a
+# lookahead, and an explicit stack replaces recursive descent. Group
+# numbers: 1 '<<'  2 '>>'  3 '['  4 ']'  5 name-run  6 ref-id
+# 7 ref-gen  8 number  9 '('  10 '<'  11 keyword — m.lastindex is the
+# dispatch key (for a ref, group 7 is the last to participate).
+_TOK_RE = re.compile(
+    # possessive *+: a comment runs to EOL unconditionally — without it
+    # the engine would backtrack INTO a comment when the next token
+    # fails and happily lex comment text as tokens
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*+"
+    rb"(?:(<<)"
+    rb"|(>>)"
+    rb"|(\[)"
+    rb"|(\])"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|([0-9]{1,9})[\x00\t\n\x0c\r ]+([0-9]{1,5})[\x00\t\n\x0c\r ]+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)"
+    rb"|([+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+))"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)"
+    rb"|(\()"
+    rb"|(<)"
+    rb"|(true|false|null))"
+)
+
+
+def _name_from_run(run: bytes) -> Name:
+    """name-run bytes (sans '/') → interned Name, #xx escapes decoded
+    (same semantics as parse_name; split out for the scanner)."""
+    if b"#" not in run:
+        nm = Name(run.decode("latin-1"))
+        if len(_NAME_CACHE) < _NAME_CACHE_MAX:
+            _NAME_CACHE[run] = nm
+        return nm
+    out = bytearray()
+    i, ln = 0, len(run)
+    while i < ln:
+        b = run[i]
+        if b == 0x23 and i + 2 < ln and run[i + 1] in _HEXVAL and run[i + 2] in _HEXVAL:
+            out.append((_HEXVAL[run[i + 1]] << 4) | _HEXVAL[run[i + 2]])
+            i += 3
+        else:
+            out.append(b)
+            i += 1
+    return Name(out.decode("latin-1"))
+
+
+def _stream_followup(
+    r: Raw, out: CDict, resolver: Optional[Resolver]
+) -> Optional[CStream]:
+    """T8 — after ``>>``: if the ``stream`` keyword follows, read the
+    `/Length` body bytes (length may itself be an indirect reference
+    resolved mid-tokenize — PDFParser.java:259-270,
+    cos/COSStream.java:34-46); else restore the cursor and return None."""
+    d = r.data
     save = r.pos
     r.skip_ws()
-    if d.startswith(b"stream", r.pos):
-        r.pos += 6
-        r.skip_crlf_or_lf()
-        length = out.get("Length", COS_NULL)
-        if isinstance(length, Ref):
-            if resolver is None:
-                raise EParseError("/Length is indirect but no resolver available")
-            length = resolver(length)
-        if not isinstance(length, int) or isinstance(length, bool):
-            if r.settings.allow_reconstruction:
-                # §C.2 salvage: no usable /Length — take everything up
-                # to the next `endstream`, minus the writer's EOL
-                end = d.find(b"endstream", r.pos)
-                if end < 0:
-                    raise EParseError("stream /Length missing and no endstream")
-                body = d[r.pos : end]
-                if body.endswith(b"\r\n"):
-                    body = body[:-2]
-                elif body.endswith((b"\n", b"\r")):
-                    body = body[:-1]
-                r.pos = end + 9
-                out[Name("Length")] = len(body)
-                return CStream(out, body)
-            raise EParseError("stream /Length missing or non-integer")
-        body = r.read_stream_body(length)
-        return CStream(out, body)
-    r.pos = save
-    return out
+    if not d.startswith(b"stream", r.pos):
+        r.pos = save
+        return None
+    r.pos += 6
+    r.skip_crlf_or_lf()
+    length = out.get("Length", COS_NULL)
+    if isinstance(length, Ref):
+        if resolver is None:
+            raise EParseError("/Length is indirect but no resolver available")
+        length = resolver(length)
+    if not isinstance(length, int) or isinstance(length, bool):
+        if r.settings.allow_reconstruction:
+            # §C.2 salvage: no usable /Length — take everything up
+            # to the next `endstream`, minus the writer's EOL
+            end = d.find(b"endstream", r.pos)
+            if end < 0:
+                raise EParseError("stream /Length missing and no endstream")
+            body = d[r.pos : end]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith((b"\n", b"\r")):
+                body = body[:-1]
+            r.pos = end + 9
+            out[Name("Length")] = len(body)
+            return CStream(out, body)
+        raise EParseError("stream /Length missing or non-integer")
+    body = r.read_stream_body(length)
+    return CStream(out, body)
+
+
+def parse_dict_or_stream(r: Raw, resolver: Optional[Resolver]) -> Union[CDict, CStream]:
+    """T6 + T8 — ``<<...>>`` dictionary (possibly a stream). Entry
+    validation then the shared scanner."""
+    if not r.data.startswith(b"<<", r.pos):
+        raise EParseError(f"dict expected at {r.pos}")
+    v = parse_object(r, resolver)
+    if not isinstance(v, (CDict, CStream)):  # unreachable by grammar
+        raise EParseError(f"dict expected at {r.pos}")
+    return v
 
 
 def parse_array(r: Raw, resolver: Optional[Resolver]) -> list:
     """T7 — ``[...]`` (cos/COSArray.java:43-57)."""
-    d, n = r.data, r.length
-    if d[r.pos] != 0x5B:
+    if r.pos >= r.length or r.data[r.pos] != 0x5B:
         raise EParseError(f"array expected at {r.pos}")
-    r.pos += 1
-    out = []
-    while True:
-        r.skip_ws_and_comments()
-        if r.pos >= n:
-            raise EParseError("EOF inside array")
-        if d[r.pos] == 0x5D:
-            r.pos += 1
-            return out
-        out.append(parse_object(r, resolver))
+    v = parse_object(r, resolver)
+    if not isinstance(v, list):  # unreachable by grammar
+        raise EParseError(f"array expected at {r.pos}")
+    return v
 
 
 def parse_object(r: Raw, resolver: Optional[Resolver] = None) -> COSValue:
-    """T1 — one-byte-lookahead dispatch (parser/PDFParser.java:226-300).
+    """T1/T6/T7/T9 — one COS value via the master-regex token scanner.
 
-    The reference skips 'true'/'false'/'null' by blind 4-5 byte
-    advance with no token verification (PDFParser.java:245-256); we
-    verify the token (spec-correct, documented divergence)."""
-    r.skip_ws_and_comments()
+    Each token costs a single C-level regex match plus an int-indexed
+    branch; containers are built on an explicit stack (no recursive
+    descent, no per-token skip_ws calls — the old hot path burned
+    ~3 re.match + 2 function calls per token). Semantics pinned by
+    tests/test_cos_tokens.py are unchanged: numbers carry the
+    terminator rule (TestCOSNumber.java:152-274), refs require
+    ws/delim after ``R``, ``id gen obj`` in value position re-reads as
+    a plain number, 'true'/'false'/'null' are verified tokens
+    (spec-correct divergence from PDFParser.java:245-256's blind
+    skip)."""
     d, n = r.data, r.length
-    p = r.pos
-    if p >= n:
-        raise EParseError("unexpected EOF at value position")
-    b = d[p]
-    if b == 0x2F:  # /
-        return parse_name(r)
-    if b == 0x28:  # (
-        return parse_literal_string(r)
-    if b == 0x3C:  # < or <<
-        if d.startswith(b"<<", p):
-            return parse_dict_or_stream(r, resolver)
-        return parse_hex_string(r)
-    if b == 0x5B:  # [
-        return parse_array(r, resolver)
-    if b == 0x74:  # t
-        if d.startswith(b"true", p):
-            r.pos = p + 4
-            return True
-        raise EParseError(f"bad token at {p}")
-    if b == 0x66:  # f
-        if d.startswith(b"false", p):
-            r.pos = p + 5
-            return False
-        raise EParseError(f"bad token at {p}")
-    if b == 0x6E:  # n
-        if d.startswith(b"null", p):
-            r.pos = p + 4
-            return COS_NULL
-        raise EParseError(f"bad token at {p}")
-    if 0x30 <= b <= 0x39:
-        # combined ref-or-number scan: ONE regex pass instead of the
-        # try_read_id probe followed by a second number match (numbers
-        # vastly outnumber refs in dicts/arrays — widths, boxes, dates)
-        m = _NUMREF_RE.match(d, p)
+    pos = r.pos
+    match = _TOK_RE.match
+    name_cache = _NAME_CACHE
+    stack: list = []  # parent frames: (container, pending_key)
+    cur = None  # active container (CDict or list) or None
+    key: Optional[Name] = None  # pending key when cur is a CDict
+    want_key = False  # cur is a CDict and the next token must be a key
+    while True:
+        m = match(d, pos)
         if m is None:
-            raise EParseError(f"malformed number at {p}")
-        kw = m.group("kw")
-        if kw is not None:
-            q = m.end()
-            if kw == b"R":
-                nxt = d[q] if q < n else 0x20
-                if is_ws(nxt) or is_delim(nxt):
-                    r.pos = q
-                    return Ref(int(m.group("id")), int(m.group("gen")))
-            # 'obj' header (or R abutting non-delim) is not a value
-            # here — re-match as a plain number
-            m = _NUMBER_RE.match(d, p)
-            if m is None:
-                raise EParseError(f"malformed number at {p}")
-            num = m.group()
+            r.pos = pos
+            ctx = (
+                "dictionary"
+                if want_key or (cur.__class__ is CDict)
+                else ("array" if cur.__class__ is list else "value position")
+            )
+            raise EParseError(f"EOF or bad token at {pos} inside {ctx}")
+        tok = m.lastindex
+        tend = m.end()
+
+        if want_key:
+            if tok == 5:  # /name key
+                run = m.group(5)
+                key = name_cache.get(run)
+                if key is None:
+                    key = _name_from_run(run)
+                want_key = False
+                pos = tend
+                continue
+            if tok == 2:  # >> — close dict, then the stream follow-up
+                r.pos = tend
+                v = cur
+                sv = _stream_followup(r, v, resolver)
+                if sv is not None:
+                    v = sv
+                pos = r.pos
+                if not stack:
+                    return v
+                cur, key = stack.pop()
+            else:
+                raise EParseError(f"name expected at {pos}")
         else:
-            num = m.group("num")
-        q = m.end()
-        if q < n and not (is_ws(d[q]) or is_delim(d[q])):
-            raise EParseError(f"malformed number at {p}: bad terminator {d[q]:#x}")
-        r.pos = q
-        return float(num) if b"." in num else int(num)
-    if b in (0x2B, 0x2D, 0x2E):  # + - .
-        return parse_number(r)
-    raise EParseError(f"unknown token {bytes([b])!r} at {p}")
+            # value position — branches ordered by token frequency
+            if tok == 8:  # number
+                num = m.group(8)
+                v = float(num) if b"." in num else int(num)
+                pos = tend
+            elif tok == 5:  # name
+                run = m.group(5)
+                v = name_cache.get(run)
+                if v is None:
+                    v = _name_from_run(run)
+                pos = tend
+            elif tok == 7:  # id gen R
+                v = Ref(int(m.group(6)), int(m.group(7)))
+                pos = tend
+            elif tok == 1:  # <<
+                stack.append((cur, key))
+                cur = CDict()
+                key = None
+                want_key = True
+                pos = tend
+                continue
+            elif tok == 3:  # [
+                stack.append((cur, key))
+                cur = []
+                key = None
+                pos = tend
+                continue
+            elif tok == 4:  # ]
+                if cur.__class__ is not list:
+                    raise EParseError(f"unknown token b']' at {pos}")
+                v = cur
+                pos = tend
+                cur, key = stack.pop()
+            elif tok == 9:  # ( literal string
+                r.pos = tend - 1
+                v = parse_literal_string(r)
+                pos = r.pos
+            elif tok == 10:  # < hex string
+                r.pos = tend - 1
+                v = parse_hex_string(r)
+                pos = r.pos
+            elif tok == 11:  # true / false / null
+                kw = m.group(11)
+                v = True if kw == b"true" else (False if kw == b"false" else COS_NULL)
+                pos = tend
+            else:  # tok == 2: '>>' at value position
+                raise EParseError(f"unknown token b'>' at {pos}")
+
+        # one value completed — attach to parent or return
+        if cur is None:
+            r.pos = pos
+            return v
+        if cur.__class__ is CDict:
+            cur[key] = v
+            key = None
+            want_key = True
+        else:
+            cur.append(v)
+            want_key = False
+
+
+# --- optional C fast path ---------------------------------------------------
+# `_ctok` (kernel/_ctok.c, compiled on demand by kernel/ctok.py) is a
+# drop-in for parse_object with IDENTICAL semantics, sharing this
+# module's class objects and interned-name cache; parity is enforced by
+# tests/test_ctok_parity.py and the full suite run under
+# PDFSPARK_NO_CTOK=1. Any import/compile failure silently keeps the
+# pure-Python scanner above.
+_parse_object_py = parse_object
+
+
+def _load_ctok():
+    try:
+        from .ctok import load
+
+        mod = load()
+        if mod is None:
+            return None
+        mod.configure(
+            CDict, CString, Name, Ref, CStream, COS_NULL,
+            _NAME_CACHE, _name_from_run, EParseError,
+        )
+        return mod
+    except Exception:  # pragma: no cover - env without gcc/headers
+        return None
+
+
+_CTOK = _load_ctok()
+
+if _CTOK is not None:
+    _ctok_parse = _CTOK.parse_object
+
+    def parse_object(r: Raw, resolver: Optional[Resolver] = None) -> COSValue:  # noqa: F811
+        data = r.data
+        if data.__class__ is not bytes:  # memoryview etc. → Python path
+            return _parse_object_py(r, resolver)
+        st = r.settings
+        v, r.pos = _ctok_parse(
+            data, r.pos, resolver, st, st.allow_reconstruction, st.max_scan_range
+        )
+        return v
+
+    parse_object.__doc__ = _parse_object_py.__doc__
 
 
 # ---------------------------------------------------------------------------

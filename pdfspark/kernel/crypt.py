@@ -46,6 +46,13 @@ try:  # preferred: OpenSSL-backed primitives
 except Exception:  # pragma: no cover - env without `cryptography`
     _HAVE_CRYPTOGRAPHY = False
 
+try:  # optional C fast path for Algorithm 2.B (see hash_2b)
+    from .ctok import load_chash as _load_chash
+
+    _CHASH = _load_chash()
+except Exception:  # pragma: no cover - env without gcc/libcrypto
+    _CHASH = None
+
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric — one function for both ways)."""
@@ -103,7 +110,20 @@ def _aes_ecb(key: bytes, data: bytes, decrypt: bool) -> bytes:
 def hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
     SHA-256/384/512 with an AES-128-CBC mixing step. The 64× repeat
-    makes every K1 length a multiple of 16, so no padding is needed."""
+    makes every K1 length a multiple of 16, so no padding is needed.
+
+    This is an intentionally slow KDF (~3 ms/call in Python, dominated
+    by per-iteration cipher-context churn) and runs ~7×/doc for an
+    AES-256 file (4 generator + 2-3 parser calls) — the C fast path
+    (`_chash`, kernel/_chash.c, OpenSSL EVP, bit-identical by parity
+    test) takes it to ~30 µs; this body is the fallback."""
+    if (
+        _CHASH is not None
+        and len(pwd) <= 127  # spec sizes; anything larger (malformed
+        and len(salt) <= 8  # /U //O strings) stays on the fallback so
+        and len(udata) <= 48  # both paths agree bit-for-bit
+    ):
+        return _CHASH.hash_2b(pwd, salt, udata)
     k = hashlib.sha256(pwd + salt + udata).digest()
     i = 0
     while True:

@@ -165,7 +165,7 @@ class Raw:
         `length` bytes, then bounded scan ≤MAX_SCAN_RANGE for
         `endstream`/`endobj` (ParserSettings.java:6)."""
         p = self.pos
-        if p + length > self.length:
+        if length < 0 or p + length > self.length:
             raise EParseError("stream body beyond end of data")
         body = self.data[p : p + length]
         self.pos = p + length

@@ -120,6 +120,130 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return out
 
 
+class EmbeddedCMap:
+    """Parsed embedded /Encoding CMap stream (ISO 32000-1 §9.7.5.3,
+    Adobe CMap/CIDFont spec): variable-width code spaces plus the
+    code→CID (cidchar/cidrange) and code→Unicode (bfchar/bfrange)
+    sections. The reference has no CMap support at all; predefined
+    families are handled by name (Table 118) — this class covers fully
+    custom encodings, which decode without ToUnicode when the CMap
+    itself carries the mapping (bf sections directly; cid sections via
+    the Identity reading CID == Unicode scalar, the same documented
+    fallback the Identity-H path uses)."""
+
+    __slots__ = ("ranges", "cid_map", "cid_ranges", "bf_map")
+
+    def __init__(self):
+        # (width, lo_bytes, hi_bytes) — per-byte interval match
+        self.ranges: list[tuple[int, bytes, bytes]] = []
+        self.cid_map: dict[int, int] = {}
+        self.cid_ranges: list[tuple[int, int, int]] = []  # lo, hi, cid0
+        self.bf_map: dict[int, str] = {}
+
+    def codes(self, raw: bytes) -> list[int]:
+        """Tokenize show-string bytes into codes by code-space match
+        (byte-wise interval per the CMap spec); an unmatched byte is
+        consumed alone (permissive)."""
+        out = []
+        i, n = 0, len(raw)
+        ranges = self.ranges
+        while i < n:
+            for w, lo, hi in ranges:
+                if i + w > n:
+                    continue
+                ok = True
+                for k in range(w):
+                    if not (lo[k] <= raw[i + k] <= hi[k]):
+                        ok = False
+                        break
+                if ok:
+                    out.append(int.from_bytes(raw[i : i + w], "big"))
+                    i += w
+                    break
+            else:
+                out.append(raw[i])
+                i += 1
+        return out
+
+    def cid(self, code: int) -> Optional[int]:
+        c = self.cid_map.get(code)
+        if c is not None:
+            return c
+        for lo, hi, cid0 in self.cid_ranges:
+            if lo <= code <= hi:
+                return cid0 + (code - lo)
+        return None
+
+
+def parse_embedded_cmap(data: bytes) -> EmbeddedCMap:
+    """Parse codespacerange / cidchar / cidrange sections from an
+    embedded CMap stream; bf sections are shared with the ToUnicode
+    parser. `usecmap` imports are not followed (soft gap: a custom
+    CMap layered on a predefined one keeps only its own mappings)."""
+    cm = EmbeddedCMap()
+    cm.bf_map = parse_tounicode_cmap(data)
+    r = Raw(data)
+    d = data
+    n = len(d)
+
+    def read_tokens_until(end_kw: bytes) -> list:
+        toks = []
+        while r.pos < n:
+            r.skip_ws_and_comments()
+            if d.startswith(end_kw, r.pos):
+                r.pos += len(end_kw)
+                return toks
+            toks.append(parse_object(r, None))
+        raise EParseError(f"CMap: missing {end_kw.decode()}")
+
+    sections = (
+        (b"begincodespacerange", b"endcodespacerange"),
+        (b"begincidchar", b"endcidchar"),
+        (b"begincidrange", b"endcidrange"),
+    )
+    pos = 0
+    while True:
+        hits = [(d.find(b, pos), b, e) for (b, e) in sections]
+        hits = [(i, b, e) for (i, b, e) in hits if i >= 0]
+        if not hits:
+            break
+        i, b_kw, e_kw = min(hits)
+        r.pos = i + len(b_kw)
+        toks = read_tokens_until(e_kw)
+        pos = r.pos
+        if b_kw == b"begincodespacerange":
+            for k in range(0, len(toks) - 1, 2):
+                lo, hi = toks[k], toks[k + 1]
+                if isinstance(lo, CString) and isinstance(hi, CString) and (
+                    0 < len(lo.raw) == len(hi.raw) <= 4
+                ):
+                    cm.ranges.append((len(lo.raw), lo.raw, hi.raw))
+        elif b_kw == b"begincidchar":
+            for k in range(0, len(toks) - 1, 2):
+                src, cid = toks[k], toks[k + 1]
+                if isinstance(src, CString) and isinstance(cid, int):
+                    cm.cid_map[int.from_bytes(src.raw, "big")] = cid
+        else:  # cidrange
+            for k in range(0, len(toks) - 2, 3):
+                lo, hi, cid0 = toks[k], toks[k + 1], toks[k + 2]
+                if (
+                    isinstance(lo, CString)
+                    and isinstance(hi, CString)
+                    and isinstance(cid0, int)
+                ):
+                    cm.cid_ranges.append(
+                        (
+                            int.from_bytes(lo.raw, "big"),
+                            int.from_bytes(hi.raw, "big"),
+                            cid0,
+                        )
+                    )
+    # shorter code spaces first: the spec's incremental byte-matching
+    # resolves prefix overlaps toward the shortest matching space
+    cm.ranges.sort(key=lambda t: t[0])
+    return cm
+
+
 # Predefined CMap name → Python codec (ISO 32000-1 Table 118; public
 # Adobe character collections). For TEXT EXTRACTION the CID layer can
 # be bypassed entirely: each predefined CMap family's CODE BYTES are a
@@ -152,6 +276,16 @@ for _names, _codec in (
             _PREDEFINED_CMAP_CODECS[_n + _sfx] = _codec
 
 
+# shared 256-entry byte→char tables (one Font() per document per font
+# previously rebuilt these — 76k chr() calls per 300 docs for nothing)
+_LATIN1_TABLE = [chr(i) for i in range(256)]
+_WINANSI_TABLE = list(WINANSI_BYTE_TO_CHAR)
+_MACROMAN_TABLE = [
+    bytes([i]).decode("mac_roman", errors="replace") for i in range(256)
+]
+_IDENTITY_TRANS: dict = {}  # sentinel: identity decode, translate skipped
+
+
 class Font:
     """Decoder for one /Font resource (ISO 32000-1 §9.6-9.7).
 
@@ -164,7 +298,7 @@ class Font:
     """
 
     __slots__ = (
-        "two_byte", "tounicode", "table", "codec", "trans",
+        "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
     )
 
@@ -173,6 +307,7 @@ class Font:
         self.tounicode: Optional[dict[int, str]] = None
         self.table: Optional[list[str]] = None
         self.codec: Optional[str] = None
+        self.cmap: Optional[EmbeddedCMap] = None  # embedded /Encoding CMap
         self.trans: Optional[dict[int, str]] = None  # lazy str.translate map
         # glyph metrics: simple fonts /FirstChar + /Widths (1000-em
         # units); Type0 defaults to /DW 1000 per code. None ⇒ width
@@ -184,12 +319,16 @@ class Font:
         subtype = fdict.get_name("Subtype", None, resolver)
         if subtype == "Type0":
             self.two_byte = True
-            enc = fdict.get_name("Encoding", None, resolver)
-            if enc is not None and not str(enc).startswith("Identity"):
-                # predefined CJK CMap → known byte encoding; embedded
-                # CMap streams still rely on ToUnicode (CID→Unicode
-                # needs the full character-collection tables)
-                self.codec = _PREDEFINED_CMAP_CODECS.get(str(enc))
+            enc_v = fdict.deref(fdict.get("Encoding", COS_NULL), resolver)
+            if isinstance(enc_v, Name) and not str(enc_v).startswith("Identity"):
+                # predefined CJK CMap → known byte encoding
+                self.codec = _PREDEFINED_CMAP_CODECS.get(str(enc_v))
+            elif isinstance(enc_v, CStream):
+                # embedded CMap stream: custom code spaces + cid/bf
+                # sections carried in the file itself (§9.7.5.3)
+                self.cmap = parse_embedded_cmap(
+                    decode_stream(enc_v.data, enc_v.dict, resolver)
+                )
         if self.two_byte:
             # /W parsing is out of scope; /DW (default 1000) covers the
             # constant-advance case (ISO 32000-1 §9.7.4.3)
@@ -225,7 +364,8 @@ class Font:
         if not self.two_byte:
             enc = fdict.get("Encoding", COS_NULL)
             enc = fdict.deref(enc, resolver)
-            base_table = [chr(i) for i in range(256)]  # Standard ≈ latin-1
+            base_table = _LATIN1_TABLE  # Standard ≈ latin-1 (shared,
+            # copied only when /Differences mutates it)
             diffs: Optional[list] = None
             if isinstance(enc, Name):
                 base_table = self._base_table(str(enc))
@@ -235,6 +375,7 @@ class Font:
                     base_table = self._base_table(str(base))
                 diffs = enc.get_array("Differences", None, resolver)
             if diffs:
+                base_table = list(base_table)
                 code = 0
                 for item in diffs:
                     if isinstance(item, (int, float)) and not isinstance(item, bool):
@@ -247,11 +388,12 @@ class Font:
 
     @staticmethod
     def _base_table(name: str) -> list[str]:
+        # shared constants — Font copies before any /Differences mutation
         if name == "WinAnsiEncoding":
-            return list(WINANSI_BYTE_TO_CHAR)
+            return _WINANSI_TABLE
         if name == "MacRomanEncoding":
-            return [bytes([i]).decode("mac_roman", errors="replace") for i in range(256)]
-        return [chr(i) for i in range(256)]
+            return _MACROMAN_TABLE
+        return _LATIN1_TABLE
 
     def decode(self, raw: bytes) -> str:
         if self.two_byte:
@@ -259,6 +401,32 @@ class Font:
                 # predefined CMap: raw code bytes ARE this encoding
                 # (variable 1-2-byte widths handled by the codec)
                 return raw.decode(self.codec, errors="replace")
+            if self.cmap is not None:
+                # embedded CMap: code-space tokenization, then
+                # ToUnicode > bf sections > CID-as-Unicode (the same
+                # Identity fallback documented below) per code
+                cm = self.cmap
+                tu = self.tounicode
+                out = []
+                for code in cm.codes(raw):
+                    if tu is not None and code in tu:
+                        out.append(tu[code])
+                        continue
+                    s = cm.bf_map.get(code)
+                    if s is not None:
+                        out.append(s)
+                        continue
+                    cid = cm.cid(code)
+                    out.append(
+                        chr(cid)
+                        if cid is not None and 0 <= cid <= 0x10FFFF
+                        else "�"
+                    )
+                return (
+                    "".join(out)
+                    .encode("utf-16", "surrogatepass")
+                    .decode("utf-16", "replace")
+                )
             codes = [
                 int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw) - 1, 2)
             ]
@@ -277,9 +445,14 @@ class Font:
         # (simple-font show strings are the hottest decode path)
         tr = self.trans
         if tr is None:
-            t = self.table or [chr(i) for i in range(256)]
-            tr = self.trans = {i: t[i] for i in range(256)}
-        return raw.decode("latin-1").translate(tr)
+            t = self.table
+            tr = self.trans = (
+                _IDENTITY_TRANS
+                if t is None or t is _LATIN1_TABLE
+                else {i: t[i] for i in range(256)}
+            )
+        s = raw.decode("latin-1")
+        return s if tr is _IDENTITY_TRANS else s.translate(tr)
 
     def advance_1000(self, raw: bytes) -> Optional[int]:
         """Glyph-advance sum for one show string in 1000-em units, as
@@ -289,6 +462,8 @@ class Font:
             if self.codec is not None:
                 # variable-width codes: advance per DECODED char
                 n = len(raw.decode(self.codec, errors="replace"))
+            elif self.cmap is not None:
+                n = len(self.cmap.codes(raw))  # advance per CODE
             else:
                 n = len(raw) // 2
             return n * self.default_width

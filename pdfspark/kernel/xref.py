@@ -36,6 +36,14 @@ from .errors import DEFAULT_SETTINGS, EParseError, ParserSettings
 from .filters import decode_stream
 from .raw import Raw
 
+import re
+
+# classic-table subsection header `start count` (X2): one C-level
+# match replaces skip_ws + two fetch_uint cursor calls per subsection
+_XREF_SUB_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]*"
+)
+
 
 @dataclass
 class XRefEntry:
@@ -310,64 +318,88 @@ class Parser:
         """X2 (PDFParser.parseXRefTable, :337-375): subsections
         ``start count`` then count × fixed-width ``offset10 gen5 flag``;
         only 'n' kept, 'f' skipped; broken-writer heuristic: if
-        start==1 and first entry is `0 65535 f`, shift start to 0."""
+        start==1 and first entry is `0 65535 f`, shift start to 0.
+
+        Strict 20-byte blocks are tokenized with ONE C-level split per
+        subsection (three tokens per row); 19-byte-row writers (LF
+        only, e.g. the reference's minimal fixtures) and ragged blocks
+        fall back to the token-wise cursor parse."""
         r = self.raw
+        d = r.data
+        pos = r.pos
+        add = self.xref.add_uncompressed
         while True:
-            r.skip_ws()
-            if not (r.pos < r.length and 0x30 <= r.data[r.pos] <= 0x39):
+            m = _XREF_SUB_RE.match(d, pos)
+            if m is None:
                 break  # 'trailer' keyword next
-            start = r.fetch_uint()
-            count = r.fetch_uint()
-            r.skip_ws()
-            block = r.data[r.pos : r.pos + 20 * count]
-            # strict spec rows are exactly 20 bytes ("nnnnnnnnnn ggggg f␣␊");
-            # only then take the vectorized path — 19-byte-row writers
-            # (LF only, e.g. the reference's minimal fixtures) fall back
-            # to token-wise parse
+            start = int(m.group(1))
+            count = int(m.group(2))
+            pos = m.end()
+            block = d[pos : pos + 20 * count]
+            # strict spec rows are exactly 20 bytes ("nnnnnnnnnn ggggg f␣␊")
             strict = len(block) == 20 * count and all(
                 block[i * 20 + 10] == 0x20 and block[i * 20 + 16] == 0x20
                 for i in range(min(count, 4))
             )
-            if not strict:
-                for i in range(count):
-                    off = r.fetch_uint()
-                    gen = r.fetch_uint()
-                    r.skip_ws()
-                    flag = r.data[r.pos : r.pos + 1]
-                    r.pos += 1
-                    if i == 0 and start == 1 and self._is_broken_first_free(
-                        off, gen, flag
+            if strict:
+                toks = block.split()
+                if len(toks) == 3 * count:
+                    if (
+                        start == 1
+                        and count > 0
+                        # a corrupt first row (non-numeric tokens) is
+                        # simply not the `0 65535 f` free-list head —
+                        # never let it raise ValueError
+                        and toks[0].isdigit()
+                        and toks[1].isdigit()
+                        and self._is_broken_first_free(
+                            int(toks[0]), int(toks[1]), toks[2][:1]
+                        )
                     ):
                         start = 0  # broken-writer fix (PDFParser.java:346-352)
-                    if flag == b"n":
-                        self._add_classic(start, i, count, off, gen)
+                    for i in range(count):
+                        if toks[3 * i + 2] == b"n":
+                            t0, t1 = toks[3 * i], toks[3 * i + 1]
+                            if t0.isdigit() and t1.isdigit():
+                                add(start + i, int(t1), int(t0))
+                            else:
+                                self.settings.soft_structure(
+                                    False, "non-numeric xref row"
+                                )
+                    pos += 20 * count
+                    continue
+                # strict geometry but ragged token count: per-row
+                # isolation (a short/garbled row soft-skips, its
+                # neighbours still resolve — PDFParser.java:362-371)
+                for i in range(count):
+                    parts = block[i * 20 : (i + 1) * 20].split()
+                    if len(parts) < 3:
+                        self.settings.soft_structure(False, "short xref row")
+                        continue
+                    if parts[2][:1] == b"n":
+                        if parts[0].isdigit() and parts[1].isdigit():
+                            add(start + i, int(parts[1]), int(parts[0]))
+                        else:
+                            self.settings.soft_structure(
+                                False, "non-numeric xref row"
+                            )
+                pos += 20 * count
                 continue
-            rows = np.frombuffer(block, dtype="S20").astype("U20")
-            if start == 1 and count > 0:
-                fp = block[:20].split()
-                # a corrupt first row (non-numeric tokens) is simply
-                # not the `0 65535 f` free-list head — it must stay on
-                # the typed-error path below, never raise ValueError
-                if (
-                    len(fp) >= 3
-                    and fp[0].isdigit()
-                    and fp[1].isdigit()
-                    and self._is_broken_first_free(int(fp[0]), int(fp[1]), fp[2][:1])
+            r.pos = pos
+            for i in range(count):
+                off = r.fetch_uint()
+                gen = r.fetch_uint()
+                r.skip_ws()
+                flag = d[r.pos : r.pos + 1]
+                r.pos += 1
+                if i == 0 and start == 1 and self._is_broken_first_free(
+                    off, gen, flag
                 ):
                     start = 0  # broken-writer fix (PDFParser.java:346-352)
-            for i in range(count):
-                parts = rows[i].split()
-                if len(parts) < 3:
-                    self.settings.soft_structure(False, "short xref row")
-                    continue
-                if parts[2] == "n":
-                    try:
-                        off, gen = int(parts[0]), int(parts[1])
-                    except ValueError:
-                        self.settings.soft_structure(False, "non-numeric xref row")
-                        continue
-                    self._add_classic(start, i, count, off, gen)
-            r.pos += 20 * count
+                if flag == b"n":
+                    add(start + i, gen, off)
+            pos = r.pos
+        r.pos = pos
 
     @staticmethod
     def _is_broken_first_free(off: int, gen: int, flag: bytes) -> bool:
@@ -377,9 +409,6 @@ class Parser:
         object id in it is shifted by one. Compare numeric values, not
         raw tokens: strict rows zero-pad the offset to 10 digits."""
         return off == 0 and gen == 65535 and flag == b"f"
-
-    def _add_classic(self, start: int, i: int, count: int, off: int, gen: int) -> None:
-        self.xref.add_uncompressed(start + i, gen, off)
 
     def _parse_trailer(self) -> CDict:
         """X3 (PDFParser.parseTrailer, :305-335)."""

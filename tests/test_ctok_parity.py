@@ -1,0 +1,201 @@
+"""Differential parity: the `_ctok` C scanner vs the pure-Python
+scanner (cos._parse_object_py). The C module is an optional drop-in —
+any result or error-class divergence on the same bytes is a bug.
+
+Skipped wholesale when the C module failed to load (no gcc/headers):
+the pure-Python path is then the only path and is covered everywhere
+else.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdfspark.kernel import cos
+from pdfspark.kernel.errors import EParseError, ParserSettings
+from pdfspark.kernel.raw import Raw
+
+pytestmark = pytest.mark.skipif(
+    cos._CTOK is None, reason="C tokenizer not available in this env"
+)
+
+
+def _both(payload: bytes, settings=None):
+    """(value, pos, err) from the C path and the Python path."""
+
+    def run(fn):
+        r = Raw(payload, settings)
+        try:
+            v = fn(r, None)
+            return (v, r.pos, None)
+        except EParseError:
+            return (None, None, "EParseError")
+        except RecursionError:
+            return (None, None, "RecursionError")
+
+    c = run(cos.parse_object)
+    py = run(cos._parse_object_py)
+    return c, py
+
+
+def _assert_same(payload: bytes, settings=None):
+    c, py = _both(payload, settings)
+    assert c[2] == py[2], (payload[:120], c[2], py[2])
+    if c[2] is None:
+        assert cos.produce(c[0]) == cos.produce(py[0]), payload[:120]
+        assert c[1] == py[1], (payload[:120], c[1], py[1])
+
+
+CORPUS = [
+    b"42", b"-0000", b"+1234567890", b"4.", b"-.002", b"34.5", b"0.0",
+    b"123456789012345678901234567890",  # > long long
+    b"true", b"false", b"null", b"trueX",  # keyword + abutting junk
+    b"/Name1", b"/", b"/lime#20Green", b"/A#42", b"/paired#28#29x",
+    b"3 0 R", b"12 65535 R", b"1234567890 0 R",  # 10-digit id → number
+    b"5 0 R/",  # ref terminated by delimiter
+    b"(simple)", rb"(\0053)", rb"(\53)", b"(nested (p) q)",
+    b"(bare\rEOL)", b"(bare\r\nEOL)", b"(line\\\ncont)", rb"(unk \q esc)",
+    b"<48656c6C6f>", b"<90 1f a>", b"<>",
+    b"[1 2.5 (s) <0aff> /N true null 7 0 R]",
+    b"[[1 [2 [3]]] 4]",
+    b"<< /A 1 /B (x) >>",
+    b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+    b"<< /A << /B << /C [1 2] >> >> >>",
+    b"<< /Length 5 >>\nstream\nHELLO\nendstream",
+    b"<< /Length 5 >>\r\nstream\r\nHELLO\r\nendstream",
+    b"<< /Length 5 >> stream\nHELLOendstream",
+    b"<< /Length 0 >>\nstream\n\nendstream",
+    b"% comment\n 7", b"%only comment",
+    # malformed family — both sides must fail the same way
+    b"3.14e5", b"1.2.3", b"--5", b"+-1", b".", b"", b"   ",
+    b"<90zz>", b"(open", b"<< /A 1", b"[1 2", b"]", b">>", b"tru", b"nul",
+    b"<< 5 6 >>",  # non-name key
+    b"<< /Length 99 >>\nstream\nshort\nendstream",  # body beyond EOF
+    b"<< /Length -5 >>\nstream\nxx\nendstream",  # negative length
+    b"<< /Length /Nope >>\nstream\nxx\nendstream",  # non-int length
+    b"{", b"}", b"12x", b"5 0 Rx",
+]
+
+
+@pytest.mark.parametrize("payload", CORPUS, ids=range(len(CORPUS)))
+def test_corpus_parity(payload):
+    _assert_same(payload)
+
+
+def test_salvage_mode_parity():
+    st = ParserSettings(allow_reconstruction=True)
+    _assert_same(b"<< /Length /Nope >>\nstream\nBODY\nendstream", st)
+    _assert_same(b"<< /Length /Nope >>\nstream\nBODY", st)  # no endstream
+
+
+def test_strict_tier_parity():
+    # integrity/structure tiers OFF → soft asserts raise in both paths
+    st = ParserSettings(ignore_syntax_errors=False, ignore_structure_errors=False)
+    _assert_same(b"<< /Length 2 >>\nstream\rXXendstream", st)  # lone CR
+    _assert_same(b"<< /Length 2 >>\nstream\nXX" + b"Y" * 300 + b"endstream", st)
+
+
+def test_indirect_length_resolver_parity():
+    becomes = {7: 5}
+
+    def resolver(ref):
+        return becomes.get(ref.num, cos.COS_NULL)
+
+    payload = b"<< /Length 7 0 R >>\nstream\nHELLO\nendstream"
+    rc = Raw(payload)
+    vc = cos.parse_object(rc, resolver)
+    rp = Raw(payload)
+    vp = cos._parse_object_py(rp, resolver)
+    assert isinstance(vc, cos.CStream) and vc.data == vp.data == b"HELLO"
+    assert rc.pos == rp.pos
+    # resolver=None must error identically
+    _assert_same(payload)
+
+
+def test_mutation_fuzz_parity():
+    """Seeded byte-mutation fuzz over realistic serialized values: the
+    two scanners must agree on success/error and on the parsed value."""
+    rng = random.Random(0xC70C)
+    seeds = [
+        cos.produce(
+            cos.parse_object(
+                Raw(b"<< /T /X /K [1 2 (ab) <0aff> 3 0 R] /D << /N null >> >>")
+            )
+        ),
+        b"<< /Length 11 >>\nstream\nhello world\nendstream",
+        b"[((a))(b\\)c) /N#20M 1 2 R -7 .5 <ff>]",
+    ]
+    for _ in range(400):
+        base = bytearray(rng.choice(seeds))
+        for _ in range(rng.randrange(1, 4)):
+            i = rng.randrange(len(base))
+            op = rng.randrange(3)
+            if op == 0:
+                base[i] = rng.randrange(256)
+            elif op == 1:
+                del base[i]
+            else:
+                base.insert(i, rng.randrange(32, 127))
+        _assert_same(bytes(base))
+
+
+def test_interning_shared():
+    """Names from the C path intern into the SAME cache as Python's."""
+    v1 = cos.parse_object(Raw(b"/InterningProbeXyz"))
+    v2 = cos._parse_object_py(Raw(b"/InterningProbeXyz"))
+    assert v1 is v2
+
+
+def test_deep_nesting_no_recursion_error():
+    # both scanners are stack-machine based — parse depth is bounded by
+    # input, not the interpreter stack (produce() IS recursive, so the
+    # equality check stays under the Python recursion limit)
+    deep = b"[" * 4000 + b"]" * 4000
+    v = cos.parse_object(Raw(deep))
+    p = cos._parse_object_py(Raw(deep))
+    d = 0
+    while isinstance(v, list) and v:
+        assert isinstance(p, list) and len(p) == len(v) == 1
+        v, p = v[0], p[0]
+        d += 1
+    assert v == [] == p and d == 3999
+
+
+def test_chash_parity():
+    """_chash.hash_2b (OpenSSL EVP) vs the pure-Python Algorithm 2.B
+    body — bit-identical over assorted pwd/salt/udata shapes."""
+    from pdfspark.kernel import crypt
+
+    if crypt._CHASH is None:
+        pytest.skip("C hash not available in this env")
+    import hashlib
+
+    def py_hash_2b(pwd, salt, udata):
+        k = hashlib.sha256(pwd + salt + udata).digest()
+        i = 0
+        while True:
+            k1 = (pwd + k + udata) * 64
+            e = crypt._aes_cbc(k[:16], k[16:32], k1, decrypt=False)
+            mod = sum(e[:16]) % 3
+            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    rng = random.Random(0x2B)
+    cases = [
+        (b"", b"12345678", b""),
+        (b"user", b"\x00" * 8, b""),
+        (b"owner-doc", b"\xffsalt\xff!!", b"U" * 48),
+        (bytes(rng.randrange(256) for _ in range(127)), b"abcdefgh", b"x" * 48),
+    ]
+    for _ in range(10):
+        cases.append((
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 128))),
+            bytes(rng.randrange(256) for _ in range(8)),
+            bytes(rng.randrange(256) for _ in range(rng.choice([0, 48]))),
+        ))
+    for pwd, salt, udata in cases:
+        assert crypt._CHASH.hash_2b(pwd, salt, udata) == py_hash_2b(pwd, salt, udata)

@@ -18,7 +18,9 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .c ships too: kernel/ctok.py compiles the C fast path
+                # into a host-local cache (a .so cannot load from a zip)
+                if f.endswith((".py", ".c")):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)
