@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_filters": _q_roundtrip("filters_rotate"),
         "pdf_roundtrip_encrypted": _q_roundtrip("encrypted"),
         "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
+        "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_salvage": _q_salvage,
         "pdf_span_geometry": _q_geometry,
         "pdf_malformed_policy": _q_malformed,
@@ -186,6 +187,11 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # via the CMap's byte encoding must be lossless (ASCII corpus
         # here; multi-byte CJK pinned in tests/test_cjk.py)
         "pdf_roundtrip_cjk": _SPANS_ORACLE_SQL,
+        # Type0 + fully custom EMBEDDED /Encoding CMap stream, no
+        # ToUnicode: codespacerange/cidrange/cidchar/bfchar/bfrange are
+        # parsed from the file itself; decode must be lossless (ASCII
+        # corpus rides the 1-byte space; multi-byte pins in test_cjk.py)
+        "pdf_roundtrip_cjk_embedded": _SPANS_ORACLE_SQL,
         # §C.2 reconstruction: startxref-less payloads must salvage to
         # the identical span sequence
         "pdf_salvage": _SPANS_ORACLE_SQL,

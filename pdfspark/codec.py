@@ -186,12 +186,16 @@ def _show_bytes_embedded(text: str, code_of: dict[str, bytes]) -> bytes:
 
 
 def _content_for(
-    spans: Sequence[tuple], image_names: dict[str, str], cjk: bool = False
+    spans: Sequence[tuple],
+    image_names: dict[str, str],
+    cjk: bool = False,
+    embedded_code_of: Optional[dict[str, bytes]] = None,
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
     ``cjk`` routes GBK-encodable text through /F3 (Type0 + predefined
-    GBK-EUC-H CMap, no ToUnicode)."""
+    GBK-EUC-H CMap, no ToUnicode); ``embedded_code_of`` routes ALL
+    text through /F3 as codes under the custom embedded CMap."""
     parts: list[bytes] = []
     used_cid = False
     y = 720
@@ -202,9 +206,16 @@ def _content_for(
             y -= 60
             continue
         simple = _show_bytes_simple(text or "")
-        gbk = _show_bytes_gbk(text or "") if cjk else None
+        if embedded_code_of is not None:
+            def _emb(t, _c=embedded_code_of):
+                return _show_bytes_embedded(t, _c)
+
+            gbk: Optional[bytes] = _emb(text or "")
+        else:
+            gbk = _show_bytes_gbk(text or "") if cjk else None
+            _emb = _show_bytes_gbk
         if gbk is not None:
-            font, shown, part_fn = b"/F3", gbk, _show_bytes_gbk
+            font, shown, part_fn = b"/F3", gbk, _emb
         elif simple is None:
             used_cid = True
             font, shown = b"/F2", _show_bytes_cid(text or "")
@@ -320,6 +331,7 @@ def build_object_graph(
     catalog_extra: Optional[dict] = None,
     xml_metadata: Optional[bytes] = None,
     cjk: bool = False,
+    cjk_embedded: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -328,7 +340,19 @@ def build_object_graph(
     info_num = g.reserve()
     f1_num = g.reserve()
 
+    embedded_code_of: Optional[dict[str, bytes]] = None
+    embedded_cmap_bytes: Optional[bytes] = None
+    if cjk_embedded:
+        # custom per-document CMap covering every non-ASCII char
+        uniq = sorted(
+            {ch for (k, t, _m, _o) in spans if k == "text" for ch in (t or "")
+             if ord(ch) >= 0x80}
+        )
+        embedded_cmap_bytes, embedded_code_of = _build_embedded_cmap(uniq)
+
     def _showable_without_cid(t: str) -> bool:
+        if cjk_embedded:
+            return True  # every char has an assigned code
         if cjk:
             # cjk mode routes everything GBK-encodable through /F3
             try:
@@ -406,7 +430,27 @@ def build_object_graph(
         f2[Name("ToUnicode")] = Ref(f2_cmap_num, 0)
         g.objs[f2_num] = f2
     f3_num = None
-    if cjk:
+    if cjk_embedded:
+        # Type0 + EMBEDDED /Encoding CMap stream (no ToUnicode): the
+        # extractor must parse the CMap itself — code spaces, cidrange
+        # (1-byte ASCII), cidchar/bfchar/bfrange (2-byte customs)
+        cm = _encode_content(embedded_cmap_bytes, ["flate"])
+        cm.dict[Name("Type")] = Name("CMap")
+        cm.dict[Name("CMapName")] = Name("pdfspark-Custom-H")
+        cmap_num = g.add(cm)
+        desc3 = CDict()
+        desc3[Name("Type")] = Name("Font")
+        desc3[Name("Subtype")] = Name("CIDFontType0")
+        desc3[Name("BaseFont")] = Name("Custom")
+        desc3_num = g.add(desc3)
+        f3 = CDict()
+        f3[Name("Type")] = Name("Font")
+        f3[Name("Subtype")] = Name("Type0")
+        f3[Name("BaseFont")] = Name("Custom")
+        f3[Name("Encoding")] = Ref(cmap_num, 0)
+        f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
+        f3_num = g.add(f3)
+    elif cjk:
         # Type0 + predefined GBK-EUC-H CMap, deliberately NO ToUnicode:
         # the extractor must decode the code bytes via the CMap's own
         # encoding (kernel/textops._PREDEFINED_CMAP_CODECS)
@@ -442,7 +486,9 @@ def build_object_graph(
     page_nums: list[int] = []
     for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
         page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
-        body, _ = _content_for(page_spans, image_names, cjk=cjk)
+        body, _ = _content_for(
+            page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of
+        )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
         page = CDict()
@@ -964,11 +1010,17 @@ def build_pdf(
     layout = variant
     encryption: Optional[str] = "pwd" if encrypted else None
     cjk = False
+    cjk_embedded = False
     if variant == "cjk":
         # Type0 + predefined GBK-EUC-H CMap (no ToUnicode) for every
         # GBK-encodable text span — the CID-CMap decode path
         layout = "classic"
         cjk = True
+    if variant == "cjk:embedded":
+        # Type0 + fully custom EMBEDDED CMap stream (no ToUnicode):
+        # all text rides codes only the in-file CMap can decode
+        layout = "classic"
+        cjk_embedded = True
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
@@ -987,7 +1039,7 @@ def build_pdf(
 
     g, cat, info = build_object_graph(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
-        cjk=cjk,
+        cjk=cjk, cjk_embedded=cjk_embedded,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

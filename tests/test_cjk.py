@@ -71,3 +71,67 @@ def test_unknown_predefined_cmap_falls_back():
     f = Font(fd, None)
     assert f.codec is None  # identity UTF-16BE fallback, not a crash
     assert isinstance(f.decode(b"\x00A\x00b"), str)
+
+
+# --- embedded CMap streams (r3: ISO 32000-1 §9.7.5.3) ------------------
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        CJK_TEXT,  # multi-byte Chinese through cidchar/bfchar/bfrange
+        "plain ascii rides the 1-byte code space " * 4,
+        "mixed 日本語テキスト and हिन्दी plus astral \U0001F600\U0001F680 " * 3,
+        "naïve café über straße — latin-1 range non-ASCII " * 4,
+    ],
+    ids=["chinese", "ascii", "mixed-astral", "latin1"],
+)
+def test_embedded_cmap_roundtrips(text):
+    """Type0 + fully custom embedded /Encoding CMap, NO ToUnicode: the
+    extractor must parse the in-file CMap (codespacerange + cidrange +
+    cidchar + bfchar + bfrange all present by construction) and decode
+    losslessly."""
+    spans = synth_spans_py("embX", text)
+    payload = build_pdf("embX", spans, "cjk:embedded")
+    assert b"begincodespacerange" not in payload  # CMap is flate-compressed
+    st, err, got = extract_spans(payload)
+    assert st == "ok", err
+    assert got == _expected(spans)
+
+
+def test_embedded_cmap_sections_parsed_directly():
+    """Unit pin: all five section kinds of the generator's CMap land in
+    the parsed EmbeddedCMap, and codes() honors mixed 1/2-byte spaces."""
+    from pdfspark.codec import _build_embedded_cmap
+    from pdfspark.kernel.textops import parse_embedded_cmap
+
+    chars = ["中", "文", "嵌"]  # k%3 → cidchar, bfchar, bfrange
+    data, code_of = _build_embedded_cmap(chars)
+    cm = parse_embedded_cmap(data)
+    assert sorted(cm.ranges) == [(1, b"\x00", b"\x7f"), (2, b"\x81\x40", b"\xfe\xfe")]
+    assert cm.cid_ranges == [(0x00, 0x7F, 0)]  # ASCII: CID == code
+    c0 = int.from_bytes(code_of["中"], "big")
+    c1 = int.from_bytes(code_of["文"], "big")
+    c2 = int.from_bytes(code_of["嵌"], "big")
+    assert cm.cid_map[c0] == ord("中")  # cidchar
+    assert cm.bf_map[c1] == "文"  # bfchar
+    assert cm.bf_map[c2] == "嵌"  # bfrange (lo == hi)
+    # mixed-width tokenization: 'A' (1 byte) then 中 (2 bytes)
+    raw = b"A" + code_of["中"]
+    assert cm.codes(raw) == [ord("A"), c0]
+
+
+def test_embedded_cmap_tounicode_precedence():
+    """A /ToUnicode on the font outranks the embedded CMap's own
+    mappings (ISO 32000-1 §9.10.2 lookup order)."""
+    from pdfspark.codec import _build_embedded_cmap
+    from pdfspark.kernel.textops import Font, parse_embedded_cmap
+
+    data, code_of = _build_embedded_cmap(["中"])
+    f = Font(CDict(), None)
+    f.two_byte = True
+    f.cmap = parse_embedded_cmap(data)
+    f.tounicode = {int.from_bytes(code_of["中"], "big"): "Z"}
+    assert f.decode(code_of["中"]) == "Z"
+    f.tounicode = None
+    assert f.decode(code_of["中"]) == "中"
