@@ -199,27 +199,37 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # (codec._content_for: 5 spans/page, y from 720 stepping -16
         # per text / -60 per media span; x=10; show-forms 2-3 perform
         # an implicit T* next-line move of TL=14; media placed by a
-        # 100×50 cm) — so expected (x, y, w, h) is closed-form SQL
-        # text width = glyph-advance sum: the generator's /Widths are a
-        # constant 500/1000 em at size 12 → (500·tlen·12)/1000, exact
-        # in IEEE because every factor is an integer
+        # 100×50 cm) — so expected (x, y, w, h) is closed-form SQL.
+        # text width = the full §9.4.4 advance ((w0/1000)·12 + Tc·n +
+        # Tw·spaces)·Th with the generator's constant 500/1000-em
+        # /Widths and per-form Tc/Tw/Tz (codec._content_for): every
+        # factor is an exact binary fraction, so the sums are IEEE
+        # bit-identical in any association order:
+        #   j%4=0: 6.25·len + 0.5·spaces     (Tc .25, Tw .5, Th 1)
+        #   j%4=1: 3·len                     (Th .5; TJ kern excluded)
+        #   j%4=2: 6.125·len                 (Tc .125)
+        #   j%4=3: 3.5·len + spaces          (" sets Tw 2 Tc 1; Th .5)
         "pdf_span_geometry": _SPANS_CTE
         + """,
 s AS (
   SELECT doc_id, CAST(i + i // 3 AS INT) AS off, 'text' AS kind,
-         length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen
+         length(substr(text, CAST(i*80+1 AS INT), 80)) AS tlen,
+         length(substr(text, CAST(i*80+1 AS INT), 80))
+           - length(replace(substr(text, CAST(i*80+1 AS INT), 80), ' ', ''))
+           AS nsp
   FROM c
   UNION ALL
-  SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS off, 'media' AS kind, 0 AS tlen
+  SELECT doc_id, CAST(i + i // 3 + 1 AS INT) AS off, 'media' AS kind,
+         0 AS tlen, 0 AS nsp
   FROM c WHERE i % 3 = 2
 ),
 p AS (
-  SELECT doc_id, off, kind, tlen, off // 5 AS pg, off % 5 AS j,
+  SELECT doc_id, off, kind, tlen, nsp, off // 5 AS pg, off % 5 AS j,
          CASE WHEN kind = 'text' THEN 16 ELSE 60 END AS dy
   FROM s
 ),
 wk AS (
-  SELECT doc_id, off, kind, tlen, j,
+  SELECT doc_id, off, kind, tlen, nsp, j,
          720 - (SUM(dy) OVER (PARTITION BY doc_id, pg ORDER BY j) - dy) AS ybase
   FROM p
 )
@@ -229,7 +239,10 @@ SELECT doc_id, off AS "offset", kind,
                  WHEN j % 4 IN (2, 3) THEN ybase - 14
                  ELSE ybase END AS DOUBLE) AS y,
        CAST(CASE WHEN kind = 'media' THEN 100.0
-                 ELSE (500 * tlen * 12) / 1000.0 END AS DOUBLE) AS w,
+                 WHEN j % 4 = 0 THEN 6.25 * tlen + 0.5 * nsp
+                 WHEN j % 4 = 1 THEN 3.0 * tlen
+                 WHEN j % 4 = 2 THEN 6.125 * tlen
+                 ELSE 3.5 * tlen + nsp END AS DOUBLE) AS w,
        CAST(CASE WHEN kind = 'media' THEN 50.0 ELSE 12.0 END AS DOUBLE) AS h
 FROM wk
 """,

@@ -222,11 +222,20 @@ def _content_for(
         else:
             font, shown = b"/F1", simple
         form = ordinal % 4
+        # Every form sets Tc/Tw/Tz EXPLICITLY (text state persists
+        # across BT/ET, §9.3.1 — explicit values keep the closed-form
+        # geometry oracle free of cross-span state), and every value is
+        # an exact binary fraction so width sums are bit-identical
+        # between the kernel and the SQL oracle:
+        #   form 0: Tc=.25 Tw=.5  Th=1   → w = 6.25·len + .5·spaces
+        #   form 1: Tc=0   Tw=0   Th=.5  → w = 3·len   (TJ kern excl.)
+        #   form 2: Tc=.125 Tw=0  Th=1   → w = 6.125·len
+        #   form 3: " sets Tw=2 Tc=1, Th=.5 → w = 3.5·len + spaces
         if form == 0:
-            # Tj plus graphics/text-state no-ops the interpreter must
-            # skip with their operands (q/cm/Tc/Tw/Tz, §9.3)
+            # Tj plus graphics no-ops the interpreter must skip with
+            # their operands (q/cm, §9.3)
             parts.append(
-                b"q 1 0 0 1 0 0 cm BT %s 12 Tf 0.2 Tc 0.1 Tw 100 Tz 10 %d Td %s Tj ET Q"
+                b"q 1 0 0 1 0 0 cm BT %s 12 Tf 0.25 Tc 0.5 Tw 100 Tz 10 %d Td %s Tj ET Q"
                 % (font, y, shown)
             )
         elif form == 1:
@@ -242,16 +251,25 @@ def _content_for(
                 a = splitter(text[:mid])
                 b = splitter(text[mid:])
                 parts.append(
-                    b"BT %s 12 Tf 10 %d Td [%s -250 %s] TJ ET" % (font, y, a, b)
+                    b"BT %s 12 Tf 0 Tc 0 Tw 50 Tz 10 %d Td [%s -250 %s] TJ ET"
+                    % (font, y, a, b)
                 )
             else:
-                parts.append(b"BT %s 12 Tf 10 %d Td [%s] TJ ET" % (font, y, shown))
+                parts.append(
+                    b"BT %s 12 Tf 0 Tc 0 Tw 50 Tz 10 %d Td [%s] TJ ET"
+                    % (font, y, shown)
+                )
         elif form == 2:
-            parts.append(b"BT %s 12 Tf 14 TL 10 %d Td %s ' ET" % (font, y, shown))
-        else:
-            # Tm positioning + the " operator (aw ac string, §9.4.3)
             parts.append(
-                b'BT %s 12 Tf 14 TL 1 0 0 1 10 %d Tm 2 1 %s " ET' % (font, y, shown)
+                b"BT %s 12 Tf 0.125 Tc 0 Tw 100 Tz 14 TL 10 %d Td %s ' ET"
+                % (font, y, shown)
+            )
+        else:
+            # Tm positioning + the " operator (aw ac string, §9.4.3 —
+            # itself SETS Tw=2 Tc=1)
+            parts.append(
+                b'BT %s 12 Tf 50 Tz 14 TL 1 0 0 1 10 %d Tm 2 1 %s " ET'
+                % (font, y, shown)
             )
         y -= 16
     return b"\n".join(parts), used_cid

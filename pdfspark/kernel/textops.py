@@ -626,6 +626,11 @@ def interpret_content(
     in_text = False
     cur_font = _DEFAULT_FONT
     cur_size = 0.0
+    # text state (§9.3.1): char spacing / word spacing / horizontal
+    # scale — persist across BT/ET; every advance term scales by th
+    tc = 0.0
+    tw = 0.0
+    th = 1.0
     ctm = _ctm
     ctm_stack: list[tuple] = []
     tm = tlm = _MAT_ID  # text matrix / text line matrix (§9.4.2)
@@ -676,10 +681,29 @@ def interpret_content(
             if adv is None:
                 span_w_known = False
             else:
-                # glyph advances only (Tc/Tw/TJ kerning excluded —
-                # documented width semantics); the association order
-                # (int·size)/1000·scale is mirrored by the SQL oracle
-                span_adv += (adv * cur_size) / 1000.0 * trm_c[0]
+                # §9.4.4 advance: ((w0/1000)·Tfs + Tc·n + Tw·nsp)·Th
+                # per show string (TJ kerning still excluded —
+                # documented width semantics). Word spacing applies to
+                # the single-byte code 32 only (§9.3.3), so CID fonts
+                # never accrue Tw. Every factor the generator emits is
+                # an exact binary fraction, so the SQL oracle matches
+                # bit-for-bit regardless of association order.
+                raw = s.raw
+                f = cur_font
+                if f.two_byte:
+                    if f.cmap is not None:
+                        nglyphs = len(f.cmap.codes(raw))
+                    elif f.codec is not None:
+                        nglyphs = len(raw.decode(f.codec, "replace"))
+                    else:
+                        nglyphs = len(raw) // 2
+                    nsp = 0
+                else:
+                    nglyphs = len(raw)
+                    nsp = raw.count(32) if tw else 0
+                span_adv += (
+                    (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
+                ) * th * trm_c[0]
             text_parts.append(cur_font.decode(s.raw))
 
     def next_line() -> None:
@@ -784,6 +808,18 @@ def interpret_content(
             v = _nums(operands, 1)
             if v is not None:
                 leading = v[0]
+        elif op == b"Tc":
+            v = _nums(operands, 1)
+            if v is not None:
+                tc = v[0]
+        elif op == b"Tw":
+            v = _nums(operands, 1)
+            if v is not None:
+                tw = v[0]
+        elif op == b"Tz":
+            v = _nums(operands, 1)
+            if v is not None:
+                th = v[0] / 100.0
         elif op == b"q":
             ctm_stack.append(ctm)
         elif op == b"Q":
@@ -808,6 +844,11 @@ def interpret_content(
                 show(operands[-1])
         elif op == b'"':
             if operands:
+                # aw ac string " (§9.4.3): SETS word + char spacing
+                # (persistent text state), then T* + show
+                v = _nums(operands[:-1], 2) if len(operands) >= 3 else None
+                if v is not None:
+                    tw, tc = v[0], v[1]
                 next_line()
                 show(operands[-1])
         elif op == b"Do":

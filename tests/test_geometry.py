@@ -9,9 +9,10 @@ from pdfspark.codec import build_pdf, synth_spans_py
 from pdfspark.kernel import extract_spans_geo
 
 
-def _expected_geo(n_spans: int, tlens=None):
+def _expected_geo(n_spans: int, tlens=None, nsps=None):
     """Mirror of the SQL oracle in __spark_entry__ (pdf_span_geometry):
-    text w = glyph-advance sum = (500·tlen·12)/1000 (constant /Widths)."""
+    text w = full §9.4.4 advance with the generator's per-form Tc/Tw/Tz
+    (codec._content_for — constant 500/1000-em /Widths at size 12)."""
     out = []
     for off in range(n_spans):
         kind = "media" if off % 4 == 3 else "text"
@@ -24,13 +25,29 @@ def _expected_geo(n_spans: int, tlens=None):
             out.append((kind, off, 10.0, float(ybase), 100.0, 50.0))
         else:
             y = ybase - 14 if j % 4 in (2, 3) else ybase
-            w = (500 * tlens[off] * 12) / 1000.0 if tlens else None
+            w = None
+            if tlens:
+                tlen = tlens[off]
+                nsp = (nsps or {}).get(off, 0)
+                form = j % 4
+                if form == 0:
+                    w = 6.25 * tlen + 0.5 * nsp
+                elif form == 1:
+                    w = 3.0 * tlen
+                elif form == 2:
+                    w = 6.125 * tlen
+                else:
+                    w = 3.5 * tlen + nsp
             out.append((kind, off, 10.0, float(y), w, 12.0))
     return out
 
 
 def _tlens(spans):
     return {off: len(t or "") for (k, t, _m, off) in spans}
+
+
+def _nsps(spans):
+    return {off: (t or "").count(" ") for (k, t, _m, off) in spans}
 
 
 def test_generator_layout_geometry_exact():
@@ -41,6 +58,19 @@ def test_generator_layout_geometry_exact():
     assert st == "ok", err
     assert [(g[0], g[3], g[4], g[5], g[6], g[7]) for g in got] == _expected_geo(
         len(spans), _tlens(spans)
+    )
+
+
+def test_word_spacing_applies_to_spaces():
+    """Tw contributes per byte-32 (forms 0 and 3); Tc per glyph; Tz
+    scales — text WITH spaces pins all three knobs at once."""
+    text = ("word gap " * 100)[: 80 * 6]  # spaces in every chunk
+    spans = synth_spans_py("geo3", text)
+    payload = build_pdf("geo3", spans, "classic")
+    st, err, got = extract_spans_geo(payload)
+    assert st == "ok", err
+    assert [(g[0], g[3], g[4], g[5], g[6], g[7]) for g in got] == _expected_geo(
+        len(spans), _tlens(spans), _nsps(spans)
     )
 
 
