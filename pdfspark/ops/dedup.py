@@ -239,29 +239,21 @@ def minhash_pairs_df(
     return out
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the verified
-    MinHash pair graph, labels = min doc_id per component; every
-    corpus document gets a row (singletons are their own cluster).
-    This is the step that turns pairwise dedup into "keep one
-    representative per group" at corpus scale.
-
-    Implementation: iterative min-label propagation (the Pregel shape)
-    — per round, each node takes min(own label, neighbors' labels);
-    converges in component-diameter rounds, checked by a changed-label
-    count. Each round is ONE shuffle on doc_id; labels are eagerly
-    localCheckpoint-ed so lineage doesn't snowball. Near-dup graphs
-    have tiny diameters (cliques and short chains), so rounds ≈ 2-4;
-    a corpus with adversarially long chains would want the published
-    large-star/small-star variant instead (same oracle)."""
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_pairs_df(docs).select("a_id", "b_id")
+def _cc_propagate(docs: DataFrame, pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Iterative min-label propagation (the Pregel shape) — per round,
+    each node takes min(own label, neighbors' labels); converges in
+    component-DIAMETER rounds (fine for near-dup graphs: cliques and
+    short chains), checked by a changed-label count. Each round is ONE
+    shuffle on doc_id; labels are eagerly localCheckpoint-ed so lineage
+    doesn't snowball. Returns (labels(doc_id, lab), rounds)."""
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
     labels = labels.localCheckpoint(eager=True)
+    rounds = 0
     while True:
+        rounds += 1
         nbr = (
             edges.join(labels, edges.a_id == labels.doc_id)
             .groupBy("b_id")
@@ -285,6 +277,110 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    return labels, rounds
+
+
+def _cc_star(docs: DataFrame, pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — a public algorithm): converges in O(log n) rounds even on
+    adversarial long-chain graphs, where plain propagation needs
+    O(diameter).
+
+    Per round over the undirected edge set E:
+      large-star(u): m = min(Γ(u) ∪ {u}); re-point every LARGER
+        neighbor v > u at m — emit (v, m);
+      small-star(u): orient edges toward the smaller endpoint, then
+        m = min(smaller neighbors ∪ {u}); emit (v, m) for each smaller
+        neighbor and (u, m).
+    Fixed point: a star forest where every non-root points at its
+    component min. Convergence check: the canonical edge set stops
+    changing (two-sided exceptAll — exact, and cheap once stars form).
+    Each half-round is one groupBy shuffle + one join; edge frames are
+    eagerly localCheckpoint-ed per round. Returns (labels, rounds)."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = canon(e)  # (u = larger, v = smaller)
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        repointed = oriented.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        roots = m.select(F.col("u"), F.col("m").alias("v"))
+        return repointed.union(roots)
+
+    edges = canon(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > 64:  # provably O(log n) — 64 means a logic bug,
+            raise RuntimeError("cc_star failed to converge")  # not data
+        nxt = canon(small_star(large_star(edges))).localCheckpoint(eager=True)
+        stable = (
+            nxt.exceptAll(edges).isEmpty() and edges.exceptAll(nxt).isEmpty()
+        )
+        edges = nxt
+        if stable:
+            break
+    # star forest: non-roots point at the component min
+    parent = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("p"))
+    labels = docs.select("doc_id").join(parent, "doc_id", "left").select(
+        "doc_id", F.coalesce("p", F.col("doc_id")).alias("lab")
+    )
+    return labels, rounds
+
+
+def connected_components(
+    docs: DataFrame, pairs: DataFrame, algorithm: str = "propagate"
+) -> tuple[DataFrame, int]:
+    """Shared CC entry: (labels(doc_id, lab), rounds). `propagate` is
+    O(diameter) rounds with the cheapest per-round plan — right for
+    near-dup graphs; `star` is the O(log n)-round large/small-star
+    variant — right when components can be adversarially long chains."""
+    if algorithm == "star":
+        return _cc_star(docs, pairs)
+    return _cc_propagate(docs, pairs)
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, algorithm: str = "propagate"
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, labels = min doc_id per component; every
+    corpus document gets a row (singletons are their own cluster).
+    This is the step that turns pairwise dedup into "keep one
+    representative per group" at corpus scale.
+
+    ``algorithm`` picks the CC engine (see connected_components):
+    min-label propagation by default, large-star/small-star for
+    adversarial-diameter graphs — both produce the identical labeling
+    (same DuckDB oracle; pinned equal in tests/test_ops.py)."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_pairs_df(docs).select("a_id", "b_id")
+    labels, _rounds = connected_components(docs, pairs, algorithm)
     return labels.select(
         "doc_id",
         F.col("lab").alias("cluster_id"),

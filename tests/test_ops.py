@@ -251,3 +251,44 @@ def test_corpus_curate_reasons(spark, tmp_path):
     got = {r.doc_id: r.reason for r in corpus_curate(spark, path).collect()}
     assert got == {1: "kept", 2: "duplicate", 3: "lang",
                    4: "too_short", 5: "low_diversity"}
+
+
+def test_cc_star_chain_logarithmic_rounds(spark):
+    """Adversarial-diameter CC (r3): a 1000-node PATH graph needs
+    O(diameter)=999 propagation rounds but the large-star/small-star
+    variant must finish in O(log n) — and produce the exact labeling
+    (every node → component min = 0; odd/even split into two chains
+    checks multiple components)."""
+    import math
+
+    n = 1000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    # two interleaved chains: 0-2-4-..., 1-3-5-... (components min 0, 1)
+    edges = spark.createDataFrame(
+        [(i, i + 2) for i in range(n - 2)], "a_id long, b_id long"
+    )
+    labels, rounds = dedup.connected_components(docs, edges, algorithm="star")
+    got = {r.doc_id: r.lab for r in labels.collect()}
+    assert got == {i: i % 2 for i in range(n)}
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 4, rounds
+
+
+def test_cc_star_matches_propagate(spark):
+    """Both CC engines produce the identical labeling on an assorted
+    graph (clique + chain + singletons)."""
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    e = [(0, 1), (1, 2), (2, 3), (3, 4)]  # chain
+    e += [(10, 11), (10, 12), (11, 12)]  # triangle
+    e += [(20, 25), (25, 21)]  # vee
+    edges = spark.createDataFrame(e, "a_id long, b_id long")
+    l1, _ = dedup.connected_components(docs, edges, algorithm="propagate")
+    l2, _ = dedup.connected_components(docs, edges, algorithm="star")
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, l2.collect()))
+
+
+def test_dedup_clusters_star_same_result(spark, tmp_path):
+    """dedup_clusters(algorithm='star') equals the default engine on a
+    real near-dup corpus (the driver-oracled query path)."""
+    a = dedup.dedup_clusters(spark, SF_SMOKE).collect()
+    b = dedup.dedup_clusters(spark, SF_SMOKE, algorithm="star").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
