@@ -130,7 +130,9 @@ def main() -> None:
                 PREV_ROUND_COMMIT,
                 AB_QUERIES,
                 SF_DIR,
-                reps=int(os.environ.get("BENCH_AB_REPS", "3")),
+                # even rep count: the A/B alternates which side runs
+                # first per rep — odd counts would leave a 2:1 split
+                reps=int(os.environ.get("BENCH_AB_REPS", "4")),
             )
         except Exception as e:  # A/B is evidence, never a bench failure
             ab = {"error": f"{type(e).__name__}: {e}"}

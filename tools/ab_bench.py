@@ -104,9 +104,15 @@ def ab_compare(
     try:
         prev_best: dict[str, float] = {}
         cur_best: dict[str, float] = {}
-        for _ in range(reps):
-            # interleave so slow-host windows hit both variants alike
-            for tree, best in ((wt, prev_best), (repo_dir, cur_best)):
+        for rep in range(reps):
+            # interleave so slow-host windows hit both variants alike,
+            # ALTERNATING which side runs first each rep — a fixed
+            # order would hand the first slot a systematic cache/load
+            # advantage that best-of-N cannot wash out
+            order = ((wt, prev_best), (repo_dir, cur_best))
+            if rep % 2:
+                order = order[::-1]
+            for tree, best in order:
                 for q, s in _run_once(tree, names, sf_dir).items():
                     if q not in best or s < best[q]:
                         best[q] = s
