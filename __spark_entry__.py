@@ -75,6 +75,16 @@ def _q_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geometry_rows(spark, sf_dir, variant="classic")
 
 
+def _q_geometry_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry through the Type0 embedded-CMap font: per-CID /W
+    widths ([0 127 500] + /DW 1000) make the closed-form oracle hold
+    for composite fonts too — including word spacing on the CMap's
+    single-byte code 32 (§9.3.3)."""
+    from pdfspark.engine import geometry_rows
+
+    return geometry_rows(spark, sf_dir, variant="cjk:embedded")
+
+
 def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import status_rows
 
@@ -134,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_salvage": _q_salvage,
         "pdf_span_geometry": _q_geometry,
+        "pdf_span_geometry_cid": _q_geometry_cid,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -249,5 +260,11 @@ FROM wk
         "pdf_malformed_policy": malformed_sql,
         "pdf_metadata": meta_sql,
     }
+    # geometry through the Type0 embedded-CMap font: the generator's
+    # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance
+    # as the simple font, and word spacing applies to the CMap's
+    # single-byte code 32 — so the SAME closed-form oracle holds; the
+    # multi-byte /W + /DW arithmetic is pinned in tests/test_cjk.py
+    o["pdf_span_geometry_cid"] = o["pdf_span_geometry"]
     o.update(register_ops_oracles())
     return o

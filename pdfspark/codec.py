@@ -460,6 +460,12 @@ def build_object_graph(
         desc3[Name("Type")] = Name("Font")
         desc3[Name("Subtype")] = Name("CIDFontType0")
         desc3[Name("BaseFont")] = Name("Custom")
+        # per-CID /W: the 1-byte space (CID == code ≤ 0x7F) at the same
+        # 500/1000-em the simple font uses — so the geometry oracle's
+        # closed-form widths hold for this font too; every other CID
+        # falls to /DW 1000 (multi-byte width pins in tests/test_cjk.py)
+        desc3[Name("DW")] = 1000
+        desc3[Name("W")] = [0, 127, 500]
         desc3_num = g.add(desc3)
         f3 = CDict()
         f3[Name("Type")] = Name("Font")

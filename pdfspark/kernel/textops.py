@@ -144,6 +144,12 @@ class EmbeddedCMap:
         """Tokenize show-string bytes into codes by code-space match
         (byte-wise interval per the CMap spec); an unmatched byte is
         consumed alone (permissive)."""
+        return [c for c, _w in self.codes_w(raw)]
+
+    def codes_w(self, raw: bytes) -> list[tuple[int, int]]:
+        """codes() plus each code's BYTE WIDTH — word spacing applies
+        to the single-byte code 32 only (§9.3.3), so consumers must be
+        able to tell a 1-byte 32 from a 2-byte <0020>."""
         out = []
         i, n = 0, len(raw)
         ranges = self.ranges
@@ -157,11 +163,11 @@ class EmbeddedCMap:
                         ok = False
                         break
                 if ok:
-                    out.append(int.from_bytes(raw[i : i + w], "big"))
+                    out.append((int.from_bytes(raw[i : i + w], "big"), w))
                     i += w
                     break
             else:
-                out.append(raw[i])
+                out.append((raw[i], 1))
                 i += 1
         return out
 
@@ -300,6 +306,7 @@ class Font:
     __slots__ = (
         "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
+        "cid_widths", "cid_wranges",
     )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
@@ -329,15 +336,22 @@ class Font:
                 self.cmap = parse_embedded_cmap(
                     decode_stream(enc_v.data, enc_v.dict, resolver)
                 )
+        self.cid_widths: Optional[dict[int, int]] = None
+        self.cid_wranges: list[tuple[int, int, int]] = []
         if self.two_byte:
-            # /W parsing is out of scope; /DW (default 1000) covers the
-            # constant-advance case (ISO 32000-1 §9.7.4.3)
+            # /DW (default 1000) + /W per-CID widths (ISO 32000-1
+            # §9.7.4.3: `c [w1 .. wn]` lists, `c_lo c_hi w` ranges)
             dfs = fdict.get_array("DescendantFonts", None, resolver)
             dw = 1000
             if dfs:
                 d0 = fdict.deref(dfs[0], resolver)
                 if isinstance(d0, CDict):
                     dw = d0.get_int("DW", 1000, resolver)
+                    warr = d0.get_array("W", None, resolver)
+                    if warr:
+                        self._parse_w_array(
+                            [fdict.deref(x, resolver) for x in warr]
+                        )
             self.default_width = dw
         else:
             ws = fdict.get_array("Widths", None, resolver)
@@ -385,6 +399,52 @@ class Font:
                             base_table[code] = _AGL.get(str(item), "�")
                         code += 1
             self.table = base_table
+
+    def _parse_w_array(self, items: list) -> None:
+        """CIDFont /W: alternating `c [w...]` or `c_lo c_hi w` runs;
+        malformed runs are skipped (PERMISSIVE)."""
+        wmap: dict[int, int] = {}
+        ranges: list[tuple[int, int, int]] = []
+
+        def _num(v) -> Optional[int]:
+            return (
+                int(v)
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+                else None
+            )
+
+        i, n = 0, len(items)
+        while i < n:
+            c = _num(items[i])
+            if c is None:
+                i += 1
+                continue
+            if i + 1 < n and isinstance(items[i + 1], list):
+                for off, wv in enumerate(items[i + 1]):
+                    w = _num(wv)
+                    if w is not None:
+                        wmap[c + off] = w
+                i += 2
+            elif i + 2 < n:
+                hi, w = _num(items[i + 1]), _num(items[i + 2])
+                if hi is not None and w is not None and hi >= c:
+                    ranges.append((c, hi, w))
+                i += 3
+            else:
+                break
+        if wmap or ranges:
+            self.cid_widths = wmap
+            self.cid_wranges = ranges
+
+    def _cid_width(self, cid: Optional[int]) -> int:
+        if cid is not None and self.cid_widths is not None:
+            w = self.cid_widths.get(cid)
+            if w is not None:
+                return w
+            for lo, hi, w in self.cid_wranges:
+                if lo <= cid <= hi:
+                    return w
+        return self.default_width
 
     @staticmethod
     def _base_table(name: str) -> list[str]:
@@ -463,8 +523,22 @@ class Font:
                 # variable-width codes: advance per DECODED char
                 n = len(raw.decode(self.codec, errors="replace"))
             elif self.cmap is not None:
+                if self.cid_widths is not None or self.cid_wranges:
+                    # per-CID /W widths (code → CID via the CMap)
+                    cm = self.cmap
+                    return sum(
+                        self._cid_width(cm.cid(c)) for c in cm.codes(raw)
+                    )
                 n = len(self.cmap.codes(raw))  # advance per CODE
             else:
+                if self.cid_widths is not None or self.cid_wranges:
+                    # Identity encoding: CID == code
+                    return sum(
+                        self._cid_width(
+                            int.from_bytes(raw[i : i + 2], "big")
+                        )
+                        for i in range(0, len(raw) - 1, 2)
+                    )
                 n = len(raw) // 2
             return n * self.default_width
         if self.widths is None:
@@ -692,12 +766,22 @@ def interpret_content(
                 f = cur_font
                 if f.two_byte:
                     if f.cmap is not None:
-                        nglyphs = len(f.cmap.codes(raw))
+                        pairs = f.cmap.codes_w(raw)
+                        nglyphs = len(pairs)
+                        # §9.3.3: word spacing applies to the SINGLE-
+                        # BYTE code 32 — which a mixed-width embedded
+                        # CMap can produce (a 2-byte <0020> must not)
+                        nsp = (
+                            sum(1 for c, w in pairs if c == 32 and w == 1)
+                            if tw
+                            else 0
+                        )
                     elif f.codec is not None:
                         nglyphs = len(raw.decode(f.codec, "replace"))
+                        nsp = 0
                     else:
                         nglyphs = len(raw) // 2
-                    nsp = 0
+                        nsp = 0
                 else:
                     nglyphs = len(raw)
                     nsp = raw.count(32) if tw else 0

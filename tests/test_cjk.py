@@ -135,3 +135,72 @@ def test_embedded_cmap_tounicode_precedence():
     assert f.decode(code_of["中"]) == "Z"
     f.tounicode = None
     assert f.decode(code_of["中"]) == "中"
+
+
+# --- Type0 /W per-CID widths (r3) --------------------------------------
+
+
+def test_w_array_parsing_both_forms():
+    """ISO 32000-1 §9.7.4.3: `c [w...]` list runs and `c_lo c_hi w`
+    range runs, mixed in one array; list entries outrank ranges."""
+    from pdfspark.kernel.cos import Ref
+
+    f = Font(CDict(), None)
+    f._parse_w_array([100, [600, 700, 800], 200, 300, 250, 0, 127, 500])
+    assert f.cid_widths == {100: 600, 101: 700, 102: 800}
+    assert f.cid_wranges == [(200, 300, 250), (0, 127, 500)]
+    f.default_width = 1000
+    assert f._cid_width(101) == 700  # list form
+    assert f._cid_width(250) == 250  # range form
+    assert f._cid_width(64) == 500  # second range
+    assert f._cid_width(5000) == 1000  # /DW fallback
+    assert f._cid_width(None) == 1000
+    # malformed runs skipped, valid tail still lands
+    g = Font(CDict(), None)
+    g._parse_w_array([Ref(1, 0), 7, [42]])
+    assert g.cid_widths == {7: 42}
+
+
+def test_embedded_cmap_w_advance_multibyte():
+    """Advance through an embedded CMap with /W: ASCII (1-byte, CID ==
+    code) takes the /W range; CJK cidchar codes (CID = ord) take /DW;
+    word spacing counts ONLY the single-byte code 32."""
+    from pdfspark.codec import _build_embedded_cmap
+    from pdfspark.kernel.textops import parse_embedded_cmap
+
+    data, code_of = _build_embedded_cmap(["中"])  # k=0 → cidchar, CID=ord
+    f = Font(CDict(), None)
+    f.two_byte = True
+    f.cmap = parse_embedded_cmap(data)
+    f.default_width = 1000
+    f._parse_w_array([0, 127, 500])
+    raw = b"A B" + code_of["中"]  # A, space, B (1-byte) + 中 (2-byte)
+    assert f.advance_1000(raw) == 500 * 3 + 1000
+    # byte-width discrimination for word spacing (§9.3.3)
+    pairs = f.cmap.codes_w(b" " + code_of["中"])
+    assert pairs == [(32, 1), (int.from_bytes(code_of["中"], "big"), 2)]
+
+
+def test_identity_h_w_advance():
+    """Identity-H (no CMap): CID == 2-byte code, /W applies directly."""
+    f = Font(CDict(), None)
+    f.two_byte = True
+    f.default_width = 1000
+    f._parse_w_array([65, [250], 0x4E00, 0x9FFF, 800])
+    raw = (65).to_bytes(2, "big") + "中".encode("utf-16-be")
+    assert f.advance_1000(raw) == 250 + 800
+
+
+def test_generator_f3_w_matches_simple_font():
+    """End-to-end: the cjk:embedded geometry equals the classic-layout
+    geometry for ASCII text — the /W [0 127 500] + /DW font reproduces
+    the simple font's closed-form widths (the pdf_span_geometry_cid
+    oracle contract)."""
+    from pdfspark.kernel import extract_spans_geo
+
+    text = ("word gap " * 60)[: 80 * 4]
+    spans = synth_spans_py("wgeo", text)
+    a = extract_spans_geo(build_pdf("wgeo", spans, "classic"))
+    b = extract_spans_geo(build_pdf("wgeo", spans, "cjk:embedded"))
+    assert a[0] == b[0] == "ok"
+    assert a[2] == b[2]

@@ -88,6 +88,22 @@ COMMENTARY = {
         "fused into the scan; the reason CASE is evaluated post-window "
         "with no further movement."
     ),
+    "pdf_roundtrip_cjk_embedded": (
+        "Embedded-CMap decoding is invisible to the plan — identical "
+        "to the flagship: pruned (doc_id, text) scan, ONE pre-"
+        "generation salt Exchange, generate+extract MapInPandas "
+        "pipelined in one stage. The per-document CMap build/parse is "
+        "Python inside the existing UDF pair; no extra column, no "
+        "extra shuffle."
+    ),
+    "dedup_skipped_buckets": (
+        "Two map-side-combinable aggregations back to back: "
+        "(band, band_val) counts then per-band rollup — the first "
+        "Exchange is the SAME (band, band_val) key the LSH pair join "
+        "shuffles on, the second carries n_bands×buckets rows, and "
+        "the output is n_bands rows. Accounting costs one aggregation "
+        "tree, never a join."
+    ),
     "dedup_clusters": (
         "The iterative component labeling is driver-coordinated "
         "(Pregel shape); the plan shown is the FINAL labels projection "
