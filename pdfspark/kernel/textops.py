@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import re as _re
+
 from .cos import (
     CDict,
     COS_NULL,
@@ -131,7 +133,7 @@ class EmbeddedCMap:
     the Identity reading CID == Unicode scalar, the same documented
     fallback the Identity-H path uses)."""
 
-    __slots__ = ("ranges", "cid_map", "cid_ranges", "bf_map")
+    __slots__ = ("ranges", "cid_map", "cid_ranges", "bf_map", "base_codec")
 
     def __init__(self):
         # (width, lo_bytes, hi_bytes) — per-byte interval match
@@ -139,6 +141,11 @@ class EmbeddedCMap:
         self.cid_map: dict[int, int] = {}
         self.cid_ranges: list[tuple[int, int, int]] = []  # lo, hi, cid0
         self.bf_map: dict[int, str] = {}
+        # `/Base-Name usecmap`: codes this CMap leaves unmapped fall
+        # back to the imported PREDEFINED CMap's byte encoding (only
+        # predefined bases resolve — a usecmap of another embedded
+        # stream is out of scope, documented)
+        self.base_codec: Optional[str] = None
 
     def codes(self, raw: bytes) -> list[int]:
         """Tokenize show-string bytes into codes by code-space match
@@ -181,13 +188,23 @@ class EmbeddedCMap:
         return None
 
 
+_USECMAP_RE = _re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)\s+usecmap")
+
+
 def parse_embedded_cmap(data: bytes) -> EmbeddedCMap:
     """Parse codespacerange / cidchar / cidrange sections from an
     embedded CMap stream; bf sections are shared with the ToUnicode
-    parser. `usecmap` imports are not followed (soft gap: a custom
-    CMap layered on a predefined one keeps only its own mappings)."""
+    parser. `/Name usecmap` imports resolve when the base is a
+    PREDEFINED CMap (Table 118): unmapped codes then decode through the
+    base's byte encoding; importing another embedded stream is not
+    followed (documented gap)."""
     cm = EmbeddedCMap()
     cm.bf_map = parse_tounicode_cmap(data)
+    mu = _USECMAP_RE.search(data)
+    if mu is not None:
+        cm.base_codec = _PREDEFINED_CMAP_CODECS.get(
+            mu.group(1).decode("latin-1")
+        )
     r = Raw(data)
     d = data
     n = len(d)
@@ -462,13 +479,14 @@ class Font:
                 # (variable 1-2-byte widths handled by the codec)
                 return raw.decode(self.codec, errors="replace")
             if self.cmap is not None:
-                # embedded CMap: code-space tokenization, then
+                # embedded CMap: code-space tokenization, then per code
                 # ToUnicode > bf sections > CID-as-Unicode (the same
-                # Identity fallback documented below) per code
+                # Identity fallback documented below) > usecmap base
+                # codec over the code's own bytes
                 cm = self.cmap
                 tu = self.tounicode
                 out = []
-                for code in cm.codes(raw):
+                for code, w in cm.codes_w(raw):
                     if tu is not None and code in tu:
                         out.append(tu[code])
                         continue
@@ -477,11 +495,16 @@ class Font:
                         out.append(s)
                         continue
                     cid = cm.cid(code)
-                    out.append(
-                        chr(cid)
-                        if cid is not None and 0 <= cid <= 0x10FFFF
-                        else "�"
-                    )
+                    if cid is not None and 0 <= cid <= 0x10FFFF:
+                        out.append(chr(cid))
+                    elif cm.base_codec is not None:
+                        out.append(
+                            code.to_bytes(w, "big").decode(
+                                cm.base_codec, errors="replace"
+                            )
+                        )
+                    else:
+                        out.append("�")
                 return (
                     "".join(out)
                     .encode("utf-16", "surrogatepass")
@@ -561,8 +584,6 @@ _DEFAULT_FONT = Font(CDict(), None)
 # Content-stream tokenizer: values + operator keywords
 # ---------------------------------------------------------------------------
 
-
-import re as _re
 
 # content-stream master scanner: whitespace/comments are consumed
 # implicitly by the leading group, then ONE classifying match per

@@ -204,3 +204,29 @@ def test_generator_f3_w_matches_simple_font():
     b = extract_spans_geo(build_pdf("wgeo", spans, "cjk:embedded"))
     assert a[0] == b[0] == "ok"
     assert a[2] == b[2]
+
+
+def test_usecmap_base_fallback():
+    """`/GBK-EUC-H usecmap` in an embedded CMap: codes the embedded
+    sections leave unmapped decode through the predefined base's byte
+    encoding; locally-mapped codes keep their own mapping."""
+    from pdfspark.kernel.textops import parse_embedded_cmap
+
+    gbk = "中".encode("gbk")
+    cmap = (
+        b"%!PS-Adobe-3.0 Resource-CMap\n"
+        b"/GBK-EUC-H usecmap\n"
+        b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\nendcodespacerange\n"
+        b"1 begincidrange\n<00> <7f> 0\nendcidrange\n"
+        b"1 beginbfchar\n<8141> <0058>\nendbfchar\n"  # local: code→'X'
+    )
+    cm = parse_embedded_cmap(cmap)
+    assert cm.base_codec == "gbk"
+    f = Font(CDict(), None)
+    f.two_byte = True
+    f.cmap = cm
+    assert f.decode(b"A" + gbk) == "A中"  # base codec covers the gap
+    assert f.decode(b"\x81\x41") == "X"  # local mapping wins
+    # unknown base name → no codec, unmapped stays U+FFFD
+    cm2 = parse_embedded_cmap(cmap.replace(b"GBK-EUC-H", b"NoSuch-H"))
+    assert cm2.base_codec is None
