@@ -473,7 +473,7 @@ stream_followup(const unsigned char *d, Py_ssize_t n, Py_ssize_t *pos,
         p++;
         if (p < n && d[p] == 0x0A)
             p++;
-        else {
+        else if (settings != Py_None) { /* None ⇒ ignore-tier (lexer) */
             PyObject *r = PyObject_CallMethod(
                 settings, "soft_syntax", "(Os)", Py_False,
                 "lone CR after 'stream' keyword");
@@ -568,14 +568,16 @@ stream_followup(const unsigned char *d, Py_ssize_t n, Py_ssize_t *pos,
                                                             "endstream", 9)
                             : NULL;
             if (hit == NULL) {
-                PyObject *r = PyObject_CallMethod(
-                    settings, "soft_structure", "(Os)", Py_False,
-                    "endstream not found within scan range");
-                if (r == NULL) {
-                    Py_DECREF(body);
-                    return NULL;
+                if (settings != Py_None) { /* None ⇒ ignore-tier */
+                    PyObject *r = PyObject_CallMethod(
+                        settings, "soft_structure", "(Os)", Py_False,
+                        "endstream not found within scan range");
+                    if (r == NULL) {
+                        Py_DECREF(body);
+                        return NULL;
+                    }
+                    Py_DECREF(r);
                 }
-                Py_DECREF(r);
             } else
                 p = (hit - d) + 9;
         }
@@ -814,6 +816,248 @@ fail:
     return NULL;
 }
 
+/* ---- content-stream lexer (textops._lex_content_py twin) ----------
+ * Yields the SAME (operator_bytes, operands_tuple) event stream the
+ * pure-Python generator produces (differential parity in
+ * tests/test_ctok_parity.py): PERMISSIVE stray handling, inline TJ
+ * arrays, '('/'<' through the generic value parser, BI..EI skipped at
+ * the lexer. Soft parse events (lone CR, endstream scan) are treated
+ * as ignored — identical observable behavior to the Python path's
+ * DEFAULT_SETTINGS (ignore tiers log-only). Returns a list, eagerly
+ * lexed: an EParseError mid-stream aborts the document either way. */
+
+static int
+is_regular_c(unsigned char b)
+{
+    return !is_ws_c(b) && !is_delim_c(b);
+}
+
+static PyObject *
+ctok_lex_content(PyObject *self, PyObject *args)
+{
+    PyObject *data;
+    const unsigned char *d;
+    Py_ssize_t n, pos = 0;
+    PyObject *out = NULL, *operands = NULL;
+    PyObject **astack = NULL;
+    Py_ssize_t adep = 0, acap = 0;
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "S", &data))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+    out = PyList_New(0);
+    operands = PyList_New(0);
+    if (out == NULL || operands == NULL)
+        goto fail;
+
+#define CLEAR_OPERANDS()                                                  \
+    do {                                                                  \
+        if (PyList_GET_SIZE(operands)) {                                  \
+            PyObject *no = PyList_New(0);                                 \
+            if (no == NULL)                                               \
+                goto fail;                                                \
+            Py_DECREF(operands);                                          \
+            operands = no;                                                \
+        }                                                                 \
+    } while (0)
+
+    while (pos < n) {
+        unsigned char b;
+        skip_ws_comments(d, n, &pos);
+        if (pos >= n)
+            break;
+        b = d[pos];
+        if ((b >= '0' && b <= '9') || b == '+' || b == '-' || b == '.') {
+            /* number with the content terminator rule (regular byte
+             * after the token → the whole token is a stray byte) */
+            Py_ssize_t s = pos, p = pos;
+            Py_ssize_t intd = 0, fracd = 0;
+            int bad = 0;
+            if (d[p] == '+' || d[p] == '-')
+                p++;
+            while (p < n && d[p] >= '0' && d[p] <= '9') {
+                p++;
+                intd++;
+            }
+            if (p < n && d[p] == '.') {
+                p++;
+                while (p < n && d[p] >= '0' && d[p] <= '9') {
+                    p++;
+                    fracd++;
+                }
+            }
+            if (intd == 0 && fracd == 0)
+                bad = 1;
+            else if (p < n && is_regular_c(d[p]))
+                bad = 1;
+            if (bad) { /* stray: consume ONE byte, clear operands */
+                pos = s + 1;
+                CLEAR_OPERANDS();
+                continue;
+            }
+            {
+                PyObject *v;
+                int isfloat = 0;
+                Py_ssize_t q;
+                for (q = s; q < p; q++)
+                    if (d[q] == '.') {
+                        isfloat = 1;
+                        break;
+                    }
+                if (!isfloat && p - s <= 18) {
+                    v = PyLong_FromLongLong(
+                        strtoll((const char *)d + s, NULL, 10));
+                } else {
+                    char buf[64];
+                    char *heap = NULL, *dst = buf;
+                    Py_ssize_t len = p - s;
+                    if (len >= (Py_ssize_t)sizeof(buf)) {
+                        heap = (char *)PyMem_Malloc(len + 1);
+                        if (heap == NULL) {
+                            PyErr_NoMemory();
+                            goto fail;
+                        }
+                        dst = heap;
+                    }
+                    memcpy(dst, d + s, len);
+                    dst[len] = 0;
+                    if (isfloat) {
+                        double dv =
+                            PyOS_string_to_double(dst, NULL, S.eparse);
+                        v = (dv == -1.0 && PyErr_Occurred())
+                                ? NULL
+                                : PyFloat_FromDouble(dv);
+                    } else
+                        v = PyLong_FromString(dst, NULL, 10);
+                    if (heap)
+                        PyMem_Free(heap);
+                }
+                if (v == NULL)
+                    goto fail;
+                if (PyList_Append(operands, v) < 0) {
+                    Py_DECREF(v);
+                    goto fail;
+                }
+                Py_DECREF(v);
+                pos = p;
+            }
+        } else if (b == '/') {
+            PyObject *nm = name_token(d, n, &pos);
+            if (nm == NULL)
+                goto fail;
+            if (PyList_Append(operands, nm) < 0) {
+                Py_DECREF(nm);
+                goto fail;
+            }
+            Py_DECREF(nm);
+        } else if (b == '[') {
+            if (adep == acap) {
+                Py_ssize_t ncap = acap ? acap * 2 : 8;
+                PyObject **ns = (PyObject **)PyMem_Realloc(
+                    astack, ncap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                astack = ns;
+                acap = ncap;
+            }
+            astack[adep++] = operands;
+            operands = PyList_New(0);
+            if (operands == NULL) {
+                operands = astack[--adep]; /* restore ownership */
+                goto fail;
+            }
+            pos++;
+        } else if (b == ']') {
+            if (adep > 0) {
+                PyObject *finished = operands;
+                operands = astack[--adep];
+                if (PyList_Append(operands, finished) < 0) {
+                    Py_DECREF(finished);
+                    goto fail;
+                }
+                Py_DECREF(finished);
+            } else
+                CLEAR_OPERANDS(); /* stray */
+            pos++;
+        } else if (b == '(' || b == '<') {
+            PyObject *v = (b == '(')
+                              ? literal_string_token(d, n, &pos)
+                              : ((pos + 1 < n && d[pos + 1] == '<')
+                                     ? parse_value(d, n, &pos, Py_None,
+                                                   Py_None, 0, 100)
+                                     : hex_string_token(d, n, &pos));
+            if (v == NULL)
+                goto fail;
+            if (PyList_Append(operands, v) < 0) {
+                Py_DECREF(v);
+                goto fail;
+            }
+            Py_DECREF(v);
+        } else if (is_regular_c(b)) {
+            /* operator keyword run */
+            Py_ssize_t s = pos;
+            PyObject *opb, *tup, *ev;
+            while (pos < n && is_regular_c(d[pos]))
+                pos++;
+            opb = PyBytes_FromStringAndSize((const char *)d + s, pos - s);
+            if (opb == NULL)
+                goto fail;
+            if (pos - s == 2 && d[s] == 'B' && d[s + 1] == 'I') {
+                /* inline image: skip to EI at lex level */
+                const unsigned char *hit = (pos < n)
+                    ? (const unsigned char *)memmem(d + pos, n - pos,
+                                                    "EI", 2)
+                    : NULL;
+                pos = hit == NULL ? n : (hit - d) + 2;
+            }
+            tup = PyList_AsTuple(operands);
+            if (tup == NULL) {
+                Py_DECREF(opb);
+                goto fail;
+            }
+            ev = PyTuple_Pack(2, opb, tup);
+            Py_DECREF(opb);
+            Py_DECREF(tup);
+            if (ev == NULL)
+                goto fail;
+            if (PyList_Append(out, ev) < 0) {
+                Py_DECREF(ev);
+                goto fail;
+            }
+            Py_DECREF(ev);
+            CLEAR_OPERANDS();
+        } else {
+            /* stray ) > { } or junk byte: consume one, clear */
+            pos++;
+            CLEAR_OPERANDS();
+        }
+    }
+#undef CLEAR_OPERANDS
+    Py_DECREF(operands);
+    while (adep > 0)
+        Py_DECREF(astack[--adep]);
+    if (astack)
+        PyMem_Free(astack);
+    return out;
+
+fail:
+    Py_XDECREF(out);
+    Py_XDECREF(operands);
+    while (adep > 0)
+        Py_DECREF(astack[--adep]);
+    if (astack)
+        PyMem_Free(astack);
+    return NULL;
+}
+
 static PyObject *
 ctok_parse_object(PyObject *self, PyObject *args)
 {
@@ -897,6 +1141,8 @@ static PyMethodDef ctok_methods[] = {
     {"parse_object", ctok_parse_object, METH_VARARGS,
      "parse_object(data, pos, resolver, settings, allow_reconstruction, "
      "max_scan_range) -> (value, new_pos)"},
+    {"lex_content", ctok_lex_content, METH_VARARGS,
+     "lex_content(data) -> [(op_bytes, operands_tuple), ...]"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef ctok_module = {

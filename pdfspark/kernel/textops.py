@@ -636,6 +636,98 @@ def _next_token(r: Raw):
     return d[p : p + 1]
 
 
+def _lex_content_py(data: bytes):
+    """Yield (operator_bytes, operands_tuple) events for one content
+    stream — the pure-Python content lexer; `_ctok.lex_content` is the
+    C twin with identical semantics (differential parity in
+    tests/test_ctok_parity.py). PERMISSIVE byte-level rules: a stray /
+    malformed byte clears pending operands and advances one byte;
+    stray ``) > { }`` clear operands; ``[``/``]`` build TJ arrays
+    inline; ``(``/``<`` delegate to the generic object parser;
+    BI..EI inline images are skipped AT THE LEXER (the dispatcher just
+    records the media span)."""
+    r = Raw(data)
+    pos = 0
+    end = len(data)
+    master = _CT_MASTER_RE.match
+    name_cache = _CT_NAME_CACHE
+    operands: list = []
+    arr_stack: list[list] = []
+    while pos < end:
+        m = master(data, pos)
+        if m is None:  # cannot happen (alternation is total) — safety
+            pos += 1
+            continue
+        mend = m.end()
+        lg = m.lastgroup
+        if lg is None:
+            if mend == pos:  # no progress: stray byte, consume opaque
+                pos += 1
+                operands = []
+                continue
+            pos = mend  # trailing whitespace/comment run
+            continue
+        pos = mend
+        if lg == "num":
+            num = m.group("num")
+            operands.append(float(num) if b"." in num else int(num))
+            continue
+        if lg == "name":
+            nm = m.group("name")
+            name_obj = name_cache.get(nm)
+            if name_obj is None:
+                if b"#" in nm:  # #xx escapes: the generic parser's job
+                    r.pos = m.start("name")
+                    operands.append(parse_object(r, None))
+                    pos = r.pos
+                    continue
+                name_obj = Name(nm[1:].decode("latin-1"))
+                if len(name_cache) < _CT_NAME_CACHE_MAX:
+                    name_cache[nm] = name_obj
+            operands.append(name_obj)
+            continue
+        if lg == "delim":
+            c = m.group("delim")
+            if c == b"[":  # arrays built inline (TJ is 1 in 4 spans):
+                arr_stack.append(operands)  # no generic-parser round-trip
+                operands = []
+            elif c == b"]":
+                if arr_stack:
+                    finished = operands
+                    operands = arr_stack.pop()
+                    operands.append(finished)
+                else:
+                    operands = []  # stray — opaque operator semantics
+            elif c in (b"(", b"<"):
+                r.pos = m.start("delim")
+                operands.append(parse_object(r, None))
+                pos = r.pos
+            else:  # stray ) > { } — opaque operator, PERMISSIVE skip
+                operands = []
+            continue
+        op = m.group("op")
+        if op == b"BI":
+            # inline image: skip to the EI delimiter at lex level
+            idx = data.find(b"EI", pos)
+            pos = end if idx < 0 else idx + 2
+        yield op, tuple(operands)
+        operands = []
+
+
+def _load_ct_lexer():
+    try:
+        from .cos import _CTOK
+
+        if _CTOK is not None and hasattr(_CTOK, "lex_content"):
+            return _CTOK.lex_content
+    except Exception:  # pragma: no cover - env without gcc
+        pass
+    return None
+
+
+_CTOK_LEX = _load_ct_lexer()
+
+
 class Span(tuple):
     """(kind, text, media_ref, x, y, w, h) — offset assigned by the
     caller. Geometry is the span-START position in device space
@@ -716,8 +808,6 @@ def interpret_content(
     if _depth > 16:
         raise EParseError("XObject recursion too deep")
     spans: list[Span] = []
-    r = Raw(data)
-    operands: list = []
     in_text = False
     cur_font = _DEFAULT_FONT
     cur_size = 0.0
@@ -817,64 +907,12 @@ def interpret_content(
         tm = tlm
         trm_c = None
 
-    pos = 0
-    end = len(data)
-    master = _CT_MASTER_RE.match
-    name_cache = _CT_NAME_CACHE
-    arr_stack: list[list] = []
-    while pos < end:
-        m = master(data, pos)
-        if m is None:  # cannot happen (alternation is total) — safety
-            pos += 1
-            continue
-        mend = m.end()
-        lg = m.lastgroup
-        if lg is None:
-            if mend == pos:  # no progress: stray byte, consume opaque
-                pos += 1
-                operands = []
-                continue
-            pos = mend  # trailing whitespace/comment run
-            continue
-        pos = mend
-        if lg == "num":
-            num = m.group("num")
-            operands.append(float(num) if b"." in num else int(num))
-            continue
-        if lg == "name":
-            nm = m.group("name")
-            name_obj = name_cache.get(nm)
-            if name_obj is None:
-                if b"#" in nm:  # #xx escapes: the generic parser's job
-                    r.pos = m.start("name")
-                    operands.append(parse_object(r, None))
-                    pos = r.pos
-                    continue
-                name_obj = Name(nm[1:].decode("latin-1"))
-                if len(name_cache) < _CT_NAME_CACHE_MAX:
-                    name_cache[nm] = name_obj
-            operands.append(name_obj)
-            continue
-        if lg == "delim":
-            c = m.group("delim")
-            if c == b"[":  # arrays built inline (TJ is 1 in 4 spans):
-                arr_stack.append(operands)  # no generic-parser round-trip
-                operands = []
-            elif c == b"]":
-                if arr_stack:
-                    finished = operands
-                    operands = arr_stack.pop()
-                    operands.append(finished)
-                else:
-                    operands = []  # stray — opaque operator semantics
-            elif c in (b"(", b"<"):
-                r.pos = m.start("delim")
-                operands.append(parse_object(r, None))
-                pos = r.pos
-            else:  # stray ) > { } — opaque operator, PERMISSIVE skip
-                operands = []
-            continue
-        op = m.group("op")
+    events = (
+        _CTOK_LEX(data)
+        if _CTOK_LEX is not None and data.__class__ is bytes
+        else _lex_content_py(data)
+    )
+    for op, operands in events:
         if op == b"BT":
             in_text = True
             text_parts = []
@@ -994,11 +1032,8 @@ def interpret_content(
                             )
                         )
         elif op == b"BI":
-            # inline image: scan for EI delimiter → one media span
-            idx = data.find(b"EI", pos)
-            pos = end if idx < 0 else idx + 2
+            # inline image (BI..EI skipped by the LEXER) → one media span
             spans.append(
                 Span("media", None, "inline", ctm[4], ctm[5], ctm[0], ctm[3])
             )
-        operands = []
     return spans

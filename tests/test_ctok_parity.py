@@ -199,3 +199,48 @@ def test_chash_parity():
         ))
     for pwd, salt, udata in cases:
         assert crypt._CHASH.hash_2b(pwd, salt, udata) == py_hash_2b(pwd, salt, udata)
+
+
+def test_content_lexer_parity():
+    """_ctok.lex_content vs textops._lex_content_py: identical event
+    streams over generator-made content + seeded mutations."""
+    from pdfspark.kernel import textops
+
+    if not hasattr(cos._CTOK, "lex_content"):
+        pytest.skip("C content lexer not available")
+    lex_c = cos._CTOK.lex_content
+
+    def run(fn, payload):
+        try:
+            return list(fn(payload))
+        except EParseError:
+            return "EParseError"
+
+    from pdfspark.codec import _content_for, synth_spans_py
+
+    spans = synth_spans_py("lexp", "alpha beta gamma delta epsilon " * 30)
+    body, _ = _content_for(
+        spans, {m: f"Im{i}" for i, (k, _t, m, _o) in enumerate(spans) if k == "media"}
+    )
+    seeds = [
+        body,
+        b"BI /W 8 ID \xff\x00garbage EI q 1 0 0 1 0 0 cm (s) Tj",
+        b"[1 (a) /N <0aff> [2 3]] TJ << /P /V >> BDC 4.5.6 x ET",
+    ]
+    assert run(lex_c, body) == run(textops._lex_content_py, body)
+    rng = random.Random(0x1E)
+    for _ in range(300):
+        base = bytearray(rng.choice(seeds))
+        for _ in range(rng.randrange(1, 4)):
+            i = rng.randrange(len(base))
+            op = rng.randrange(3)
+            if op == 0:
+                base[i] = rng.randrange(256)
+            elif op == 1:
+                del base[i]
+            else:
+                base.insert(i, rng.randrange(32, 127))
+        payload = bytes(base)
+        assert run(lex_c, payload) == run(
+            textops._lex_content_py, payload
+        ), payload[:100]
