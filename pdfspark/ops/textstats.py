@@ -10,7 +10,7 @@ with column pruning keeping the scan at (doc_id, text).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
 
@@ -303,6 +303,115 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling (training-data curation primitive)
+# ---------------------------------------------------------------------------
+
+SAMPLE_DEN = 5  # keep ceil(1/5) of every stratum
+
+
+def corpus_sample(
+    spark: SparkSession, sf_dir: str, den: int = SAMPLE_DEN
+) -> DataFrame:
+    """Per-language stratified sample, fully DETERMINISTIC: within each
+    lang stratum keep the ceil(n/den) docs with the smallest
+    md5(doc_id) — reproducible across runs/engines (no RNG), exact
+    per-stratum proportions (a plain hash-threshold only hits the rate
+    in expectation). Plan: ONE shuffle on lang; both window functions
+    (count + row_number) share the partitioning. At corpus scale the
+    stratum key generalizes to any low-cardinality column."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang")
+    wo = w.orderBy("h", "doc_id")
+    return (
+        docs.withColumn("n", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .where(F.col("rn") <= F.ceil(F.col("n") / den))
+        .select("doc_id", "lang")
+    )
+
+
+def _sample_sql(den: int = SAMPLE_DEN) -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= ceil(n / {den}.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+WIN_TOKENS = 64
+WIN_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+def text_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = WIN_TOKENS,
+    stride: int = WIN_STRIDE,
+) -> DataFrame:
+    """Split every document into fixed-size TOKEN windows with overlap
+    — the standard LLM-pretraining chunking shape. Whitespace tokens;
+    windows = 1 + max(0, ceil((n-window)/stride)) so the tail is always
+    covered; all integer math (bit-identical across engines). ZERO
+    shuffles: project → explode → project, embarrassingly parallel at
+    any corpus size."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    nwin = (
+        f"1 + greatest(0, (size(w) - {window} + {stride} - 1) div {stride})"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "w",
+            F.explode(F.expr(f"sequence(0, {nwin} - 1)")).alias("win_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("int").alias("win_id"),
+            F.least(
+                F.lit(window), F.size("w") - F.col("win_id") * stride
+            ).cast("int").alias("n_tokens"),
+            F.expr(
+                f"concat_ws(' ', slice(w, win_id * {stride} + 1, {window}))"
+            ).alias("window_text"),
+        )
+    )
+
+
+def _windows_sql(window: int = WIN_TOKENS, stride: int = WIN_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, w, n,
+         unnest(range(1 + greatest(0, (n - {window} + {stride} - 1) // {stride})))
+           AS win_id
+  FROM t
+)
+SELECT doc_id, CAST(win_id AS INT) AS win_id,
+       CAST(least({window}, n - win_id * {stride}) AS INT) AS n_tokens,
+       array_to_string(w[win_id * {stride} + 1 : win_id * {stride} + {window}], ' ')
+         AS window_text
+FROM e
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
@@ -311,6 +420,8 @@ def queries():
         "text_fingerprint": fingerprint,
         "text_normalize": text_normalize,
         "bm25_topk": bm25_topk,
+        "corpus_sample": corpus_sample,
+        "text_windows": text_windows,
     }
 
 
@@ -322,4 +433,6 @@ def oracles():
         "text_fingerprint": FINGERPRINT_SQL,
         "text_normalize": TEXT_NORMALIZE_SQL,
         "bm25_topk": _bm25_oracle_sql(),
+        "corpus_sample": _sample_sql(),
+        "text_windows": _windows_sql(),
     }

@@ -313,3 +313,60 @@ def test_skipped_bucket_accounting(spark, tmp_path):
     assert all(r.skipped_buckets == 0 for r in clean) or any(
         r.docs_in_skipped > 0 for r in clean
     )
+
+
+def test_corpus_sample_stratified_exact(spark):
+    """Deterministic stratified sampling: exact ceil(n/den) per
+    stratum, reproducible across invocations, subset of the corpus."""
+    import math
+
+    from pdfspark.ops import textstats
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s1 = textstats.corpus_sample(spark, SF_SMOKE).collect()
+    s2 = textstats.corpus_sample(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # no RNG
+    got = {}
+    for r in s1:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {
+        lang: math.ceil(n / textstats.SAMPLE_DEN) for lang, n in per_lang.items()
+    }
+
+
+def test_text_windows_cover_and_overlap(spark):
+    """Every token lands in ≥1 window; consecutive windows overlap by
+    window-stride tokens; tail window is short but never empty."""
+    from pdfspark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))),  # 150 tokens → 3 windows
+         (2, "a b c"),  # short doc → 1 window
+         (3, " ".join(f"u{i}" for i in range(64)))],  # exactly one window
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    rows = sorted(
+        textstats.text_windows(spark, path).collect(),
+        key=lambda r: (r.doc_id, r.win_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_tokens for r in by_doc[1]] == [64, 64, 150 - 2 * 48]
+    # overlap: window i+1 starts stride tokens in → first 16 tokens of
+    # window 1 equal the last 16 of window 0
+    w0 = by_doc[1][0].window_text.split(" ")
+    w1 = by_doc[1][1].window_text.split(" ")
+    assert w0[48:] == w1[:16]
+    # full coverage, in order
+    # window 2 starts at token 2*48=96; window 1 ends at 48+64=112 →
+    # 16-token overlap again
+    merged = w0 + w1[16:] + by_doc[1][2].window_text.split(" ")[16:]
+    assert merged == [f"t{i}" for i in range(150)]
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+    assert [r.n_tokens for r in by_doc[3]] == [64]
