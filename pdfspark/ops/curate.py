@@ -100,9 +100,103 @@ FROM feat
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap vs a held-out eval set
+# ---------------------------------------------------------------------------
+
+NGRAM = 5  # word 5-grams (decontamination-style, distinct from dedup's 3)
+BENCH_MOD = 50  # doc_id % 50 == 0 → the deterministic benchmark stand-in
+CONTAM_X10 = 1  # contaminated ⇔ hits*10 >= grams (≥10% overlap)
+
+_GRAMS_SPARK = f"""
+CASE WHEN size(w) < {NGRAM} THEN array(text)
+ELSE transform(
+  sequence(0, size(w) - {NGRAM}),
+  i -> concat_ws(' ', {", ".join(f"element_at(w, i + {j + 1})" for j in range(NGRAM))}))
+END
+"""
+
+_GRAMS_DUCK = f"""
+CASE WHEN len(w) < {NGRAM} THEN [text]
+ELSE [{" || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM))}
+      for i in range(1, len(w) - {NGRAM - 2})]
+END
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: fraction of each TRAINING doc's distinct
+    word {NGRAM}-grams that appear in the benchmark set (the held-out
+    eval stand-in: doc_id % {BENCH_MOD} == 0). Flag when overlap ≥ 10%
+    (integer-exact: hits·10 ≥ grams).
+
+    Plan at corpus scale: benchmark grams are a BROADCAST (eval sets
+    are small by construction), so the only shuffle is the per-doc
+    groupBy count — training grams never co-shuffle with each other."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_GRAMS_SPARK))).alias("g"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    train = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        train.join(F.broadcast(bench).withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") * 10 >= F.col("n_grams") * CONTAM_X10).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _contamination_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_GRAMS_DUCK})) AS g
+  FROM base
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 10
+         >= count(*) * {CONTAM_X10} AS contaminated
+FROM grams t LEFT JOIN bench b ON t.g = b.g
+WHERE t.doc_id % {BENCH_MOD} != 0
+GROUP BY t.doc_id
+"""
+
+
 def queries():
-    return {"corpus_curate": corpus_curate}
+    return {
+        "corpus_curate": corpus_curate,
+        "benchmark_contamination": benchmark_contamination,
+    }
 
 
 def oracles():
-    return {"corpus_curate": _curate_oracle_sql()}
+    return {
+        "corpus_curate": _curate_oracle_sql(),
+        "benchmark_contamination": _contamination_oracle_sql(),
+    }

@@ -370,3 +370,28 @@ def test_text_windows_cover_and_overlap(spark):
     assert merged == [f"t{i}" for i in range(150)]
     assert [r.n_tokens for r in by_doc[2]] == [3]
     assert [r.n_tokens for r in by_doc[3]] == [64]
+
+
+def test_benchmark_contamination_planted(spark, tmp_path):
+    """A training doc that verbatim-copies a benchmark doc's text must
+    flag contaminated; an unrelated doc must not; partial overlap
+    scores between."""
+    from pdfspark.ops import curate
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single day " * 3
+    rows = [
+        (0, bench_text),  # doc_id % 50 == 0 → benchmark member
+        (50, "completely different content about sheaf cohomology and spectra " * 3),
+        (1, bench_text),  # verbatim copy → contaminated
+        (2, "unrelated words with no shared five gram runs at all here " * 3),
+        (3, bench_text[: len(bench_text) // 2] + " then it diverges entirely "
+            + "into novel text with fresh vocabulary " * 2),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "contam_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r for r in curate.benchmark_contamination(spark, path).collect()}
+    assert set(got) == {1, 2, 3}  # benchmark members excluded
+    assert got[1].contaminated and got[1].n_hits == got[1].n_grams
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert 0 < got[3].n_hits < got[3].n_grams
