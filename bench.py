@@ -46,9 +46,12 @@ HEADLINE = [
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_filters",
     "pdf_roundtrip_encrypted",
+    "pdf_roundtrip_cjk_embedded",
     "pdf_salvage",
     "pdf_malformed_policy",
     "pdf_metadata",
+    "text_windows",
+    "benchmark_contamination",
     "html_main_text",
     "dedup_exact",
     "dedup_minhash_pairs",
