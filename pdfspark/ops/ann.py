@@ -348,10 +348,168 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF scale path (coarse quantization + probe)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+CENT_MOD = 31  # deterministic seed centroids: first N_CELLS of
+CENT_RES = 7  # vec_id % 31 == 7, ordered by vec_id — no RNG, no k-means
+# iterations, so the oracle is pure SQL; at production scale the seeds
+# would come from a sampled k-means job, leaving this query plan intact
+
+
+def _centroids(emb: DataFrame):
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") % CENT_MOD == CENT_RES)
+        .orderBy("vec_id")
+        .limit(N_CELLS)
+        .select("embedding")
+        .collect()
+    )
+    C = np.array([r.embedding for r in rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the third scale path of the brief:
+    coarse-quantize every vector to its nearest of N_CELLS deterministic
+    seed centroids (cosine argmax, ties → lowest cell), then search
+    only the N_PROBE cells nearest each query and exact-cosine re-rank.
+    Search cost ≈ |Q|·N·(N_PROBE/N_CELLS) instead of |Q|·N.
+
+    Plan: centroids are DRIVER-tiny (N_CELLS×DIM) and ship in the task
+    closure; cell assignment is one numpy pass over Arrow batches (no
+    shuffle); candidates co-locate with ONE shuffle join on cell; the
+    re-rank dot products run in the same JVM fold the LSH re-rank uses
+    (sequential fp64 — bit-identical to the DuckDB mirror)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    Cn = _centroids(emb)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Cn.T  # batch × cells
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    # argmax returns the FIRST max → ties to lowest cell
+                    "cell": np.argmax(S, axis=1).astype("int32"),
+                }
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cell int"
+    )
+    inv = cells.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e"),
+        "cell",
+    )
+
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = []
+    for r, qid in zip(Qn @ Cn.T, [int(x.vec_id) for x in qrows]):
+        # top-N_PROBE cells, ties → lowest cell (lexsort mirror of the
+        # oracle's ORDER BY sim DESC, cell ASC)
+        order = np.lexsort((np.arange(N_CELLS), -r))[:N_PROBE]
+        probes += [(qid, int(c)) for c in order]
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    qemb = spark.createDataFrame(
+        [(int(r.vec_id), list(map(float, r.embedding))) for r in qrows],
+        "query_id long, q array<double>",
+    )
+
+    cand = (
+        F.broadcast(probe_df)
+        .join(inv, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qemb), "query_id")
+        .select("query_id", "q", "neighbor_id", "e")
+        .distinct()
+    )
+    sim = F.expr(
+        f"{_DOT.format(a='q', b='e')} / ({_norm('q')} * {_norm('e')})"
+    ).alias("sim")
+    scored = cand.select("query_id", "neighbor_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS c
+  FROM embeddings
+  WHERE vec_id % {CENT_MOD} = {CENT_RES}
+  ORDER BY vec_id LIMIT {N_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(
+                                         e.embedding::DOUBLE[], cent.c) DESC,
+                                       cent.cell ASC) AS rn
+    FROM embeddings e, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(
+                                         q.embedding::DOUBLE[], cent.c) DESC,
+                                       cent.cell ASC) AS rn
+    FROM embeddings q, cent
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, qe.embedding::DOUBLE[] AS q,
+         a.vec_id AS neighbor_id, ne.embedding::DOUBLE[] AS ne
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(q, ne) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embed_neardup_pairs": embed_neardup_pairs,
     }
 
@@ -360,5 +518,6 @@ def oracles():
     return {
         "ann_cosine_topk": ANN_COSINE_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     }

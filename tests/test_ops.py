@@ -395,3 +395,21 @@ def test_benchmark_contamination_planted(spark, tmp_path):
     assert got[1].contaminated and got[1].n_hits == got[1].n_grams
     assert not got[2].contaminated and got[2].n_hits == 0
     assert 0 < got[3].n_hits < got[3].n_grams
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, 4 probes): nonempty results, recall vs the exact
+    baseline within the expected coarse-quantization band, and the #1
+    neighbor usually survives probing."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.ann_cosine_topk(spark, SF_SMOKE).collect()
+    }
+    ivf_rows = ann.ann_ivf_topk(spark, SF_SMOKE).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert ivf
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.25, f"suspiciously low IVF recall {recall}"
+    # every query returns SOMETHING (probed cells are never all empty:
+    # the query's own cell is always among its nearest probes)
+    assert {r.query_id for r in ivf_rows} == set(range(ann.N_QUERIES))
