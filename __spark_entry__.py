@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_encrypted": _q_roundtrip("encrypted"),
         "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
+        "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_salvage": _q_salvage,
         "pdf_span_geometry": _q_geometry,
         "pdf_span_geometry_cid": _q_geometry_cid,
@@ -203,6 +204,10 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # parsed from the file itself; decode must be lossless (ASCII
         # corpus rides the 1-byte space; multi-byte pins in test_cjk.py)
         "pdf_roundtrip_cjk_embedded": _SPANS_ORACLE_SQL,
+        # Form XObjects: half the text spans render through /FmK Do
+        # (rotating /Matrix + own-vs-inherited /Resources) — the
+        # interpreter recursion must preserve the exact span sequence
+        "pdf_roundtrip_forms": _SPANS_ORACLE_SQL,
         # §C.2 reconstruction: startxref-less payloads must salvage to
         # the identical span sequence
         "pdf_salvage": _SPANS_ORACLE_SQL,

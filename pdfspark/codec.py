@@ -190,12 +190,18 @@ def _content_for(
     image_names: dict[str, str],
     cjk: bool = False,
     embedded_code_of: Optional[dict[str, bytes]] = None,
+    form_sink=None,
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
     ``cjk`` routes GBK-encodable text through /F3 (Type0 + predefined
     GBK-EUC-H CMap, no ToUnicode); ``embedded_code_of`` routes ALL
-    text through /F3 as codes under the custom embedded CMap."""
+    text through /F3 as codes under the custom embedded CMap.
+    ``form_sink(block_bytes) -> resource_name`` diverts every EVEN
+    text span's BT..ET block into a Form XObject; the page content
+    then places it with `/name Do` at the same point in the stream,
+    so the span ORDER contract is identical (the interpreter recurses
+    into forms in encounter order)."""
     parts: list[bytes] = []
     used_cid = False
     y = 720
@@ -234,7 +240,7 @@ def _content_for(
         if form == 0:
             # Tj plus graphics no-ops the interpreter must skip with
             # their operands (q/cm, §9.3)
-            parts.append(
+            block = (
                 b"q 1 0 0 1 0 0 cm BT %s 12 Tf 0.25 Tc 0.5 Tw 100 Tz 10 %d Td %s Tj ET Q"
                 % (font, y, shown)
             )
@@ -250,27 +256,31 @@ def _content_for(
                 mid = len(text) // 2
                 a = splitter(text[:mid])
                 b = splitter(text[mid:])
-                parts.append(
+                block = (
                     b"BT %s 12 Tf 0 Tc 0 Tw 50 Tz 10 %d Td [%s -250 %s] TJ ET"
                     % (font, y, a, b)
                 )
             else:
-                parts.append(
+                block = (
                     b"BT %s 12 Tf 0 Tc 0 Tw 50 Tz 10 %d Td [%s] TJ ET"
                     % (font, y, shown)
                 )
         elif form == 2:
-            parts.append(
+            block = (
                 b"BT %s 12 Tf 0.125 Tc 0 Tw 100 Tz 14 TL 10 %d Td %s ' ET"
                 % (font, y, shown)
             )
         else:
             # Tm positioning + the " operator (aw ac string, §9.4.3 —
             # itself SETS Tw=2 Tc=1)
-            parts.append(
+            block = (
                 b'BT %s 12 Tf 50 Tz 14 TL 1 0 0 1 10 %d Tm 2 1 %s " ET'
                 % (font, y, shown)
             )
+        if form_sink is not None and ordinal % 2 == 0:
+            parts.append(b"/%s Do" % form_sink(block))
+        else:
+            parts.append(block)
         y -= 16
     return b"\n".join(parts), used_cid
 
@@ -350,6 +360,7 @@ def build_object_graph(
     xml_metadata: Optional[bytes] = None,
     cjk: bool = False,
     cjk_embedded: bool = False,
+    forms: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -506,12 +517,48 @@ def build_object_graph(
         resources[Name("XObject")] = xobj_res
     res_num = g.add(resources)
 
+    # Form-XObject sink (variant `forms`): every even text span's
+    # BT..ET block becomes its own /Subtype /Form stream, placed by
+    # `/FmK Do` — exercises the interpreter's recursion path. Matrix
+    # and /Resources rotate: identity matrix / translated matrix /
+    # omitted, and own-resources (inline dict sharing the font map) vs
+    # inherit-from-page — all four interpreter branches.
+    form_counter = [0]
+
+    def form_sink(block: bytes) -> bytes:
+        k = form_counter[0]
+        form_counter[0] += 1
+        d = CDict()
+        d[Name("Type")] = Name("XObject")
+        d[Name("Subtype")] = Name("Form")
+        d[Name("BBox")] = [0, 0, 612, 792]
+        if k % 3 == 1:
+            d[Name("Matrix")] = [1, 0, 0, 1, 0, 0]
+        elif k % 3 == 2:
+            # translation shifts device coords, never text content —
+            # the roundtrip (kind, text, order) contract is unaffected
+            d[Name("Matrix")] = [1, 0, 0, 1, 7, -3]
+        if k % 2 == 1:
+            own = CDict()
+            own[Name("Font")] = font_res  # inline copy of the font map
+            d[Name("Resources")] = own
+        comp = flate_encode(block)
+        d[Name("Filter")] = Name("FlateDecode")
+        d[Name("Length")] = len(comp)
+        fnum = g.add(CStream(d, comp))
+        rname = f"Fm{k}"
+        xobj_res[Name(rname)] = Ref(fnum, 0)
+        if Name("XObject") not in resources:
+            resources[Name("XObject")] = xobj_res
+        return rname.encode("ascii")
+
     # paginate spans → pages + content streams
     page_nums: list[int] = []
     for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
         page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
         body, _ = _content_for(
-            page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of
+            page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
+            form_sink=form_sink if forms else None,
         )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
@@ -1045,6 +1092,12 @@ def build_pdf(
         # all text rides codes only the in-file CMap can decode
         layout = "classic"
         cjk_embedded = True
+    forms = False
+    if variant == "forms":
+        # half the text spans render through Form XObjects (/FmK Do)
+        # — the interpreter must recurse in encounter order
+        layout = "classic"
+        forms = True
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
@@ -1063,7 +1116,7 @@ def build_pdf(
 
     g, cat, info = build_object_graph(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
-        cjk=cjk, cjk_embedded=cjk_embedded,
+        cjk=cjk, cjk_embedded=cjk_embedded, forms=forms,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

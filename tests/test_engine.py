@@ -139,3 +139,55 @@ def test_sql_surface(spark):
     assert got == expected
     meta_n = spark.sql("SELECT count(*) AS n FROM pdf_meta WHERE status='ok'").first().n
     assert meta_n == spark.table("documents").count()
+
+
+def test_forms_variant_roundtrips():
+    """Form XObjects (r3): half the text spans render through
+    `/FmK Do` with rotating /Matrix (absent / identity / translated)
+    and /Resources (own inline dict / inherit from page) — the
+    interpreter's recursion path must preserve the exact sequence."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel import extract_spans
+
+    text = "alpha beta gamma delta epsilon zeta " * 20
+    spans = synth_spans_py("frm", text)
+    payload = build_pdf("frm", spans, "forms")
+    assert b"/Subtype /Form" in payload or b"/Subtype/Form" in payload
+    st, err, got = extract_spans(payload)
+    assert st == "ok", err
+    assert got == [(k, t, m, i) for i, (k, t, m, _o) in enumerate(spans)]
+
+
+def test_form_recursion_depth_guard():
+    """A self-referential Form XObject must hit the depth guard and
+    land the document in the error bucket, not the interpreter in an
+    infinite loop."""
+    from pdfspark.kernel import extract_spans
+    from pdfspark.kernel.filters import flate_encode
+
+    inner = b"/F0 Do"
+    comp = flate_encode(inner)
+    body = []
+    body.append(b"%PDF-1.4")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /XObject << /F0 5 0 R >> >> >>",
+        4: b"<< /Length 6 >>\nstream\n/F0 Do\nendstream",
+        5: b"<< /Type /XObject /Subtype /Form /BBox [0 0 1 1] /Filter /FlateDecode"
+           b" /Length %d >>\nstream\n" % len(comp) + comp + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n, b in objs.items():
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for n in sorted(objs):
+        out += b"%d 1\n%010d 00000 n \n" % (n, offs[n])
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    st, err, spans = extract_spans(bytes(out))
+    assert st == "error" and "recursion" in err.lower()
+    assert spans == []
