@@ -85,6 +85,16 @@ def _q_geometry_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geometry_rows(spark, sf_dir, variant="cjk:embedded")
 
 
+def _q_geometry_kerned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span geometry with TJ kerning ON: the §9.4.3 kern number in
+    form-1 spans ([a -250 b] TJ at Tz 50, Tfs 12) displaces width by
+    exactly (250·12/1000)·0.5 = 1.5 — the oracle widens the j%4=1
+    term accordingly. Closes ROADMAP #5's last exclusion."""
+    from pdfspark.engine import geometry_rows
+
+    return geometry_rows(spark, sf_dir, variant="classic", tj_kerning=True)
+
+
 def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import status_rows
 
@@ -146,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_salvage": _q_salvage,
         "pdf_span_geometry": _q_geometry,
         "pdf_span_geometry_cid": _q_geometry_cid,
+        "pdf_span_geometry_kerned": _q_geometry_kerned,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -271,5 +282,13 @@ FROM wk
     # single-byte code 32 — so the SAME closed-form oracle holds; the
     # multi-byte /W + /DW arithmetic is pinned in tests/test_cjk.py
     o["pdf_span_geometry_cid"] = o["pdf_span_geometry"]
+    # TJ kerning ON: form-1 spans with >1 char carry one -250 kern
+    # between the two halves → +((250/1000)·12)·0.5 = +1.5 width;
+    # 1-char (and empty-splitter) spans have no kern array
+    o["pdf_span_geometry_kerned"] = o["pdf_span_geometry"].replace(
+        "WHEN j % 4 = 1 THEN 3.0 * tlen",
+        "WHEN j % 4 = 1 THEN 3.0 * tlen"
+        " + (CASE WHEN tlen > 1 THEN 1.5 ELSE 0 END)",
+    )
     o.update(register_ops_oracles())
     return o

@@ -28,15 +28,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # run ALSO executes a pinned previous-round commit in a throwaway git
 # worktree, interleaved subprocess-vs-subprocess (tools/ab_bench.py),
 # and embeds per-query cur/prev ratios as `vs_prev_ratio`.
-PREV_ROUND_COMMIT = "2963dc82a9414cede6ceb8b9d9ad06ac51301bc6"  # round-2 final
+PREV_ROUND_COMMIT = "9baef2f4052e86382a3763a57847e95087dd02e9"  # round-3 final
 AB_QUERIES = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_filters",
     "pdf_metadata",
     "pdf_malformed_policy",
-    # NB: pdf_roundtrip_encrypted rotates layouts (classic+objstream)
-    # since r3 — its ratio compares a strictly HARDER r3 workload
     "pdf_roundtrip_encrypted",
+    # NB: pdf_roundtrip_cjk_embedded rotates in chained-/UseCMap docs
+    # since r4 — its ratio compares a strictly HARDER r4 workload
+    "pdf_roundtrip_cjk_embedded",
+    # the compute-dominated surface (48×-replicated full pipeline):
+    # kernel-tier gains show HERE, not in scheduler-bound sf0.1 queries
+    "replicated_pipeline",
+    # JVM-only controls — identical code both sides = the noise band
     "dedup_simhash",
     "events_sessionize",
 ]

@@ -166,6 +166,83 @@ def _build_embedded_cmap(chars: Sequence[str]) -> tuple[bytes, dict[str, bytes]]
     return b"\n".join(parts), code_of
 
 
+def _build_chained_embedded_cmap(
+    chars: Sequence[str],
+) -> tuple[bytes, bytes, dict[str, bytes]]:
+    """The SAME logical CMap as _build_embedded_cmap, split across an
+    embedded→embedded /UseCMap chain (ISO 32000-1 Table 120): the BASE
+    CMap carries both code spaces, the 1-byte cidrange and the k%3==0
+    cidchars; the CHILD carries only the bfchar/bfrange sections and
+    imports the base (`/pdfspark-Base-H usecmap` + the stream dict's
+    /UseCMap ref the extractor follows). The child deliberately has NO
+    codespacerange of its own — tokenization must come through the
+    inherited spaces, so a broken chain cannot silently pass.
+    Returns (base_bytes, child_bytes, char → 2-byte code map)."""
+    code_of: dict[str, bytes] = {}
+    cidchars: list[bytes] = []
+    bfchars: list[bytes] = []
+    bfranges: list[bytes] = []
+    for k, ch in enumerate(chars):
+        code = bytes((0x81 + k // 0xBF, 0x40 + k % 0xBF))
+        code_of[ch] = code
+        chex = code.hex().encode("ascii")
+        uhex = ch.encode("utf-16-be", "surrogatepass").hex().encode("ascii")
+        sec = k % 3
+        if sec == 0:
+            cidchars.append(b"<%s> %d" % (chex, ord(ch)))
+        elif sec == 1:
+            bfchars.append(b"<%s> <%s>" % (chex, uhex))
+        else:
+            bfranges.append(b"<%s> <%s> <%s>" % (chex, chex, uhex))
+
+    def _wrap(name: bytes, body: list[bytes]) -> bytes:
+        return b"\n".join(
+            [
+                b"%!PS-Adobe-3.0 Resource-CMap",
+                b"/CIDInit /ProcSet findresource begin",
+                b"12 dict begin\nbegincmap",
+                b"/CIDSystemInfo << /Registry (pdfspark) /Ordering (Custom)"
+                b" /Supplement 0 >> def",
+                b"/CMapName /%s def" % name,
+                b"/CMapType 1 def",
+            ]
+            + body
+            + [
+                b"endcmap\nCMapName currentdict /CMap defineresource pop"
+                b"\nend\nend"
+            ]
+        )
+
+    base_body = [
+        b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\nendcodespacerange",
+        b"1 begincidrange\n<00> <7f> 0\nendcidrange",
+    ]
+    if cidchars:
+        base_body.append(
+            b"%d begincidchar\n" % len(cidchars)
+            + b"\n".join(cidchars)
+            + b"\nendcidchar"
+        )
+    child_body = [b"/pdfspark-Base-H usecmap"]
+    if bfchars:
+        child_body.append(
+            b"%d beginbfchar\n" % len(bfchars)
+            + b"\n".join(bfchars)
+            + b"\nendbfchar"
+        )
+    if bfranges:
+        child_body.append(
+            b"%d beginbfrange\n" % len(bfranges)
+            + b"\n".join(bfranges)
+            + b"\nendbfrange"
+        )
+    return (
+        _wrap(b"pdfspark-Base-H", base_body),
+        _wrap(b"pdfspark-Chained-H", child_body),
+        code_of,
+    )
+
+
 def _show_bytes_embedded(text: str, code_of: dict[str, bytes]) -> bytes:
     """Show bytes under the custom embedded CMap: ASCII one byte,
     everything else its assigned 2-byte code."""
@@ -360,6 +437,7 @@ def build_object_graph(
     xml_metadata: Optional[bytes] = None,
     cjk: bool = False,
     cjk_embedded: bool = False,
+    cjk_chained: bool = False,
     forms: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
@@ -371,13 +449,20 @@ def build_object_graph(
 
     embedded_code_of: Optional[dict[str, bytes]] = None
     embedded_cmap_bytes: Optional[bytes] = None
+    embedded_base_bytes: Optional[bytes] = None
     if cjk_embedded:
         # custom per-document CMap covering every non-ASCII char
         uniq = sorted(
             {ch for (k, t, _m, _o) in spans if k == "text" for ch in (t or "")
              if ord(ch) >= 0x80}
         )
-        embedded_cmap_bytes, embedded_code_of = _build_embedded_cmap(uniq)
+        if cjk_chained:
+            # split across an embedded→embedded /UseCMap chain (r4)
+            embedded_base_bytes, embedded_cmap_bytes, embedded_code_of = (
+                _build_chained_embedded_cmap(uniq)
+            )
+        else:
+            embedded_cmap_bytes, embedded_code_of = _build_embedded_cmap(uniq)
 
     def _showable_without_cid(t: str) -> bool:
         if cjk_embedded:
@@ -462,10 +547,19 @@ def build_object_graph(
     if cjk_embedded:
         # Type0 + EMBEDDED /Encoding CMap stream (no ToUnicode): the
         # extractor must parse the CMap itself — code spaces, cidrange
-        # (1-byte ASCII), cidchar/bfchar/bfrange (2-byte customs)
+        # (1-byte ASCII), cidchar/bfchar/bfrange (2-byte customs);
+        # chained docs split this across /UseCMap (Table 120)
         cm = _encode_content(embedded_cmap_bytes, ["flate"])
         cm.dict[Name("Type")] = Name("CMap")
-        cm.dict[Name("CMapName")] = Name("pdfspark-Custom-H")
+        if embedded_base_bytes is not None:
+            bcm = _encode_content(embedded_base_bytes, ["flate"])
+            bcm.dict[Name("Type")] = Name("CMap")
+            bcm.dict[Name("CMapName")] = Name("pdfspark-Base-H")
+            base_num = g.add(bcm)
+            cm.dict[Name("CMapName")] = Name("pdfspark-Chained-H")
+            cm.dict[Name("UseCMap")] = Ref(base_num, 0)
+        else:
+            cm.dict[Name("CMapName")] = Name("pdfspark-Custom-H")
         cmap_num = g.add(cm)
         desc3 = CDict()
         desc3[Name("Type")] = Name("Font")
@@ -1087,11 +1181,19 @@ def build_pdf(
         # GBK-encodable text span — the CID-CMap decode path
         layout = "classic"
         cjk = True
+    cjk_chained = False
     if variant == "cjk:embedded":
         # Type0 + fully custom EMBEDDED CMap stream (no ToUnicode):
-        # all text rides codes only the in-file CMap can decode
+        # all text rides codes only the in-file CMap can decode.
+        # Half the docs (deterministic in doc_id) split the CMap
+        # across an embedded→embedded /UseCMap chain — the child has
+        # no codespacerange of its own, so tokenization AND the
+        # 1-byte cid section must resolve through the chain
         layout = "classic"
         cjk_embedded = True
+        cjk_chained = (
+            int(hashlib.md5(doc_id.encode()).hexdigest()[4:6], 16) % 2 == 1
+        )
     forms = False
     if variant == "forms":
         # half the text spans render through Form XObjects (/FmK Do)
@@ -1116,7 +1218,8 @@ def build_pdf(
 
     g, cat, info = build_object_graph(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
-        cjk=cjk, cjk_embedded=cjk_embedded, forms=forms,
+        cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
+        forms=forms,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

@@ -365,11 +365,12 @@ GEO_SCHEMA = (
 )
 
 
-def extract_geometry(payloads: DataFrame) -> DataFrame:
+def extract_geometry(payloads: DataFrame, tj_kerning: bool = False) -> DataFrame:
     """Geometry-widened flat extraction: span-start device-space
     (x, y) projected through Tm × CTM by the interpreter, plus the
     box where derivable (media: CTM scale; text: h = font size).
-    Same single-UDF-stage shape as extract_flat."""
+    Same single-UDF-stage shape as extract_flat. ``tj_kerning=True``
+    counts TJ kern displacements toward span width (§9.4.3)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel import extract_spans_geo
@@ -377,7 +378,9 @@ def extract_geometry(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, offs, kinds, xs, ys, ws, hs = [], [], [], [], [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                status, _err, spans = extract_spans_geo(bytes(payload))
+                status, _err, spans = extract_spans_geo(
+                    bytes(payload), tj_kerning=tj_kerning
+                )
                 if status != "ok":
                     continue
                 for (k, _t, _m, o, x, y, w, h) in spans:
@@ -411,15 +414,18 @@ def salvage_rows(spark, sf_dir: str) -> DataFrame:
     return extract_flat(payloads, lenient=True)
 
 
-def geometry_rows(spark, sf_dir: str, variant: str = "classic") -> DataFrame:
+def geometry_rows(
+    spark, sf_dir: str, variant: str = "classic", tj_kerning: bool = False
+) -> DataFrame:
     """Span-geometry pipeline: the roundtrip path with the
-    geometry-widened extractor (driver query `pdf_span_geometry`)."""
+    geometry-widened extractor (driver query `pdf_span_geometry`;
+    `pdf_span_geometry_kerned` passes tj_kerning=True)."""
     from .scale import salt_spans_by_size
 
     docs = load_documents(spark, sf_dir)
     spans = salt_spans_by_size(synth_spans_df(docs))
     payloads = generate_payloads(spans, variant, ensure=False)
-    return extract_geometry(payloads)
+    return extract_geometry(payloads, tj_kerning=tj_kerning)
 
 
 def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:

@@ -33,6 +33,9 @@ typedef struct {
     PyObject *name_from_run;  /* cos._name_from_run (miss path)     */
     PyObject *eparse;         /* kernel.errors.EParseError          */
     PyObject *length_name;    /* Name("Length") for salvage rewrite */
+    /* interned constants for the fused interpreter (set at init) */
+    PyObject *str_raw, *str_show_info;
+    PyObject *u_text, *u_media, *u_inline, *u_empty;
     int configured;
 } ctok_state_t;
 
@@ -1058,6 +1061,928 @@ fail:
     return NULL;
 }
 
+/* ---- embedded-CMap code tokenizer (EmbeddedCMap.codes_w twin) ------
+ * Byte-wise code-space interval match per the CMap spec; an unmatched
+ * byte is consumed alone (permissive). Ranges arrive as the Python
+ * side's list[(width:int, lo:bytes, hi:bytes)] — already validated at
+ * parse time (0 < len(lo) == len(hi) <= 4). */
+static PyObject *
+ctok_cmap_codes_w(PyObject *self, PyObject *args)
+{
+    PyObject *data, *ranges;
+    const unsigned char *d;
+    Py_ssize_t n, nr, i;
+    struct { Py_ssize_t w; const unsigned char *lo, *hi; } rs[16];
+    PyObject *out;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "SO!", &data, &PyList_Type, &ranges))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+    nr = PyList_GET_SIZE(ranges);
+    if (nr > 16)
+        nr = 16; /* spec-realistic CMaps have <10 code spaces */
+    for (i = 0; i < nr; i++) {
+        PyObject *t = PyList_GET_ITEM(ranges, i);
+        PyObject *wv, *lo, *hi;
+        if (!PyTuple_Check(t) || PyTuple_GET_SIZE(t) != 3) {
+            PyErr_SetString(PyExc_TypeError, "bad cmap range tuple");
+            return NULL;
+        }
+        wv = PyTuple_GET_ITEM(t, 0);
+        lo = PyTuple_GET_ITEM(t, 1);
+        hi = PyTuple_GET_ITEM(t, 2);
+        if (!PyLong_CheckExact(wv) || !PyBytes_CheckExact(lo) ||
+            !PyBytes_CheckExact(hi)) {
+            PyErr_SetString(PyExc_TypeError, "bad cmap range types");
+            return NULL;
+        }
+        rs[i].w = PyLong_AsSsize_t(wv);
+        rs[i].lo = (const unsigned char *)PyBytes_AS_STRING(lo);
+        rs[i].hi = (const unsigned char *)PyBytes_AS_STRING(hi);
+        if (rs[i].w <= 0 || rs[i].w > 8 ||
+            PyBytes_GET_SIZE(lo) != rs[i].w ||
+            PyBytes_GET_SIZE(hi) != rs[i].w) {
+            PyErr_SetString(PyExc_ValueError, "bad cmap range width");
+            return NULL;
+        }
+    }
+    out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    i = 0;
+    while (i < n) {
+        unsigned long long code = 0;
+        Py_ssize_t width = 0, r, k;
+        for (r = 0; r < nr; r++) {
+            Py_ssize_t w = rs[r].w;
+            int ok;
+            if (i + w > n)
+                continue;
+            ok = 1;
+            for (k = 0; k < w; k++) {
+                unsigned char b = d[i + k];
+                if (b < rs[r].lo[k] || b > rs[r].hi[k]) {
+                    ok = 0;
+                    break;
+                }
+            }
+            if (ok) {
+                code = 0;
+                for (k = 0; k < w; k++)
+                    code = (code << 8) | d[i + k];
+                width = w;
+                break;
+            }
+        }
+        if (width == 0) {
+            code = d[i];
+            width = 1;
+        }
+        {
+            PyObject *tup = Py_BuildValue("(Kn)", code, width);
+            if (tup == NULL || PyList_Append(out, tup) < 0) {
+                Py_XDECREF(tup);
+                Py_DECREF(out);
+                return NULL;
+            }
+            Py_DECREF(tup);
+        }
+        i += width;
+    }
+    return out;
+}
+
+/* ---- indirect-object fast path (xref._parse_indirect_at hot half) --
+ * Seek to the recorded offset, verify the `id gen obj` header (plain
+ * ws between tokens, comments allowed only before — cos._IDGEN_RE
+ * semantics), then parse the value in one C descent. Returns the
+ * value, or None on ANY header mismatch (wrong id, `R`, garbage, out
+ * of range) — the Python caller runs the §C.2 salvage scan then.
+ * Parse errors AFTER a verified header raise, exactly like the
+ * Python path. */
+static PyObject *
+ctok_parse_indirect(PyObject *self, PyObject *args)
+{
+    PyObject *data, *resolver, *settings, *v;
+    Py_ssize_t pos;
+    long expected, max_scan;
+    int allow_recon;
+    const unsigned char *d;
+    Py_ssize_t n, s;
+    long long idv = 0;
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "SnlOOpl", &data, &pos, &expected, &resolver,
+                          &settings, &allow_recon, &max_scan))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+    if (pos < 0 || pos > n)
+        Py_RETURN_NONE;
+    skip_ws_comments(d, n, &pos);
+    if (pos >= n || d[pos] < '0' || d[pos] > '9')
+        Py_RETURN_NONE;
+    s = pos;
+    while (pos < n && d[pos] >= '0' && d[pos] <= '9' && pos - s < 18) {
+        idv = idv * 10 + (d[pos] - '0');
+        pos++;
+    }
+    if (pos < n && d[pos] >= '0' && d[pos] <= '9')
+        Py_RETURN_NONE; /* >18-digit id can never equal a real num */
+    if (pos >= n || !is_ws_c(d[pos]))
+        Py_RETURN_NONE;
+    while (pos < n && is_ws_c(d[pos]))
+        pos++;
+    if (pos >= n || d[pos] < '0' || d[pos] > '9')
+        Py_RETURN_NONE;
+    s = pos;
+    while (pos < n && d[pos] >= '0' && d[pos] <= '9' && pos - s < 18)
+        pos++;
+    if (pos < n && d[pos] >= '0' && d[pos] <= '9')
+        Py_RETURN_NONE;
+    if (pos >= n || !is_ws_c(d[pos]))
+        Py_RETURN_NONE;
+    while (pos < n && is_ws_c(d[pos]))
+        pos++;
+    if (!(pos + 3 <= n && memcmp(d + pos, "obj", 3) == 0))
+        Py_RETURN_NONE;
+    pos += 3;
+    if (idv != (long long)expected)
+        Py_RETURN_NONE;
+    v = parse_value(d, n, &pos, resolver, settings, allow_recon, max_scan);
+    return v; /* NULL propagates the parse error */
+}
+
+/* ---- simple-font advance (Font.advance_1000 twin) ------------------
+ * Sum a 256-entry per-byte width table over a show string. The table
+ * arrives as any int64 buffer (array('q', ...) precomputed once per
+ * Font: ws[b-fc] inside [FirstChar, FirstChar+len(ws)), default
+ * elsewhere). Exact integer math — same value as the Python loop. */
+static PyObject *
+ctok_table_advance(PyObject *self, PyObject *args)
+{
+    PyObject *data, *table;
+    Py_buffer buf;
+    const unsigned char *d;
+    const long long *w;
+    Py_ssize_t n, i;
+    long long total = 0;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "SO", &data, &table))
+        return NULL;
+    if (PyObject_GetBuffer(table, &buf, PyBUF_SIMPLE) < 0)
+        return NULL;
+    if (buf.len != 256 * (Py_ssize_t)sizeof(long long)) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "width table must be 256 int64");
+        return NULL;
+    }
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+    w = (const long long *)buf.buf;
+    for (i = 0; i < n; i++)
+        total += w[d[i]];
+    PyBuffer_Release(&buf);
+    return PyLong_FromLongLong(total);
+}
+
+/* ---- fused content-stream INTERPRETER (textops._interpret_content_py
+ * twin) -------------------------------------------------------------
+ * The lex loop of ctok_lex_content with op dispatch fused in: the
+ * text-state machine, matrix math and §9.4.4 advance arithmetic run
+ * as C doubles with the EXACT association order of the Python
+ * implementation (bit-identical floats — the geometry oracle hashes
+ * values). Python is re-entered only per show string
+ * (Font.show_info), per Tf (the get_font closure) and per Do (the
+ * XObject closure, which recurses through the Python wrapper).
+ * Differential parity: tests/test_ctok_parity.py. */
+
+typedef struct {
+    double ctm[6], tm[6], tlm[6];
+    double *cstack;
+    Py_ssize_t cs_len, cs_cap;
+    double size, tc, tw, th, leading;
+    double trm0, trm4, trm5;
+    double span_x, span_y, span_h, span_adv;
+    int in_text, trm_valid, span_xy_valid, span_h_valid, span_w_known;
+    int tj_kerning;
+    PyObject *spans, *text_parts;     /* owned lists */
+    PyObject *font, *show_info;       /* owned */
+    PyObject *get_font, *do_handler, *span_cls; /* borrowed args */
+} interp_t;
+
+static const double MAT_ID_C[6] = {1.0, 0.0, 0.0, 1.0, 0.0, 0.0};
+
+/* result applies m, then n — textops._matmul association order */
+static void
+mat_mul_c(const double *m, const double *n, double *out)
+{
+    double a = m[0], b = m[1], c = m[2], dd = m[3], e = m[4], f = m[5];
+    double A = n[0], B = n[1], C = n[2], D = n[3], E = n[4], F = n[5];
+    out[0] = a * A + b * C;
+    out[1] = a * B + b * D;
+    out[2] = c * A + dd * C;
+    out[3] = c * B + dd * D;
+    out[4] = e * A + f * C + E;
+    out[5] = e * B + f * D + F;
+}
+
+static void
+ensure_trm(interp_t *st)
+{
+    if (!st->trm_valid) {
+        double t[6];
+        mat_mul_c(st->tm, st->ctm, t);
+        st->trm0 = t[0];
+        st->trm4 = t[4];
+        st->trm5 = t[5];
+        st->trm_valid = 1;
+    }
+}
+
+/* textops._nums twin: -1 error, 0 not-numbers/too-few, 1 ok */
+static int
+last_nums_c(PyObject *ops, int n, double *out)
+{
+    Py_ssize_t len = PyList_GET_SIZE(ops);
+    int i;
+    if (len < n)
+        return 0;
+    for (i = 0; i < n; i++) {
+        PyObject *v = PyList_GET_ITEM(ops, len - n + i);
+        if (PyFloat_CheckExact(v))
+            out[i] = PyFloat_AS_DOUBLE(v);
+        else if (PyLong_CheckExact(v)) {
+            out[i] = PyLong_AsDouble(v);
+            if (out[i] == -1.0 && PyErr_Occurred())
+                return -1;
+        } else
+            return 0;
+    }
+    return 1;
+}
+
+static void
+next_line_c(interp_t *st)
+{
+    double t[6] = {1.0, 0.0, 0.0, 1.0, 0.0, 0.0}, r[6];
+    t[5] = -st->leading;
+    mat_mul_c(t, st->tlm, r);
+    memcpy(st->tlm, r, sizeof(r));
+    memcpy(st->tm, r, sizeof(r));
+    st->trm_valid = 0;
+}
+
+static int
+do_show_c(interp_t *st, PyObject *s)
+{
+    int isc = PyObject_IsInstance(s, S.CString);
+    PyObject *raw, *info, *text, *adv;
+    if (isc <= 0)
+        return isc; /* 0: not a string — ignored; <0: error */
+    ensure_trm(st);
+    if (!st->span_xy_valid) {
+        st->span_x = st->trm4;
+        st->span_y = st->trm5;
+        st->span_xy_valid = 1;
+        /* `span_h = cur_size or None` — ±0.0 is falsy, NaN truthy */
+        if (st->size != 0.0) {
+            st->span_h = st->size;
+            st->span_h_valid = 1;
+        } else
+            st->span_h_valid = 0;
+    }
+    raw = PyObject_GetAttr(s, S.str_raw);
+    if (raw == NULL)
+        return -1;
+    info = PyObject_CallFunctionObjArgs(st->show_info, raw, NULL);
+    Py_DECREF(raw);
+    if (info == NULL)
+        return -1;
+    if (!PyTuple_Check(info) || PyTuple_GET_SIZE(info) != 4) {
+        Py_DECREF(info);
+        PyErr_SetString(PyExc_TypeError, "show_info must return a 4-tuple");
+        return -1;
+    }
+    text = PyTuple_GET_ITEM(info, 0);
+    adv = PyTuple_GET_ITEM(info, 1);
+    if (adv == Py_None)
+        st->span_w_known = 0;
+    else {
+        double adv_d, ng, nsp;
+        PyObject *ngo = PyTuple_GET_ITEM(info, 2);
+        PyObject *nso = PyTuple_GET_ITEM(info, 3);
+        if (PyLong_CheckExact(adv))
+            adv_d = PyLong_AsDouble(adv);
+        else if (PyFloat_CheckExact(adv))
+            adv_d = PyFloat_AS_DOUBLE(adv);
+        else {
+            Py_DECREF(info);
+            PyErr_SetString(PyExc_TypeError, "show_info advance not numeric");
+            return -1;
+        }
+        ng = (double)PyLong_AsLong(ngo);
+        nsp = (double)PyLong_AsLong(nso);
+        if (PyErr_Occurred()) {
+            Py_DECREF(info);
+            return -1;
+        }
+        /* ((adv·Tfs)/1000 + Tc·n + Tw·nsp)·Th·trm0 — exact Python
+         * association order (left-to-right adds, then two mults) */
+        st->span_adv += ((adv_d * st->size) / 1000.0 + st->tc * ng +
+                         st->tw * nsp) *
+                        st->th * st->trm0;
+    }
+    {
+        int rc = PyList_Append(st->text_parts, text);
+        Py_DECREF(info);
+        return rc;
+    }
+}
+
+static int
+emit_text_span(interp_t *st)
+{
+    PyObject *joined, *x, *y, *w, *h, *span;
+    int rc;
+    joined = PyUnicode_Join(S.u_empty, st->text_parts);
+    if (joined == NULL)
+        return -1;
+    if (st->span_xy_valid) {
+        x = PyFloat_FromDouble(st->span_x);
+        y = PyFloat_FromDouble(st->span_y);
+    } else {
+        x = Py_None;
+        Py_INCREF(x);
+        y = Py_None;
+        Py_INCREF(y);
+    }
+    w = (st->span_w_known && st->span_xy_valid)
+            ? PyFloat_FromDouble(st->span_adv)
+            : (Py_INCREF(Py_None), Py_None);
+    h = st->span_h_valid ? PyFloat_FromDouble(st->span_h)
+                         : (Py_INCREF(Py_None), Py_None);
+    if (x == NULL || y == NULL || w == NULL || h == NULL) {
+        Py_XDECREF(joined); Py_XDECREF(x); Py_XDECREF(y);
+        Py_XDECREF(w); Py_XDECREF(h);
+        return -1;
+    }
+    span = PyObject_CallFunctionObjArgs(st->span_cls, S.u_text, joined,
+                                        Py_None, x, y, w, h, NULL);
+    Py_DECREF(joined);
+    Py_DECREF(x);
+    Py_DECREF(y);
+    Py_DECREF(w);
+    Py_DECREF(h);
+    if (span == NULL)
+        return -1;
+    rc = PyList_Append(st->spans, span);
+    Py_DECREF(span);
+    return rc;
+}
+
+static int
+emit_media_span(interp_t *st, PyObject *media_ref)
+{
+    PyObject *e = PyFloat_FromDouble(st->ctm[4]);
+    PyObject *f = PyFloat_FromDouble(st->ctm[5]);
+    PyObject *a = PyFloat_FromDouble(st->ctm[0]);
+    PyObject *dd = PyFloat_FromDouble(st->ctm[3]);
+    PyObject *span;
+    int rc;
+    if (e == NULL || f == NULL || a == NULL || dd == NULL) {
+        Py_XDECREF(e); Py_XDECREF(f); Py_XDECREF(a); Py_XDECREF(dd);
+        return -1;
+    }
+    span = PyObject_CallFunctionObjArgs(st->span_cls, S.u_media, Py_None,
+                                        media_ref, e, f, a, dd, NULL);
+    Py_DECREF(e);
+    Py_DECREF(f);
+    Py_DECREF(a);
+    Py_DECREF(dd);
+    if (span == NULL)
+        return -1;
+    rc = PyList_Append(st->spans, span);
+    Py_DECREF(span);
+    return rc;
+}
+
+/* one operator event — textops._interpret_content_py dispatch twin */
+static int
+dispatch_op(interp_t *st, const unsigned char *op, Py_ssize_t oplen,
+            PyObject *ops)
+{
+    Py_ssize_t nops = PyList_GET_SIZE(ops);
+    double v[6];
+    int r;
+
+    if (oplen == 2) {
+        unsigned key = ((unsigned)op[0] << 8) | op[1];
+        switch (key) {
+        case ('B' << 8) | 'T':
+            st->in_text = 1;
+            {
+                PyObject *np = PyList_New(0);
+                if (np == NULL)
+                    return -1;
+                Py_SETREF(st->text_parts, np);
+            }
+            memcpy(st->tm, MAT_ID_C, sizeof(MAT_ID_C));
+            memcpy(st->tlm, MAT_ID_C, sizeof(MAT_ID_C));
+            st->span_xy_valid = 0;
+            st->span_h_valid = 0;
+            st->span_adv = 0.0;
+            st->span_w_known = 1;
+            st->trm_valid = 0;
+            return 0;
+        case ('E' << 8) | 'T':
+            if (st->in_text) {
+                if (emit_text_span(st) < 0)
+                    return -1;
+            }
+            st->in_text = 0;
+            return 0;
+        case ('T' << 8) | 'f':
+            if (nops > 0) {
+                PyObject *first = PyList_GET_ITEM(ops, 0);
+                int isn = PyObject_IsInstance(first, S.NameType);
+                if (isn < 0)
+                    return -1;
+                if (isn) {
+                    PyObject *f = PyObject_CallFunctionObjArgs(
+                        st->get_font, first, NULL);
+                    PyObject *si;
+                    if (f == NULL)
+                        return -1;
+                    si = PyObject_GetAttr(f, S.str_show_info);
+                    if (si == NULL) {
+                        Py_DECREF(f);
+                        return -1;
+                    }
+                    Py_XSETREF(st->font, f);
+                    Py_XSETREF(st->show_info, si);
+                }
+            }
+            r = last_nums_c(ops, 1, v);
+            if (r < 0)
+                return -1;
+            if (r)
+                st->size = v[0];
+            return 0;
+        case ('T' << 8) | 'd':
+        case ('T' << 8) | 'D':
+            r = last_nums_c(ops, 2, v);
+            if (r < 0)
+                return -1;
+            if (r) {
+                double t[6] = {1.0, 0.0, 0.0, 1.0, 0.0, 0.0}, out[6];
+                if (op[1] == 'D')
+                    st->leading = -v[1];
+                t[4] = v[0];
+                t[5] = v[1];
+                mat_mul_c(t, st->tlm, out);
+                memcpy(st->tlm, out, sizeof(out));
+                memcpy(st->tm, out, sizeof(out));
+                st->trm_valid = 0;
+            }
+            return 0;
+        case ('T' << 8) | 'm':
+            r = last_nums_c(ops, 6, v);
+            if (r < 0)
+                return -1;
+            if (r) {
+                memcpy(st->tm, v, sizeof(v));
+                memcpy(st->tlm, v, sizeof(v));
+                st->trm_valid = 0;
+            }
+            return 0;
+        case ('T' << 8) | '*':
+            next_line_c(st);
+            return 0;
+        case ('T' << 8) | 'L':
+            r = last_nums_c(ops, 1, v);
+            if (r < 0)
+                return -1;
+            if (r)
+                st->leading = v[0];
+            return 0;
+        case ('T' << 8) | 'c':
+            r = last_nums_c(ops, 1, v);
+            if (r < 0)
+                return -1;
+            if (r)
+                st->tc = v[0];
+            return 0;
+        case ('T' << 8) | 'w':
+            r = last_nums_c(ops, 1, v);
+            if (r < 0)
+                return -1;
+            if (r)
+                st->tw = v[0];
+            return 0;
+        case ('T' << 8) | 'z':
+            r = last_nums_c(ops, 1, v);
+            if (r < 0)
+                return -1;
+            if (r)
+                st->th = v[0] / 100.0;
+            return 0;
+        case ('c' << 8) | 'm':
+            r = last_nums_c(ops, 6, v);
+            if (r < 0)
+                return -1;
+            if (r) {
+                double out[6];
+                mat_mul_c(v, st->ctm, out);
+                memcpy(st->ctm, out, sizeof(out));
+                st->trm_valid = 0;
+            }
+            return 0;
+        case ('T' << 8) | 'j':
+            if (nops > 0)
+                return do_show_c(st, PyList_GET_ITEM(ops, nops - 1));
+            return 0;
+        case ('T' << 8) | 'J':
+            if (nops > 0) {
+                PyObject *arr = PyList_GET_ITEM(ops, nops - 1);
+                if (PyList_Check(arr)) {
+                    Py_ssize_t i, alen = PyList_GET_SIZE(arr);
+                    for (i = 0; i < alen; i++) {
+                        PyObject *item = PyList_GET_ITEM(arr, i);
+                        if (st->tj_kerning && (PyLong_CheckExact(item) ||
+                                               PyFloat_CheckExact(item))) {
+                            double it;
+                            if (PyFloat_CheckExact(item))
+                                it = PyFloat_AS_DOUBLE(item);
+                            else {
+                                it = PyLong_AsDouble(item);
+                                if (it == -1.0 && PyErr_Occurred())
+                                    return -1;
+                            }
+                            ensure_trm(st);
+                            /* ((−t·Tfs)/1000)·Th·trm0 — Python order */
+                            st->span_adv += ((-it * st->size) / 1000.0) *
+                                            st->th * st->trm0;
+                        } else if (do_show_c(st, item) < 0)
+                            return -1;
+                    }
+                }
+            }
+            return 0;
+        case ('D' << 8) | 'o':
+            if (nops > 0) {
+                PyObject *last = PyList_GET_ITEM(ops, nops - 1);
+                int isn = PyObject_IsInstance(last, S.NameType);
+                if (isn < 0)
+                    return -1;
+                if (isn) {
+                    PyObject *ctmt = Py_BuildValue(
+                        "(dddddd)", st->ctm[0], st->ctm[1], st->ctm[2],
+                        st->ctm[3], st->ctm[4], st->ctm[5]);
+                    PyObject *res;
+                    if (ctmt == NULL)
+                        return -1;
+                    res = PyObject_CallFunctionObjArgs(st->do_handler, last,
+                                                       ctmt, NULL);
+                    Py_DECREF(ctmt);
+                    if (res == NULL)
+                        return -1;
+                    if (res != Py_None) {
+                        PyObject *rc = PyObject_CallMethod(
+                            st->spans, "extend", "O", res);
+                        if (rc == NULL) {
+                            Py_DECREF(res);
+                            return -1;
+                        }
+                        Py_DECREF(rc);
+                    }
+                    Py_DECREF(res);
+                }
+            }
+            return 0;
+        case ('B' << 8) | 'I':
+            /* BI..EI already skipped at the scan site → media span */
+            return emit_media_span(st, S.u_inline);
+        default:
+            return 0; /* unknown operator: skipped with operands */
+        }
+    }
+    if (oplen == 1) {
+        switch (op[0]) {
+        case 'q':
+            if (st->cs_len == st->cs_cap) {
+                Py_ssize_t ncap = st->cs_cap ? st->cs_cap * 2 : 8;
+                double *ns = (double *)PyMem_Realloc(
+                    st->cstack, ncap * 6 * sizeof(double));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    return -1;
+                }
+                st->cstack = ns;
+                st->cs_cap = ncap;
+            }
+            memcpy(st->cstack + st->cs_len * 6, st->ctm, sizeof(st->ctm));
+            st->cs_len++;
+            return 0;
+        case 'Q':
+            if (st->cs_len > 0) {
+                st->cs_len--;
+                memcpy(st->ctm, st->cstack + st->cs_len * 6,
+                       sizeof(st->ctm));
+                st->trm_valid = 0;
+            }
+            return 0;
+        case '\'':
+            if (nops > 0) {
+                next_line_c(st);
+                return do_show_c(st, PyList_GET_ITEM(ops, nops - 1));
+            }
+            return 0;
+        case '"':
+            if (nops > 0) {
+                /* aw ac string " — SETS word + char spacing (§9.4.3);
+                 * the two numbers sit at [-3] and [-2] */
+                if (nops >= 3) {
+                    PyObject *aw = PyList_GET_ITEM(ops, nops - 3);
+                    PyObject *ac = PyList_GET_ITEM(ops, nops - 2);
+                    double dv[2];
+                    int ok = 1, i;
+                    PyObject *pair[2];
+                    pair[0] = aw;
+                    pair[1] = ac;
+                    for (i = 0; i < 2 && ok; i++) {
+                        if (PyFloat_CheckExact(pair[i]))
+                            dv[i] = PyFloat_AS_DOUBLE(pair[i]);
+                        else if (PyLong_CheckExact(pair[i])) {
+                            dv[i] = PyLong_AsDouble(pair[i]);
+                            if (dv[i] == -1.0 && PyErr_Occurred())
+                                return -1;
+                        } else
+                            ok = 0;
+                    }
+                    if (ok) {
+                        st->tw = dv[0];
+                        st->tc = dv[1];
+                    }
+                }
+                next_line_c(st);
+                return do_show_c(st, PyList_GET_ITEM(ops, nops - 1));
+            }
+            return 0;
+        default:
+            return 0;
+        }
+    }
+    return 0; /* any other keyword: skipped */
+}
+
+static PyObject *
+ctok_interpret_content(PyObject *self, PyObject *args)
+{
+    PyObject *data, *get_font, *do_handler, *span_cls, *default_font, *ctm0;
+    int tj_kerning;
+    const unsigned char *d;
+    Py_ssize_t n, pos = 0, i;
+    PyObject *operands = NULL;
+    PyObject **astack = NULL;
+    Py_ssize_t adep = 0, acap = 0;
+    interp_t st;
+
+    (void)self;
+    memset(&st, 0, sizeof(st));
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "SOOOOOi", &data, &get_font, &do_handler,
+                          &span_cls, &default_font, &ctm0, &tj_kerning))
+        return NULL;
+    if (!PyTuple_Check(ctm0) || PyTuple_GET_SIZE(ctm0) != 6) {
+        PyErr_SetString(PyExc_TypeError, "ctm must be a 6-tuple");
+        return NULL;
+    }
+    for (i = 0; i < 6; i++) {
+        st.ctm[i] = PyFloat_AsDouble(PyTuple_GET_ITEM(ctm0, i));
+        if (st.ctm[i] == -1.0 && PyErr_Occurred())
+            return NULL;
+    }
+    memcpy(st.tm, MAT_ID_C, sizeof(MAT_ID_C));
+    memcpy(st.tlm, MAT_ID_C, sizeof(MAT_ID_C));
+    st.th = 1.0;
+    st.span_w_known = 1;
+    st.tj_kerning = tj_kerning;
+    st.get_font = get_font;
+    st.do_handler = do_handler;
+    st.span_cls = span_cls;
+    st.spans = PyList_New(0);
+    st.text_parts = PyList_New(0);
+    st.font = default_font;
+    Py_INCREF(default_font);
+    st.show_info = PyObject_GetAttr(default_font, S.str_show_info);
+    operands = PyList_New(0);
+    if (st.spans == NULL || st.text_parts == NULL || st.show_info == NULL ||
+        operands == NULL)
+        goto fail;
+
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+
+#define CLEAR_OPERANDS2()                                                 \
+    do {                                                                  \
+        if (PyList_GET_SIZE(operands)) {                                  \
+            PyObject *no = PyList_New(0);                                 \
+            if (no == NULL)                                               \
+                goto fail;                                                \
+            Py_DECREF(operands);                                          \
+            operands = no;                                                \
+        }                                                                 \
+    } while (0)
+
+    while (pos < n) {
+        unsigned char b;
+        skip_ws_comments(d, n, &pos);
+        if (pos >= n)
+            break;
+        b = d[pos];
+        if ((b >= '0' && b <= '9') || b == '+' || b == '-' || b == '.') {
+            Py_ssize_t s = pos, p = pos;
+            Py_ssize_t intd = 0, fracd = 0;
+            int bad = 0;
+            if (d[p] == '+' || d[p] == '-')
+                p++;
+            while (p < n && d[p] >= '0' && d[p] <= '9') {
+                p++;
+                intd++;
+            }
+            if (p < n && d[p] == '.') {
+                p++;
+                while (p < n && d[p] >= '0' && d[p] <= '9') {
+                    p++;
+                    fracd++;
+                }
+            }
+            if (intd == 0 && fracd == 0)
+                bad = 1;
+            else if (p < n && is_regular_c(d[p]))
+                bad = 1;
+            if (bad) {
+                pos = s + 1;
+                CLEAR_OPERANDS2();
+                continue;
+            }
+            {
+                PyObject *v2;
+                int isfloat = 0;
+                Py_ssize_t q;
+                for (q = s; q < p; q++)
+                    if (d[q] == '.') {
+                        isfloat = 1;
+                        break;
+                    }
+                if (!isfloat && p - s <= 18) {
+                    v2 = PyLong_FromLongLong(
+                        strtoll((const char *)d + s, NULL, 10));
+                } else {
+                    char buf[64];
+                    char *heap = NULL, *dst = buf;
+                    Py_ssize_t len = p - s;
+                    if (len >= (Py_ssize_t)sizeof(buf)) {
+                        heap = (char *)PyMem_Malloc(len + 1);
+                        if (heap == NULL) {
+                            PyErr_NoMemory();
+                            goto fail;
+                        }
+                        dst = heap;
+                    }
+                    memcpy(dst, d + s, len);
+                    dst[len] = 0;
+                    if (isfloat) {
+                        double dv =
+                            PyOS_string_to_double(dst, NULL, S.eparse);
+                        v2 = (dv == -1.0 && PyErr_Occurred())
+                                 ? NULL
+                                 : PyFloat_FromDouble(dv);
+                    } else
+                        v2 = PyLong_FromString(dst, NULL, 10);
+                    if (heap)
+                        PyMem_Free(heap);
+                }
+                if (v2 == NULL)
+                    goto fail;
+                if (PyList_Append(operands, v2) < 0) {
+                    Py_DECREF(v2);
+                    goto fail;
+                }
+                Py_DECREF(v2);
+                pos = p;
+            }
+        } else if (b == '/') {
+            PyObject *nm = name_token(d, n, &pos);
+            if (nm == NULL)
+                goto fail;
+            if (PyList_Append(operands, nm) < 0) {
+                Py_DECREF(nm);
+                goto fail;
+            }
+            Py_DECREF(nm);
+        } else if (b == '[') {
+            if (adep == acap) {
+                Py_ssize_t ncap = acap ? acap * 2 : 8;
+                PyObject **ns = (PyObject **)PyMem_Realloc(
+                    astack, ncap * sizeof(PyObject *));
+                if (ns == NULL) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                astack = ns;
+                acap = ncap;
+            }
+            astack[adep++] = operands;
+            operands = PyList_New(0);
+            if (operands == NULL) {
+                operands = astack[--adep];
+                goto fail;
+            }
+            pos++;
+        } else if (b == ']') {
+            if (adep > 0) {
+                PyObject *finished = operands;
+                operands = astack[--adep];
+                if (PyList_Append(operands, finished) < 0) {
+                    Py_DECREF(finished);
+                    goto fail;
+                }
+                Py_DECREF(finished);
+            } else
+                CLEAR_OPERANDS2();
+            pos++;
+        } else if (b == '(' || b == '<') {
+            PyObject *v2 = (b == '(')
+                               ? literal_string_token(d, n, &pos)
+                               : ((pos + 1 < n && d[pos + 1] == '<')
+                                      ? parse_value(d, n, &pos, Py_None,
+                                                    Py_None, 0, 100)
+                                      : hex_string_token(d, n, &pos));
+            if (v2 == NULL)
+                goto fail;
+            if (PyList_Append(operands, v2) < 0) {
+                Py_DECREF(v2);
+                goto fail;
+            }
+            Py_DECREF(v2);
+        } else if (is_regular_c(b)) {
+            Py_ssize_t s = pos, oplen;
+            while (pos < n && is_regular_c(d[pos]))
+                pos++;
+            oplen = pos - s;
+            if (oplen == 2 && d[s] == 'B' && d[s + 1] == 'I') {
+                const unsigned char *hit =
+                    (pos < n) ? (const unsigned char *)memmem(
+                                    d + pos, n - pos, "EI", 2)
+                              : NULL;
+                pos = hit == NULL ? n : (hit - d) + 2;
+            }
+            if (dispatch_op(&st, d + s, oplen, operands) < 0)
+                goto fail;
+            CLEAR_OPERANDS2();
+        } else {
+            pos++;
+            CLEAR_OPERANDS2();
+        }
+    }
+#undef CLEAR_OPERANDS2
+    Py_DECREF(operands);
+    while (adep > 0)
+        Py_DECREF(astack[--adep]);
+    if (astack)
+        PyMem_Free(astack);
+    PyMem_Free(st.cstack);
+    Py_DECREF(st.text_parts);
+    Py_XDECREF(st.font);
+    Py_XDECREF(st.show_info);
+    return st.spans;
+
+fail:
+    Py_XDECREF(operands);
+    while (adep > 0)
+        Py_DECREF(astack[--adep]);
+    if (astack)
+        PyMem_Free(astack);
+    PyMem_Free(st.cstack);
+    Py_XDECREF(st.spans);
+    Py_XDECREF(st.text_parts);
+    Py_XDECREF(st.font);
+    Py_XDECREF(st.show_info);
+    return NULL;
+}
+
 static PyObject *
 ctok_parse_object(PyObject *self, PyObject *args)
 {
@@ -1143,6 +2068,16 @@ static PyMethodDef ctok_methods[] = {
      "max_scan_range) -> (value, new_pos)"},
     {"lex_content", ctok_lex_content, METH_VARARGS,
      "lex_content(data) -> [(op_bytes, operands_tuple), ...]"},
+    {"cmap_codes_w", ctok_cmap_codes_w, METH_VARARGS,
+     "cmap_codes_w(raw, ranges) -> [(code, byte_width), ...]"},
+    {"table_advance", ctok_table_advance, METH_VARARGS,
+     "table_advance(raw, int64_table_256) -> advance sum"},
+    {"parse_indirect", ctok_parse_indirect, METH_VARARGS,
+     "parse_indirect(data, offset, expected_num, resolver, settings, "
+     "allow_reconstruction, max_scan_range) -> value | None(mismatch)"},
+    {"interpret_content", ctok_interpret_content, METH_VARARGS,
+     "interpret_content(data, get_font, do_handler, span_cls, "
+     "default_font, ctm_6tuple, tj_kerning) -> [Span, ...]"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef ctok_module = {
@@ -1153,5 +2088,14 @@ static struct PyModuleDef ctok_module = {
 PyMODINIT_FUNC
 PyInit__ctok(void)
 {
+    S.str_raw = PyUnicode_InternFromString("raw");
+    S.str_show_info = PyUnicode_InternFromString("show_info");
+    S.u_text = PyUnicode_InternFromString("text");
+    S.u_media = PyUnicode_InternFromString("media");
+    S.u_inline = PyUnicode_InternFromString("inline");
+    S.u_empty = PyUnicode_InternFromString("");
+    if (S.str_raw == NULL || S.str_show_info == NULL || S.u_text == NULL ||
+        S.u_media == NULL || S.u_inline == NULL || S.u_empty == NULL)
+        return NULL;
     return PyModule_Create(&ctok_module);
 }

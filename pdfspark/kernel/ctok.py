@@ -75,9 +75,12 @@ def load_ext(modname: str, filename: str, ldflags: tuple[str, ...] = ()):
             f.write(src)
         tmp_so = so_path + f".tmp{os.getpid()}"
         try:
+            # -ffp-contract=off: the fused interpreter's double math
+            # must be IEEE bit-identical to CPython's (no FMA
+            # contraction of a*b+c — gcc's default gnu mode contracts)
             r = subprocess.run(
-                ["gcc", "-O2", "-fPIC", "-shared", f"-I{inc}", tmp_c,
-                 "-o", tmp_so, *ldflags],
+                ["gcc", "-O2", "-fPIC", "-shared", "-ffp-contract=off",
+                 f"-I{inc}", tmp_c, "-o", tmp_so, *ldflags],
                 capture_output=True,
                 timeout=120,
             )

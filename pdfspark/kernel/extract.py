@@ -44,6 +44,7 @@ def extract_spans_doc(
     payload: bytes,
     settings: Optional[ParserSettings] = None,
     geometry: bool = False,
+    tj_kerning: bool = False,
 ) -> list[tuple]:
     """One document → ordered [(kind, text, media_ref, offset)], or
     with ``geometry=True`` [(kind, text, media_ref, offset, x, y, w,
@@ -73,7 +74,8 @@ def extract_spans_doc(
             decode_stream(c.data, c.dict, resolver) for c in page.contents
         )
         for sp in interpret_content(
-            data, page.resources, resolver, doc_font_cache=font_cache
+            data, page.resources, resolver, doc_font_cache=font_cache,
+            tj_kerning=tj_kerning,
         ):
             if geometry:
                 out.append((sp[0], sp[1], sp[2], ordinal, sp[3], sp[4], sp[5], sp[6]))
@@ -94,11 +96,22 @@ def extract_spans(
 
 
 def extract_spans_geo(
-    payload: bytes, settings: Optional[ParserSettings] = None
+    payload: bytes,
+    settings: Optional[ParserSettings] = None,
+    tj_kerning: bool = False,
 ) -> tuple[str, Optional[str], list[tuple]]:
-    """PERMISSIVE wrapper, geometry-widened spans (…, x, y, w, h)."""
+    """PERMISSIVE wrapper, geometry-widened spans (…, x, y, w, h).
+    ``tj_kerning=True`` counts TJ kern displacements toward span
+    width (§9.4.3 tx = (−t/1000·Tfs)·Th; off by default — the
+    documented simple-extraction width semantics)."""
     try:
-        return ("ok", None, extract_spans_doc(payload, settings, geometry=True))
+        return (
+            "ok",
+            None,
+            extract_spans_doc(
+                payload, settings, geometry=True, tj_kerning=tj_kerning
+            ),
+        )
     except Exception as e:
         return ("error", f"{type(e).__name__}: {e}", [])
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional
 
 import re as _re
+from array import array as _array
 
 from .cos import (
     CDict,
@@ -133,7 +134,9 @@ class EmbeddedCMap:
     the Identity reading CID == Unicode scalar, the same documented
     fallback the Identity-H path uses)."""
 
-    __slots__ = ("ranges", "cid_map", "cid_ranges", "bf_map", "base_codec")
+    __slots__ = (
+        "ranges", "cid_map", "cid_ranges", "bf_map", "base_codec", "base",
+    )
 
     def __init__(self):
         # (width, lo_bytes, hi_bytes) — per-byte interval match
@@ -142,10 +145,29 @@ class EmbeddedCMap:
         self.cid_ranges: list[tuple[int, int, int]] = []  # lo, hi, cid0
         self.bf_map: dict[int, str] = {}
         # `/Base-Name usecmap`: codes this CMap leaves unmapped fall
-        # back to the imported PREDEFINED CMap's byte encoding (only
-        # predefined bases resolve — a usecmap of another embedded
-        # stream is out of scope, documented)
+        # back to the imported PREDEFINED CMap's byte encoding
         self.base_codec: Optional[str] = None
+        # embedded→embedded chaining (ISO 32000-1 Table 120 /UseCMap:
+        # "a stream containing a CMap"): unmapped codes fall through
+        # to the imported embedded CMap; code spaces are inherited
+        # (merged into `ranges` at link time, Font._load_embedded_cmap)
+        self.base: Optional["EmbeddedCMap"] = None
+
+    def link_base(self, base: "EmbeddedCMap") -> None:
+        """Attach an imported embedded base CMap: inherit its code
+        spaces (merged, shortest-width-first invariant kept) and its
+        usecmap byte-codec fallback; cid/bf lookups chain through
+        ``base`` at query time (child sections override)."""
+        self.base = base
+        self.ranges = sorted(self.ranges + base.ranges, key=lambda t: t[0])
+        if self.base_codec is None:
+            self.base_codec = base.base_codec
+
+    def bf(self, code: int) -> Optional[str]:
+        s = self.bf_map.get(code)
+        if s is None and self.base is not None:
+            return self.base.bf(code)
+        return s
 
     def codes(self, raw: bytes) -> list[int]:
         """Tokenize show-string bytes into codes by code-space match
@@ -157,6 +179,8 @@ class EmbeddedCMap:
         """codes() plus each code's BYTE WIDTH — word spacing applies
         to the single-byte code 32 only (§9.3.3), so consumers must be
         able to tell a 1-byte 32 from a 2-byte <0020>."""
+        if _CTOK_CMAP_CODES is not None:
+            return _CTOK_CMAP_CODES(raw, self.ranges)
         out = []
         i, n = 0, len(raw)
         ranges = self.ranges
@@ -185,6 +209,8 @@ class EmbeddedCMap:
         for lo, hi, cid0 in self.cid_ranges:
             if lo <= code <= hi:
                 return cid0 + (code - lo)
+        if self.base is not None:
+            return self.base.cid(code)
         return None
 
 
@@ -195,9 +221,11 @@ def parse_embedded_cmap(data: bytes) -> EmbeddedCMap:
     """Parse codespacerange / cidchar / cidrange sections from an
     embedded CMap stream; bf sections are shared with the ToUnicode
     parser. `/Name usecmap` imports resolve when the base is a
-    PREDEFINED CMap (Table 118): unmapped codes then decode through the
-    base's byte encoding; importing another embedded stream is not
-    followed (documented gap)."""
+    PREDEFINED CMap (Table 118): unmapped codes then decode through
+    the base's byte encoding. Embedded→embedded imports resolve via
+    the stream dict's /UseCMap entry (Font._load_embedded_cmap → the
+    spec's Table 120 mechanism; content-level `usecmap` of a non-
+    predefined name alone carries no stream reference to follow)."""
     cm = EmbeddedCMap()
     cm.bf_map = parse_tounicode_cmap(data)
     mu = _USECMAP_RE.search(data)
@@ -307,6 +335,10 @@ _MACROMAN_TABLE = [
     bytes([i]).decode("mac_roman", errors="replace") for i in range(256)
 ]
 _IDENTITY_TRANS: dict = {}  # sentinel: identity decode, translate skipped
+# shared str.translate maps for the two shared base tables — only a
+# /Differences font builds a bespoke map (it copies the table first)
+_WINANSI_TRANS = {i: _WINANSI_TABLE[i] for i in range(256)}
+_MACROMAN_TRANS = {i: _MACROMAN_TABLE[i] for i in range(256)}
 
 
 class Font:
@@ -323,7 +355,7 @@ class Font:
     __slots__ = (
         "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
-        "cid_widths", "cid_wranges",
+        "cid_widths", "cid_wranges", "_code_memo", "_w_table",
     )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
@@ -349,12 +381,13 @@ class Font:
                 self.codec = _PREDEFINED_CMAP_CODECS.get(str(enc_v))
             elif isinstance(enc_v, CStream):
                 # embedded CMap stream: custom code spaces + cid/bf
-                # sections carried in the file itself (§9.7.5.3)
-                self.cmap = parse_embedded_cmap(
-                    decode_stream(enc_v.data, enc_v.dict, resolver)
-                )
+                # sections carried in the file itself (§9.7.5.3);
+                # /UseCMap chains to another embedded stream (r4)
+                self.cmap = self._load_embedded_cmap(enc_v, resolver, 0)
         self.cid_widths: Optional[dict[int, int]] = None
         self.cid_wranges: list[tuple[int, int, int]] = []
+        self._code_memo: dict = {}  # (code, bw) → (char, width)
+        self._w_table = None  # lazy 256×int64 per-byte width table
         if self.two_byte:
             # /DW (default 1000) + /W per-CID widths (ISO 32000-1
             # §9.7.4.3: `c [w1 .. wn]` lists, `c_lo c_hi w` ranges)
@@ -417,6 +450,31 @@ class Font:
                         code += 1
             self.table = base_table
 
+    @staticmethod
+    def _load_embedded_cmap(
+        stream: CStream, resolver: Optional[Resolver], depth: int
+    ) -> EmbeddedCMap:
+        """Parse an embedded /Encoding CMap stream and follow its
+        /UseCMap chain (ISO 32000-1 Table 120: a stream containing a
+        CMap, or a predefined CMap name). Embedded→embedded imports
+        resolve recursively (depth-guarded); the child inherits the
+        base's code spaces and falls through to its cid/bf sections
+        for unmapped codes (§9.7.5.2 usecmap semantics)."""
+        cm = parse_embedded_cmap(
+            decode_stream(stream.data, stream.dict, resolver)
+        )
+        if depth < 4:
+            base_v = stream.dict.deref(
+                stream.dict.get("UseCMap", COS_NULL), resolver
+            )
+            if isinstance(base_v, CStream):
+                cm.link_base(
+                    Font._load_embedded_cmap(base_v, resolver, depth + 1)
+                )
+            elif isinstance(base_v, Name) and cm.base_codec is None:
+                cm.base_codec = _PREDEFINED_CMAP_CODECS.get(str(base_v))
+        return cm
+
     def _parse_w_array(self, items: list) -> None:
         """CIDFont /W: alternating `c [w...]` or `c_lo c_hi w` runs;
         malformed runs are skipped (PERMISSIVE)."""
@@ -452,6 +510,31 @@ class Font:
         if wmap or ranges:
             self.cid_widths = wmap
             self.cid_wranges = ranges
+
+    def _code_entry(self, code: int, w: int) -> tuple[str, int]:
+        """(decoded char(s), glyph width) for ONE embedded-CMap code —
+        the decode() lookup chain (ToUnicode > bf sections >
+        CID-as-Unicode > usecmap base codec) plus the /W width; cached
+        per (code, byte-width) by show_info."""
+        cm = self.cmap
+        tu = self.tounicode
+        if tu is not None and code in tu:
+            ch = tu[code]
+        else:
+            s = cm.bf(code)
+            if s is not None:
+                ch = s
+            else:
+                cid = cm.cid(code)
+                if cid is not None and 0 <= cid <= 0x10FFFF:
+                    ch = chr(cid)
+                elif cm.base_codec is not None:
+                    ch = code.to_bytes(w, "big").decode(
+                        cm.base_codec, errors="replace"
+                    )
+                else:
+                    ch = "�"
+        return ch, self._cid_width(cm.cid(code))
 
     def _cid_width(self, cid: Optional[int]) -> int:
         if cid is not None and self.cid_widths is not None:
@@ -490,7 +573,7 @@ class Font:
                     if tu is not None and code in tu:
                         out.append(tu[code])
                         continue
-                    s = cm.bf_map.get(code)
+                    s = cm.bf(code)
                     if s is not None:
                         out.append(s)
                         continue
@@ -529,13 +612,92 @@ class Font:
         tr = self.trans
         if tr is None:
             t = self.table
-            tr = self.trans = (
-                _IDENTITY_TRANS
-                if t is None or t is _LATIN1_TABLE
-                else {i: t[i] for i in range(256)}
-            )
+            if t is None or t is _LATIN1_TABLE:
+                tr = _IDENTITY_TRANS
+            elif t is _WINANSI_TABLE:
+                tr = _WINANSI_TRANS
+            elif t is _MACROMAN_TABLE:
+                tr = _MACROMAN_TRANS
+            else:
+                tr = {i: t[i] for i in range(256)}
+            self.trans = tr
         s = raw.decode("latin-1")
         return s if tr is _IDENTITY_TRANS else s.translate(tr)
+
+    def show_info(self, raw: bytes) -> tuple:
+        """The per-show-string font work, consolidated into ONE call:
+        (decoded_text, advance_1000 | None, nglyphs, nsp).
+
+        Semantics are exactly decode(raw) + advance_1000(raw) + the
+        §9.4.4 glyph/space counts the interpreter needs — but embedded
+        CMaps tokenize the code bytes ONCE (decode and advance each
+        used to run codes_w separately), and the C interpreter calls
+        this single method per show op. nsp counts word-spacing
+        positions (§9.3.3: the SINGLE-BYTE code 32 only) and is always
+        computed — tw·nsp is exactly 0.0 when tw is 0.0 either way."""
+        if self.two_byte:
+            if self.codec is not None:
+                text = raw.decode(self.codec, errors="replace")
+                return text, len(text) * self.default_width, len(text), 0
+            if self.cmap is not None:
+                cm = self.cmap
+                pairs = cm.codes_w(raw)
+                # per-code (char, width) memo: the tounicode/bf/cid
+                # lookup chain and the /W search run once per DISTINCT
+                # (code, byte-width); repeat codes hit one dict get
+                memo = self._code_memo
+                memo_get = memo.get
+                out = []
+                append = out.append
+                adv = 0
+                nsp = 0
+                for pair in pairs:
+                    code, w = pair
+                    if code == 32 and w == 1:
+                        nsp += 1
+                    ent = memo_get(pair)
+                    if ent is None:
+                        ent = self._code_entry(code, w)
+                        memo[pair] = ent
+                    append(ent[0])
+                    adv += ent[1]
+                text = (
+                    "".join(out)
+                    .encode("utf-16", "surrogatepass")
+                    .decode("utf-16", "replace")
+                )
+                if self.cid_widths is None and not self.cid_wranges:
+                    adv = len(pairs) * self.default_width
+                return text, adv, len(pairs), nsp
+            # fixed 2-byte codes (Identity-H/V) — decode the code ints
+            # once via numpy-free C-level slicing: big-endian pairs
+            n = len(raw) // 2
+            codes = None
+            if self.tounicode is not None or (
+                self.cid_widths is not None or self.cid_wranges
+            ):
+                codes = [
+                    (raw[i] << 8) | raw[i + 1] for i in range(0, n * 2, 2)
+                ]
+            if self.tounicode is not None:
+                g = self.tounicode.get
+                s = "".join([g(c, "�") for c in codes])
+                text = s.encode("utf-16", "surrogatepass").decode(
+                    "utf-16", "replace"
+                )
+            else:
+                text = raw.decode("utf-16-be", errors="replace")
+            if self.cid_widths is not None or self.cid_wranges:
+                if not self.cid_wranges:
+                    g = self.cid_widths.get
+                    dflt = self.default_width
+                    adv = sum([g(c, dflt) for c in codes])
+                else:
+                    adv = sum(map(self._cid_width, codes))
+            else:
+                adv = n * self.default_width
+            return text, adv, n, 0
+        return self.decode(raw), self.advance_1000(raw), len(raw), raw.count(32)
 
     def advance_1000(self, raw: bytes) -> Optional[int]:
         """Glyph-advance sum for one show string in 1000-em units, as
@@ -571,6 +733,16 @@ class Font:
             return len(raw) * dflt  # constant-width fast path
         fc = self.first_char
         hi = fc + len(ws)
+        if _CTOK_TADV is not None:
+            # one C pass over a per-byte width table (built once per
+            # font) instead of a per-byte Python loop — exact ints
+            t = self._w_table
+            if t is None:
+                t = self._w_table = _array(
+                    "q",
+                    [ws[b - fc] if fc <= b < hi else dflt for b in range(256)],
+                )
+            return _CTOK_TADV(raw, t)
         w = 0
         for b in raw:
             w += ws[b - fc] if fc <= b < hi else dflt
@@ -728,6 +900,27 @@ def _load_ct_lexer():
 _CTOK_LEX = _load_ct_lexer()
 
 
+def _load_ctok_attr(name: str):
+    try:
+        from .cos import _CTOK
+
+        if _CTOK is not None:
+            return getattr(_CTOK, name, None)
+    except Exception:  # pragma: no cover - env without gcc
+        pass
+    return None
+
+
+# fused C content-stream INTERPRETER (r4): lexing + the text-state
+# machine + all matrix/advance float math run in C; Python is entered
+# once per show string (Font.show_info) and once per Do (the XObject
+# resolution/recursion closure). Identical semantics to
+# _interpret_content_py — differential parity in test_ctok_parity.py.
+_CTOK_INTERP = _load_ctok_attr("interpret_content")
+_CTOK_CMAP_CODES = _load_ctok_attr("cmap_codes_w")
+_CTOK_TADV = _load_ctok_attr("table_advance")
+
+
 class Span(tuple):
     """(kind, text, media_ref, x, y, w, h) — offset assigned by the
     caller. Geometry is the span-START position in device space
@@ -784,26 +977,31 @@ def _nums(ops, n):
     return out
 
 
-def interpret_content(
+def _interpret_content_py(
     data: bytes,
     resources: Optional[CDict],
     resolver: Optional[Resolver],
     _depth: int = 0,
     doc_font_cache: Optional[dict] = None,
     _ctm: tuple = _MAT_ID,
+    tj_kerning: bool = False,
 ) -> list[Span]:
-    """Interpret one (decoded) content stream → ordered spans.
+    """Interpret one (decoded) content stream → ordered spans — the
+    pure-Python interpreter; `_ctok.interpret_content` is the fused
+    C twin with identical semantics (differential parity in
+    tests/test_ctok_parity.py).
 
     Operators handled: BT/ET (text objects, §9.4.1), Tf (font select),
     Td/TD/Tm/T*/TL (positioning — projected into per-span (x, y)
     through Tm × CTM), Tj/TJ/'/\" (show ops, §9.4.3; TJ kerning
-    numbers ignored for text content per §9.10.2 simple extraction;
-    '/\" perform their implicit T* next-line move), Tc/Tw/Tz/Ts
-    (state, no-op for content), q/Q/cm (CTM stack, §8.4.4), Do
-    (XObject: Image → media span positioned by the CTM, Form →
-    recurse with /Matrix composed), BI..EI inline images (skipped as
-    one media span). Unknown operators are skipped with their
-    operands — the PERMISSIVE posture of §2.8.
+    numbers ignored for text content per §9.10.2 simple extraction —
+    with ``tj_kerning=True`` they DO displace the span width per the
+    §9.4.4 advance), '/\" perform their implicit T* next-line move,
+    Tc/Tw/Tz/Ts (state, no-op for content), q/Q/cm (CTM stack,
+    §8.4.4), Do (XObject: Image → media span positioned by the CTM,
+    Form → recurse with /Matrix composed), BI..EI inline images
+    (skipped as one media span). Unknown operators are skipped with
+    their operands — the PERMISSIVE posture of §2.8.
     """
     if _depth > 16:
         raise EParseError("XObject recursion too deep")
@@ -862,44 +1060,20 @@ def interpret_content(
             if span_xy is None:
                 span_xy = (trm_c[4], trm_c[5])
                 span_h = cur_size or None
-            adv = cur_font.advance_1000(s.raw)
+            # §9.4.4 advance: ((w0/1000)·Tfs + Tc·n + Tw·nsp)·Th per
+            # show string. Word spacing applies to the single-byte
+            # code 32 only (§9.3.3), so fixed-2-byte CID fonts never
+            # accrue Tw. Every factor the generator emits is an exact
+            # binary fraction, so the SQL oracle matches bit-for-bit
+            # regardless of association order.
+            text, adv, nglyphs, nsp = cur_font.show_info(s.raw)
             if adv is None:
                 span_w_known = False
             else:
-                # §9.4.4 advance: ((w0/1000)·Tfs + Tc·n + Tw·nsp)·Th
-                # per show string (TJ kerning still excluded —
-                # documented width semantics). Word spacing applies to
-                # the single-byte code 32 only (§9.3.3), so CID fonts
-                # never accrue Tw. Every factor the generator emits is
-                # an exact binary fraction, so the SQL oracle matches
-                # bit-for-bit regardless of association order.
-                raw = s.raw
-                f = cur_font
-                if f.two_byte:
-                    if f.cmap is not None:
-                        pairs = f.cmap.codes_w(raw)
-                        nglyphs = len(pairs)
-                        # §9.3.3: word spacing applies to the SINGLE-
-                        # BYTE code 32 — which a mixed-width embedded
-                        # CMap can produce (a 2-byte <0020> must not)
-                        nsp = (
-                            sum(1 for c, w in pairs if c == 32 and w == 1)
-                            if tw
-                            else 0
-                        )
-                    elif f.codec is not None:
-                        nglyphs = len(raw.decode(f.codec, "replace"))
-                        nsp = 0
-                    else:
-                        nglyphs = len(raw) // 2
-                        nsp = 0
-                else:
-                    nglyphs = len(raw)
-                    nsp = raw.count(32) if tw else 0
                 span_adv += (
                     (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
                 ) * th * trm_c[0]
-            text_parts.append(cur_font.decode(s.raw))
+            text_parts.append(text)
 
     def next_line() -> None:
         nonlocal tlm, tm, trm_c
@@ -980,7 +1154,20 @@ def interpret_content(
         elif op == b"TJ":
             if operands and isinstance(operands[-1], list):
                 for item in operands[-1]:
-                    show(item)
+                    t = type(item)
+                    if tj_kerning and (t is int or t is float):
+                        # §9.4.3: a TJ number t moves the text position
+                        # by tx = (−t/1000·Tfs)·Th — with the flag on,
+                        # that displacement counts toward span width
+                        # (kern before the first show op shifts within
+                        # the span, not its origin — documented)
+                        if trm_c is None:
+                            trm_c = _matmul(tm, ctm)
+                        span_adv += (
+                            (-item * cur_size) / 1000.0
+                        ) * th * trm_c[0]
+                    else:
+                        show(item)
         elif op == b"'":
             if operands:
                 next_line()
@@ -1028,7 +1215,7 @@ def interpret_content(
                         spans.extend(
                             interpret_content(
                                 decoded, sub_res, resolver, _depth + 1, font_cache,
-                                _ctm=sub_ctm,
+                                _ctm=sub_ctm, tj_kerning=tj_kerning,
                             )
                         )
         elif op == b"BI":
@@ -1037,3 +1224,125 @@ def interpret_content(
                 Span("media", None, "inline", ctm[4], ctm[5], ctm[0], ctm[3])
             )
     return spans
+
+
+def _interpret_content_c(
+    data: bytes,
+    resources: Optional[CDict],
+    resolver: Optional[Resolver],
+    _depth: int,
+    doc_font_cache: Optional[dict],
+    _ctm: tuple,
+    tj_kerning: bool,
+) -> list[Span]:
+    """Drive the fused C interpreter: Python supplies the two
+    callbacks the state machine can't own — font resolution (resources
+    lookup + document-scope Font cache) and Do/XObject handling (image
+    media spans; Form recursion re-enters this wrapper)."""
+    if _depth > 16:
+        raise EParseError("XObject recursion too deep")
+    font_cache: dict = doc_font_cache if doc_font_cache is not None else {}
+    # name→resolved memos: the /Resources lookup chain runs once per
+    # distinct name per content stream, not once per Tf/Do operator
+    # (resources and resolver are fixed for this stream, so the
+    # resolution is pure in the name)
+    local_fonts: dict = {}
+    local_xobjs: dict = {}
+
+    def get_font_cb(name) -> Font:
+        f = local_fonts.get(name)
+        if f is not None:
+            return f
+        fr = (
+            resources.get_dict("Font", None, resolver)
+            if resources is not None
+            else None
+        )
+        fd = fr.get_dict(str(name), None, resolver) if fr is not None else None
+        if fd is None:
+            f = _DEFAULT_FONT
+        else:
+            key = id(fd)
+            f = font_cache.get(key)
+            if f is None:
+                f = Font(fd, resolver)
+                font_cache[key] = f
+        local_fonts[name] = f
+        return f
+
+    def do_cb(name, ctm: tuple) -> Optional[list]:
+        xo = local_xobjs.get(name, False)
+        if xo is False:
+            xr = (
+                resources.get_dict("XObject", None, resolver)
+                if resources is not None
+                else None
+            )
+            xo = (
+                xr.get_stream(str(name), None, resolver)
+                if xr is not None
+                else None
+            )
+            local_xobjs[name] = xo
+        if xo is None:
+            return None
+        sub = xo.dict.get_name("Subtype", None, resolver)
+        if sub == "Image":
+            mref = xo.dict.get_name("Name", None, resolver)
+            return [
+                Span(
+                    "media",
+                    None,
+                    str(mref) if mref else str(name),
+                    ctm[4],
+                    ctm[5],
+                    ctm[0],
+                    ctm[3],
+                )
+            ]
+        if sub == "Form":
+            sub_res = xo.dict.get_dict("Resources", None, resolver) or resources
+            decoded = decode_stream(xo.data, xo.dict, resolver)
+            sub_ctm = ctm
+            fm = xo.dict.get_array("Matrix", None, resolver)
+            fv = _nums(list(fm), 6) if fm else None
+            if fv is not None:
+                sub_ctm = _matmul(tuple(fv), ctm)
+            return interpret_content(
+                decoded,
+                sub_res,
+                resolver,
+                _depth + 1,
+                font_cache,
+                _ctm=sub_ctm,
+                tj_kerning=tj_kerning,
+            )
+        return None
+
+    return _CTOK_INTERP(
+        data, get_font_cb, do_cb, Span, _DEFAULT_FONT, _ctm,
+        1 if tj_kerning else 0,
+    )
+
+
+def interpret_content(
+    data: bytes,
+    resources: Optional[CDict],
+    resolver: Optional[Resolver],
+    _depth: int = 0,
+    doc_font_cache: Optional[dict] = None,
+    _ctm: tuple = _MAT_ID,
+    tj_kerning: bool = False,
+) -> list[Span]:
+    """Interpret one (decoded) content stream → ordered spans (see
+    _interpret_content_py for the operator contract). Dispatches to
+    the fused C interpreter when the extension is available
+    (PDFSPARK_NO_CTOK=1 or any compile failure falls back to the
+    authoritative pure-Python implementation)."""
+    if _CTOK_INTERP is not None and data.__class__ is bytes:
+        return _interpret_content_c(
+            data, resources, resolver, _depth, doc_font_cache, _ctm, tj_kerning
+        )
+    return _interpret_content_py(
+        data, resources, resolver, _depth, doc_font_cache, _ctm, tj_kerning
+    )

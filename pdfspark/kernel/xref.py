@@ -32,6 +32,7 @@ from .cos import (
     parse_object,
     try_read_id,
 )
+from .cos import _CTOK as _COS_CTOK
 from .errors import DEFAULT_SETTINGS, EParseError, ParserSettings
 from .filters import decode_stream
 from .raw import Raw
@@ -42,6 +43,15 @@ import re
 # match replaces skip_ws + two fetch_uint cursor calls per subsection
 _XREF_SUB_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]*([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]*"
+)
+
+# digit-column → value dot products for the vectorized classic table
+_POW10_10 = 10 ** np.arange(9, -1, -1, dtype=np.int64)
+_POW10_5 = 10 ** np.arange(4, -1, -1, dtype=np.int64)
+
+# fused C seek+verify+parse for indirect objects (optional fast path)
+_CTOK_PARSE_INDIRECT = (
+    getattr(_COS_CTOK, "parse_indirect", None) if _COS_CTOK is not None else None
 )
 
 
@@ -341,6 +351,60 @@ class Parser:
                 block[i * 20 + 10] == 0x20 and block[i * 20 + 16] == 0x20
                 for i in range(min(count, 4))
             )
+            if strict and count >= 32:
+                # Large subsection: ONE numpy pass — digit columns →
+                # int64 offsets/gens, flag from byte 17 (or 18 when
+                # the writer pads " f\n"). Rows that are not
+                # digit-clean in-use/free rows fall to a per-row token
+                # split (PDFParser.java:362-371 isolation semantics).
+                # Small subsections (incremental writers emit count=1
+                # sections per object) stay on the split path below:
+                # numpy's ~50 µs fixed cost per call would dominate.
+                arr = np.frombuffer(block, dtype=np.uint8).reshape(count, 20)
+                okd = ((arr[:, 0:10] - 48) < 10).all(axis=1) & (
+                    (arr[:, 11:16] - 48) < 10
+                ).all(axis=1)
+                offs = (arr[:, 0:10].astype(np.int64) - 48) @ _POW10_10
+                gens = (arr[:, 11:16].astype(np.int64) - 48) @ _POW10_5
+                f0 = arr[:, 17]
+                flag = np.where(f0 != 0x20, f0, arr[:, 18])
+                if (
+                    start == 1
+                    and count > 0
+                    # a corrupt first row (non-numeric fields) is
+                    # simply not the `0 65535 f` free-list head —
+                    # never let it raise ValueError
+                    and bool(okd[0])
+                    and self._is_broken_first_free(
+                        int(offs[0]), int(gens[0]), bytes([flag[0]])
+                    )
+                ):
+                    start = 0  # broken-writer fix (PDFParser.java:346-352)
+                clean_n = okd & (flag == 0x6E)
+                messy = ~(okd & ((flag == 0x6E) | (flag == 0x66)))
+                if messy.any():
+                    for i in np.nonzero(messy)[0].tolist():
+                        parts = block[i * 20 : (i + 1) * 20].split()
+                        if len(parts) < 3:
+                            self.settings.soft_structure(
+                                False, "short xref row"
+                            )
+                            continue
+                        if parts[2][:1] == b"n":
+                            if parts[0].isdigit() and parts[1].isdigit():
+                                add(start + i, int(parts[1]), int(parts[0]))
+                            else:
+                                self.settings.soft_structure(
+                                    False, "non-numeric xref row"
+                                )
+                idx = np.nonzero(clean_n)[0]
+                if idx.size:
+                    for i, g, o in zip(
+                        idx.tolist(), gens[idx].tolist(), offs[idx].tolist()
+                    ):
+                        add(start + i, g, o)
+                pos += 20 * count
+                continue
             if strict:
                 toks = block.split()
                 if len(toks) == 3 * count:
@@ -542,27 +606,51 @@ class Parser:
         If the recorded offset is stale (broken writer), fall back to a
         one-time whole-file object scan (salvage mode — the recovery
         the reference's unused `minimal/no xref` fixtures anticipate;
-        spec-sanctioned per ISO 32000-1 §C.2 'reconstruct the table')."""
+        spec-sanctioned per ISO 32000-1 §C.2 'reconstruct the table').
+
+        Hot path: `_ctok.parse_indirect` fuses seek + header verify +
+        value parse in one C call; None (any header mismatch) routes
+        to the same salvage scan the Python path uses."""
         r = self.raw
+        d = r.data
+        if _CTOK_PARSE_INDIRECT is not None and d.__class__ is bytes:
+            st = r.settings
+            v = _CTOK_PARSE_INDIRECT(
+                d, e.offset, e.num, self._resolve, st,
+                st.allow_reconstruction, st.max_scan_range,
+            )
+            if v is not None:
+                return v
+            return self._parse_indirect_salvage(e)
         save = r.pos
         try:
             r.pos = e.offset
             r.skip_ws_and_comments()
             got = try_read_id(r)
             if got is None or got[2] != b"obj" or got[0] != e.num:
-                alt = self._scan_table().get(e.num)
-                if alt is None:
-                    raise EParseError(
-                        f"no 'id gen obj' at offset {e.offset} for obj {e.num}"
-                    )
-                self.settings.soft_structure(
-                    False, f"stale xref offset for obj {e.num}; salvaged by scan"
+                return self._parse_indirect_salvage(e)
+            return parse_object(r, self._resolve)
+        finally:
+            r.pos = save
+
+    def _parse_indirect_salvage(self, e: XRefEntry) -> COSValue:
+        """Stale-offset recovery shared by both header-verify paths."""
+        r = self.raw
+        save = r.pos
+        try:
+            alt = self._scan_table().get(e.num)
+            if alt is None:
+                raise EParseError(
+                    f"no 'id gen obj' at offset {e.offset} for obj {e.num}"
                 )
-                r.pos = alt
-                r.skip_ws_and_comments()
-                got = try_read_id(r)
-                if got is None or got[2] != b"obj":
-                    raise EParseError(f"salvage scan failed for obj {e.num}")
+            self.settings.soft_structure(
+                False, f"stale xref offset for obj {e.num}; salvaged by scan"
+            )
+            r.pos = alt
+            r.skip_ws_and_comments()
+            got = try_read_id(r)
+            if got is None or got[2] != b"obj":
+                raise EParseError(f"salvage scan failed for obj {e.num}")
             return parse_object(r, self._resolve)
         finally:
             r.pos = save

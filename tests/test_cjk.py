@@ -230,3 +230,63 @@ def test_usecmap_base_fallback():
     # unknown base name → no codec, unmapped stays U+FFFD
     cm2 = parse_embedded_cmap(cmap.replace(b"GBK-EUC-H", b"NoSuch-H"))
     assert cm2.base_codec is None
+
+
+def test_usecmap_embedded_chain():
+    """Embedded→embedded /UseCMap chain (r4): the child CMap has NO
+    codespacerange of its own — tokenization, the 1-byte cid section
+    and the k%3==0 cidchars all resolve through the imported base;
+    the child's bf sections override where present."""
+    from pdfspark.codec import (
+        _build_chained_embedded_cmap,
+        _show_bytes_embedded,
+        build_pdf,
+        synth_spans_py,
+    )
+    from pdfspark.kernel.cos import CStream
+    from pdfspark.kernel.textops import Font
+
+    chars = ["中", "文", "字"]  # k%3 = 0,1,2 → cidchar, bfchar, bfrange
+    base_b, child_b, code_of = _build_chained_embedded_cmap(chars)
+    assert b"codespacerange" in base_b and b"codespacerange" not in child_b
+    base_stream = CStream(CDict(), base_b)
+    child_d = CDict()
+    child_d[Name("UseCMap")] = base_stream  # direct value: deref no-op
+    child_stream = CStream(child_d, child_b)
+    cm = Font._load_embedded_cmap(child_stream, None, 0)
+    assert cm.base is not None
+    assert len(cm.ranges) == 2  # inherited code spaces
+    # 1-byte space + cidrange come from the BASE
+    assert cm.cid(0x41) == 0x41
+    # k=0 cidchar lives in the BASE; k=1/2 bf sections in the CHILD
+    f = Font(CDict(), None)
+    f.two_byte = True
+    f.cmap = cm
+    raw = b"A" + code_of["中"] + code_of["文"] + code_of["字"]
+    assert f.decode(raw) == "A中文字"
+    # and the whole-document path: chained doc_id ('5') roundtrips
+    text = "mixed ascii 与中文内容 plus spaces"
+    spans = synth_spans_py("5", text)
+    payload = build_pdf("5", spans, "cjk:embedded")
+    assert b"pdfspark-Chained-H" in _unflate_all(payload)
+    from pdfspark.kernel.extract import extract_spans
+
+    status, err, got = extract_spans(payload)
+    assert status == "ok", err
+    assert got == spans
+
+
+def _unflate_all(payload: bytes) -> bytes:
+    """Concatenate every FlateDecode-able stream body (test helper)."""
+    import re
+    import zlib
+
+    out = []
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        try:
+            out.append(zlib.decompress(payload[start:end]))
+        except Exception:
+            pass
+    return b"\n".join(out)

@@ -201,6 +201,226 @@ def test_chash_parity():
         assert crypt._CHASH.hash_2b(pwd, salt, udata) == py_hash_2b(pwd, salt, udata)
 
 
+def _spans_bits(spans):
+    """Span tuples with floats replaced by their IEEE bit patterns —
+    the geometry oracle hashes values, so C-vs-Python parity must be
+    BIT equality (0.0 vs -0.0 is a failure), not ==."""
+    import struct
+
+    out = []
+    for sp in spans:
+        out.append(
+            tuple(
+                struct.pack(">d", v) if isinstance(v, float) else v
+                for v in sp
+            )
+        )
+    return out
+
+
+class _force_python:
+    """Temporarily disable every C kernel hook the r4 fused paths use,
+    so the same process can run the authoritative pure-Python side."""
+
+    def __enter__(self):
+        from pdfspark.kernel import textops, xref
+
+        self._saved = (
+            textops._CTOK_INTERP,
+            textops._CTOK_CMAP_CODES,
+            textops._CTOK_TADV,
+            xref._CTOK_PARSE_INDIRECT,
+        )
+        textops._CTOK_INTERP = None
+        textops._CTOK_CMAP_CODES = None
+        textops._CTOK_TADV = None
+        xref._CTOK_PARSE_INDIRECT = None
+
+    def __exit__(self, *exc):
+        from pdfspark.kernel import textops, xref
+
+        (
+            textops._CTOK_INTERP,
+            textops._CTOK_CMAP_CODES,
+            textops._CTOK_TADV,
+            xref._CTOK_PARSE_INDIRECT,
+        ) = self._saved
+
+
+def test_interpreter_parity_whole_documents():
+    """Full-document differential: geometry-widened extraction with
+    every C hook ON vs OFF must agree bit-for-bit across all structural
+    variants (the r4 fused interpreter + parse_indirect + cmap/table
+    helpers at once)."""
+    from pdfspark.codec import build_pdf, synth_spans_py, variant_for
+    from pdfspark.kernel import textops
+    from pdfspark.kernel.extract import extract_spans_geo
+
+    if textops._CTOK_INTERP is None:
+        pytest.skip("C interpreter not available")
+    for i in range(36):
+        doc_id = f"ipar{i}"
+        text = ("lorem ipsum dolor sit amet, consectetur " * (i + 1))[
+            : 40 + i * 17
+        ]
+        mode = (
+            "mixed", "filters_rotate", "encrypted", "cjk", "forms",
+            "cjk:embedded",
+        )[i % 6]
+        variant = (
+            variant_for(i, mode) if mode in ("mixed", "filters_rotate") else mode
+        )
+        payload = build_pdf(doc_id, synth_spans_py(doc_id, text), variant)
+        c = extract_spans_geo(payload)
+        with _force_python():
+            py = extract_spans_geo(payload)
+        assert c[0] == py[0] == "ok", (variant, c[1], py[1])
+        assert _spans_bits(c[2]) == _spans_bits(py[2]), variant
+
+
+def _interp_both(payload: bytes, tj_kerning: bool = False):
+    from pdfspark.kernel import textops
+
+    def run():
+        try:
+            return _spans_bits(
+                textops.interpret_content(payload, None, None,
+                                          tj_kerning=tj_kerning)
+            )
+        except EParseError:
+            return "EParseError"
+        except OverflowError:
+            return "OverflowError"
+
+    c = run()
+    with _force_python():
+        py = run()
+    return c, py
+
+
+def test_interpreter_parity_mutation_fuzz():
+    """Seeded mutation fuzz straight at the interpreter (no resources:
+    default font, Do resolves to nothing) — state machine, matrix math,
+    PERMISSIVE stray handling and error classes must all agree."""
+    from pdfspark.kernel import textops
+
+    if textops._CTOK_INTERP is None:
+        pytest.skip("C interpreter not available")
+    seeds = [
+        b"BT /F1 12 Tf 0.25 Tc 0.5 Tw 100 Tz 10 700 Td (ab c) Tj ET",
+        b"q 2 0 0 2 5 5 cm BT 1 0 0 1 10 20 Tm [(a) -250 (b)] TJ ET Q",
+        b"BT 14 TL 10 700 Td (x) ' 2 1 (y z) \" T* (w) Tj ET",
+        b"BT /F 8 Tf (s1) Tj ET BI /W 8 ID \xff\x00 EI BT (s2) Tj ET",
+        b"/Im1 Do q 100 0 0 50 10 720 cm /Im2 Do Q BT <4142> Tj ET",
+        b"BT 1 2 3 4 5 6 Tm (k) Tj -9999999999999999999 0 Td (m) Tj ET",
+    ]
+    for s in seeds:
+        c, py = _interp_both(s)
+        assert c == py, s
+        c, py = _interp_both(s, tj_kerning=True)
+        assert c == py, (s, "tj_kerning")
+    rng = random.Random(0x1F4)
+    for _ in range(300):
+        base = bytearray(rng.choice(seeds))
+        for _ in range(rng.randrange(1, 4)):
+            i = rng.randrange(len(base))
+            op = rng.randrange(3)
+            if op == 0:
+                base[i] = rng.randrange(256)
+            elif op == 1:
+                del base[i]
+            else:
+                base.insert(i, rng.randrange(32, 127))
+        payload = bytes(base)
+        c, py = _interp_both(payload, tj_kerning=bool(rng.randrange(2)))
+        assert c == py, payload[:100]
+
+
+def test_cmap_codes_w_parity():
+    """C code-space tokenizer vs the Python byte-interval loop."""
+    from pdfspark.kernel import textops
+
+    if textops._CTOK_CMAP_CODES is None:
+        pytest.skip("C cmap tokenizer not available")
+    cm = textops.EmbeddedCMap()
+    cm.ranges = [
+        (1, b"\x00", b"\x7f"),
+        (2, b"\x81\x40", b"\xfe\xfe"),
+        (2, b"\xa1\xa1", b"\xa9\xfe"),
+    ]
+    rng = random.Random(0xC0DE)
+    cases = [b"", b" ", b"\x80", b"\x81\x41", b"\xff", b"abc \x81\x40z"]
+    cases += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    for raw in cases:
+        c = textops._CTOK_CMAP_CODES(raw, cm.ranges)
+        with _force_python():
+            py = cm.codes_w(raw)
+        assert c == py, raw
+
+
+def test_table_advance_parity():
+    """C per-byte width-table sum vs the Python loop, exact ints."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel import textops
+    from pdfspark.kernel.cos import CDict, Name
+
+    if textops._CTOK_TADV is None:
+        pytest.skip("C table_advance not available")
+    fd = CDict()
+    fd["Subtype"] = Name("Type1")
+    fd["FirstChar"] = 60
+    fd["Widths"] = [100 + 7 * k for k in range(40)]
+    font = textops.Font(fd, None)
+    rng = random.Random(0x7AD)
+    for _ in range(100):
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        c = font.advance_1000(raw)
+        with _force_python():
+            f2 = textops.Font(fd, None)  # fresh font: no cached table
+            py = f2.advance_1000(raw)
+        assert c == py, raw
+
+
+def test_parse_indirect_parity():
+    """C fused seek+verify+parse vs the Python try_read_id path:
+    value on verified header, None on every mismatch class."""
+    from pdfspark.kernel.errors import DEFAULT_SETTINGS
+
+    pi = getattr(cos._CTOK, "parse_indirect", None)
+    if pi is None:
+        pytest.skip("C parse_indirect not available")
+
+    def py_mirror(data, off, num):
+        r = Raw(data)
+        if off < 0 or off > len(data):
+            return None
+        r.pos = off
+        r.skip_ws_and_comments()
+        got = cos.try_read_id(r)
+        if got is None or got[2] != b"obj" or got[0] != num:
+            return None
+        return cos.produce(cos._parse_object_py(r, None))
+
+    cases = [
+        (b"7 0 obj << /A 1 >> endobj", 0, 7),
+        (b"  % c\n 7 0 obj [1 2 3] endobj", 0, 7),
+        (b"7 0 obj (x) endobj", 0, 8),      # wrong id → None
+        (b"7 0 R", 0, 7),                    # R, not obj → None
+        (b"junk 7 0 obj null endobj", 0, 7), # not a digit at offset
+        (b"7 0 obj null endobj", 99, 7),     # offset out of range
+        (b"70obj null", 0, 70),              # no ws between tokens
+        (b"7 0 obj<</K 1>>endobj", 0, 7),    # obj abuts <<
+    ]
+    for data, off, num in cases:
+        c = pi(data, off, num, None, DEFAULT_SETTINGS, False, 100)
+        py = py_mirror(data, off, num)
+        c_cmp = None if c is None else cos.produce(c)
+        assert c_cmp == py, (data, c_cmp, py)
+
+
 def test_content_lexer_parity():
     """_ctok.lex_content vs textops._lex_content_py: identical event
     streams over generator-made content + seeded mutations."""

@@ -61,6 +61,32 @@ def test_generator_layout_geometry_exact():
     )
 
 
+def test_tj_kerning_flag_widens_form1_spans():
+    """tj_kerning=True: the generator's form-1 TJ arrays carry one
+    -250 kern between the two halves → width +((250/1000)·12)·Th(0.5)
+    = +1.5 exactly; every other form (and 1-char spans) unchanged;
+    the default path stays kern-free (ROADMAP #5 closure)."""
+    text = "abcd efgh " * 24  # 3 chunks, all forms exercised
+    spans = synth_spans_py("kern1", text)
+    payload = build_pdf("kern1", spans, "classic")
+    st0, e0, plain = extract_spans_geo(payload)
+    st1, e1, kerned = extract_spans_geo(payload, tj_kerning=True)
+    assert st0 == st1 == "ok", (e0, e1)
+    assert len(plain) == len(kerned)
+    tlens = _tlens(spans)
+    saw_kern = 0
+    for a, b in zip(plain, kerned):
+        assert a[:6] == b[:6]  # kind/text/ref/offset/x/y identical
+        off = a[3]
+        ordinal = off  # classic layout: span ordinal == offset
+        if a[0] == "text" and ordinal % 4 == 1 and tlens[off] > 1:
+            assert b[6] == a[6] + 1.5, (a, b)
+            saw_kern += 1
+        else:
+            assert b[6] == a[6], (a, b)
+    assert saw_kern > 0
+
+
 def test_word_spacing_applies_to_spaces():
     """Tw contributes per byte-32 (forms 0 and 3); Tc per glyph; Tz
     scales — text WITH spaces pins all three knobs at once."""

@@ -42,6 +42,31 @@ def _worker(run_in: str, names: list[str], sf_dir: str, out_path: str) -> None:
     se.entry(spark).count()
     timings: dict[str, float] = {}
     for name in names:
+        if name == "replicated_pipeline":
+            # the compute-dominated surface (VERDICT r3 #6): sf0.1
+            # queries are scheduler-constant-bound, so kernel-tier
+            # claims need the K×-replicated full pipeline in the SAME
+            # pinned-commit A/B as everything else
+            try:
+                from pdfspark.engine import (
+                    extract_flat, generate_payloads, load_documents,
+                    replicate_docs, synth_spans_df,
+                )
+                from pdfspark.scale import salt_spans_by_size
+            except ImportError:
+                continue  # surface absent in this tree
+            k = int(os.environ.get("BENCH_AB_REPLICATE", "48"))
+            docs = replicate_docs(load_documents(spark, sf_dir), k)
+            rows = extract_flat(
+                generate_payloads(
+                    salt_spans_by_size(synth_spans_df(docs)), "mixed",
+                    ensure=False,
+                )
+            )
+            t0 = time.monotonic()
+            rows.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            continue
         fn = qs.get(name)
         if fn is None:
             continue  # query absent in this tree (new this round)
