@@ -69,6 +69,15 @@ def _q_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salvage_rows(spark, sf_dir)
 
 
+def _q_salvage_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§C.2 reconstruction × encryption (r4): startxref-less docs with
+    rotated ciphers (RC4 / AES-128 / AES-256) AND layouts (classic /
+    encrypted ObjStm) — the real-corpus 'broken encrypted PDF' case."""
+    from pdfspark.engine import salvage_rows
+
+    return salvage_rows(spark, sf_dir, encrypted=True)
+
+
 def _q_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import geometry_rows
 
@@ -154,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_salvage": _q_salvage,
+        "pdf_salvage_encrypted": _q_salvage_encrypted,
         "pdf_span_geometry": _q_geometry,
         "pdf_span_geometry_cid": _q_geometry_cid,
         "pdf_span_geometry_kerned": _q_geometry_kerned,
@@ -222,6 +232,9 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
         # §C.2 reconstruction: startxref-less payloads must salvage to
         # the identical span sequence
         "pdf_salvage": _SPANS_ORACLE_SQL,
+        # reconstruction × encryption: ciphered startxref-less docs
+        # (cipher AND layout rotated) must salvage losslessly too
+        "pdf_salvage_encrypted": _SPANS_ORACLE_SQL,
         # span geometry: the generator lays pages out deterministically
         # (codec._content_for: 5 spans/page, y from 720 stepping -16
         # per text / -60 per media span; x=10; show-forms 2-3 perform

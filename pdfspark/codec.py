@@ -1169,6 +1169,14 @@ def build_pdf(
             body = build_pdf(doc_id, spans, "classic", info_fields)
             i = body.rfind(b"startxref")
             return body[:i] + b"%%EOF\n"
+        if kind == "no_startxref_encrypted":
+            # broken AND encrypted (r4): cipher + layout rotate as in
+            # the `encrypted` variant, then the startxref chain is cut
+            # — reconstruction must harvest /Encrypt + /ID, unlock,
+            # then expand the (ciphered) object streams
+            body = build_pdf(doc_id, spans, "encrypted", info_fields)
+            i = body.rfind(b"startxref")
+            return body[:i] + b"%%EOF\n"
         raise ValueError(f"unknown malformed kind {kind}")
 
     content_filters: Sequence[str] = ("flate",)

@@ -401,16 +401,24 @@ def extract_geometry(payloads: DataFrame, tj_kerning: bool = False) -> DataFrame
     return payloads.mapInPandas(ker, schema=GEO_SCHEMA)
 
 
-def salvage_rows(spark, sf_dir: str) -> DataFrame:
+def salvage_rows(spark, sf_dir: str, encrypted: bool = False) -> DataFrame:
     """Reconstruction pipeline (driver query `pdf_salvage`): every
     payload is generated WITHOUT its startxref chain, and lenient
     extraction must still recover the exact span sequence — the §C.2
-    whole-file-scan path, oracled like any other roundtrip."""
+    whole-file-scan path, oracled like any other roundtrip.
+    ``encrypted=True`` (driver query `pdf_salvage_encrypted`) breaks
+    cipher- and layout-rotated ENCRYPTED docs instead: reconstruction
+    must harvest /Encrypt, unlock, then expand the object streams."""
     from .scale import salt_spans_by_size
 
+    variant = (
+        "malformed:no_startxref_encrypted"
+        if encrypted
+        else "malformed:no_startxref"
+    )
     docs = load_documents(spark, sf_dir)
     spans = salt_spans_by_size(synth_spans_df(docs))
-    payloads = generate_payloads(spans, "malformed:no_startxref", ensure=False)
+    payloads = generate_payloads(spans, variant, ensure=False)
     return extract_flat(payloads, lenient=True)
 
 

@@ -219,8 +219,13 @@ class Parser:
                 pass
             finally:
                 r.pos = save
-        # expand object streams found by the scan
+        # classify top-level objects (xref-stream harvest + catalog
+        # candidates), WITHOUT expanding object streams yet: in an
+        # encrypted file the ObjStm containers are ciphered, and the
+        # security handler can only be built after /Encrypt + /ID have
+        # been harvested from a trailer or xref-stream dict
         catalog_num: Optional[int] = None
+        objstm_nums: list[int] = []
         for num in sorted(table):
             try:
                 obj = self.get_object(num, 0)
@@ -232,22 +237,38 @@ class Parser:
                     # the stream dict — harvest Root/Info/Encrypt/ID
                     self._harvest_trailer(obj.dict)
                 if obj.dict.get_name("Type") == "ObjStm":
-                    try:
-                        n = obj.dict.get_int("N", 0, self._resolve)
-                        hdr = Raw(
-                            decode_stream(obj.data, obj.dict, self._resolve),
-                            self.settings,
-                        )
-                        pairs = [
-                            (hdr.fetch_uint(), hdr.fetch_uint()) for _ in range(n)
-                        ]
-                    except Exception:
-                        continue
-                    for idx, (mnum, _rel) in enumerate(pairs):
-                        if mnum not in self.xref.entries:
-                            self.xref.add_compressed(mnum, num, idx)
+                    objstm_nums.append(num)
             elif isinstance(obj, CDict) and obj.get_name("Type") == "Catalog":
                 catalog_num = num
+        # salvage × encryption (r4): broken encrypted files are a real
+        # corpus staple. Empty-password unlock BEFORE expansion so the
+        # containers decode; unlock() clears the pre-unlock caches
+        # (they hold ciphered bytes). A passworded doc fails unlock
+        # and proceeds ciphered — the M10 policy rejects it downstream
+        # exactly like its startxref-intact twin.
+        if self.encrypt_ref is not None or self._encrypt_direct is not None:
+            try:
+                self.unlock(b"")
+            except Exception:
+                pass
+        for num in objstm_nums:
+            try:
+                obj = self.get_object(num, 0)
+                if not isinstance(obj, CStream):
+                    continue
+                n = obj.dict.get_int("N", 0, self._resolve)
+                hdr = Raw(
+                    decode_stream(obj.data, obj.dict, self._resolve),
+                    self.settings,
+                )
+                pairs = [
+                    (hdr.fetch_uint(), hdr.fetch_uint()) for _ in range(n)
+                ]
+            except Exception:
+                continue
+            for idx, (mnum, _rel) in enumerate(pairs):
+                if mnum not in self.xref.entries:
+                    self.xref.add_compressed(mnum, num, idx)
         if self.root_ref is None and catalog_num is not None:
             self.root_ref = Ref(catalog_num, 0)
         if self.root_ref is None:

@@ -88,3 +88,42 @@ def test_lenient_mode_never_crashes_on_adversarial_noise():
         assert st in ("ok", "error"), trial
         if st == "error":
             assert spans == []
+
+
+def test_encrypted_no_startxref_reconstructs():
+    """Salvage × encryption (r4): startxref-less ENCRYPTED docs —
+    ciphers and layouts rotating per doc_id — reconstruct to the exact
+    span sequence. Reconstruction must harvest /Encrypt + /ID from
+    the scanned trailers/xref-stream dicts, unlock with the empty
+    user password, and only then expand the ciphered object streams."""
+    text = "salvage and decrypt " * 12
+    lenient = ParserSettings(allow_reconstruction=True)
+    seen_layouts = set()
+    import hashlib
+
+    for i in range(16):
+        did = f"senc{i}"
+        h = int(hashlib.md5(did.encode()).hexdigest()[:4], 16)
+        seen_layouts.add(("classic", "objstream")[(h >> 8) % 2])
+        spans = synth_spans_py(did, text)
+        payload = build_pdf(did, spans, "malformed:no_startxref_encrypted")
+        assert b"startxref" not in payload
+        status, err, got = extract_spans(payload, lenient)
+        assert status == "ok", (did, err)
+        assert got == spans, did
+    assert seen_layouts == {"classic", "objstream"}
+
+
+def test_encrypted_passworded_broken_doc_still_rejected():
+    """A broken doc with a REAL user password: reconstruction harvests
+    /Encrypt, the empty-password unlock fails, and the M10 policy
+    routes it to the error bucket — same contract as its
+    startxref-intact twin, never a crash."""
+    spans = synth_spans_py("pw1", "secret text " * 8)
+    body = build_pdf("pw1", spans, "classic", encrypted=True)
+    cut = body[: body.rfind(b"startxref")] + b"%%EOF\n"
+    status, err, got = extract_spans(
+        cut, ParserSettings(allow_reconstruction=True)
+    )
+    assert status == "error" and got == []
+    assert "password" in (err or "")
