@@ -354,42 +354,80 @@ FROM ranked WHERE rank <= {TOP_K}
 
 N_CELLS = 16
 N_PROBE = 4
-CENT_MOD = 31  # deterministic seed centroids: first N_CELLS of
-CENT_RES = 7  # vec_id % 31 == 7, ordered by vec_id — no RNG, no k-means
-# iterations, so the oracle is pure SQL; at production scale the seeds
-# would come from a sampled k-means job, leaving this query plan intact
+CENT_MOD = 31  # k-means SEEDS: first N_CELLS of vec_id % 31 == 7,
+CENT_RES = 7  # ordered by vec_id — no RNG anywhere
+
+# --- r4: trained centroids — deterministic INTEGER k-means ----------
+# Lloyd iterations over QUANTIZED vectors: q = floor((x+2)·2^20) as
+# int64. Everything downstream of quantization is integer arithmetic
+# (squared-euclidean assignment, floor-division means), so the trained
+# centroids are BIT-IDENTICAL between the numpy driver job and the
+# DuckDB oracle — no float-summation-order hazard. The quantization
+# itself is two IEEE double ops + floor, deterministic on both sides.
+# Sample is driver-tiny by construction (≤ KM_CAP vectors, pushed-down
+# filter + limit); at production scale this is the classic "train on a
+# sample, assign at scale" IVF recipe with the SAME search plan.
+KM_MOD = 2  # training sample: vec_id % 2 == 1, first KM_CAP — a
+KM_RES = 1  # sparser stride starves the 16 cells at small SF and the
+# trained recall drops BELOW the seed baseline (measured)
+KM_CAP = 1024
+KM_ITERS = 2
+KM_SCALE = 1 << 20
+KM_OFF = 2.0  # embeddings live in (-1, 1); offset keeps q ≥ 0 so
+# floor-division == truncation in every engine
 
 
-def _centroids(emb: DataFrame):
+def _quantize(X):
     import numpy as np
 
-    rows = (
+    return np.floor((X + KM_OFF) * KM_SCALE).astype(np.int64)
+
+
+def _trained_centroids(emb: DataFrame):
+    """KM_ITERS Lloyd rounds, exact integer math (|q| < 2^22, squared
+    dists < 2^51, sums < 2^53 — every value exactly representable);
+    ties → lowest cell; an empty cell keeps its previous centroid.
+    Returns float64 centroids (exact dyadic values: q/2^20 − 2)."""
+    import numpy as np
+
+    seeds = (
         emb.where(F.col("vec_id") % CENT_MOD == CENT_RES)
         .orderBy("vec_id")
         .limit(N_CELLS)
         .select("embedding")
         .collect()
     )
-    C = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = _quantize(np.array([r.embedding for r in seeds], dtype=np.float64))
+    samp = (
+        emb.where(F.col("vec_id") % KM_MOD == KM_RES)
+        .orderBy("vec_id")
+        .limit(KM_CAP)
+        .select("embedding")
+        .collect()
+    )
+    Q = _quantize(np.array([r.embedding for r in samp], dtype=np.float64))
+    for _ in range(KM_ITERS):
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)  # argmin returns FIRST min → lowest cell
+        C = C.copy()
+        for c in range(N_CELLS):
+            members = Q[a == c]
+            if len(members):
+                C[c] = members.sum(axis=0) // len(members)
+    return C.astype(np.float64) / KM_SCALE - KM_OFF
+
+
+def _centroids(emb: DataFrame):
+    import numpy as np
+
+    C = _trained_centroids(emb)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — the third scale path of the brief:
-    coarse-quantize every vector to its nearest of N_CELLS deterministic
-    seed centroids (cosine argmax, ties → lowest cell), then search
-    only the N_PROBE cells nearest each query and exact-cosine re-rank.
-    Search cost ≈ |Q|·N·(N_PROBE/N_CELLS) instead of |Q|·N.
-
-    Plan: centroids are DRIVER-tiny (N_CELLS×DIM) and ship in the task
-    closure; cell assignment is one numpy pass over Arrow batches (no
-    shuffle); candidates co-locate with ONE shuffle join on cell; the
-    re-rank dot products run in the same JVM fold the LSH re-rank uses
-    (sequential fp64 — bit-identical to the DuckDB mirror)."""
+def _assign_cells(emb: DataFrame, Cn) -> DataFrame:
+    """(vec_id, cell): cosine argmax against the (normalized) trained
+    centroids — one numpy pass over Arrow batches, zero shuffles."""
     import numpy as np
-
-    emb = _emb(spark, sf_dir)
-    Cn = _centroids(emb)
 
     def assign(batches):
         import pandas as pd
@@ -406,9 +444,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    cells = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, cell int"
     )
+
+
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population accounting for the trained IVF index (the
+    DUP3+ pattern: operational skew is ON THE RECORD, not silent). A
+    cell holding most of the corpus means the k-means sample missed a
+    mode and probe cost degrades toward brute force — at 10^12 docs
+    this table is the thing an operator actually watches."""
+    emb = _emb(spark, sf_dir)
+    cells = _assign_cells(emb, _centroids(emb))
+    return (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("cell").cast("int"), F.col("n_members").cast("bigint"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the third scale path of the brief:
+    coarse-quantize every vector to its nearest of N_CELLS TRAINED
+    centroids (deterministic integer k-means over a pushed-down
+    sample; cosine argmax, ties → lowest cell), then search only the
+    N_PROBE cells nearest each query and exact-cosine re-rank.
+    Search cost ≈ |Q|·N·(N_PROBE/N_CELLS) instead of |Q|·N.
+
+    Plan: centroids are DRIVER-tiny (N_CELLS×DIM) and ship in the task
+    closure; cell assignment is one numpy pass over Arrow batches (no
+    shuffle); candidates co-locate with ONE shuffle join on cell; the
+    re-rank dot products run in the same JVM fold the LSH re-rank uses
+    (sequential fp64 — bit-identical to the DuckDB mirror)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    Cn = _centroids(emb)
+    cells = _assign_cells(emb, Cn)
     inv = cells.join(emb, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e"),
@@ -454,15 +527,95 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql() -> str:
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    """One Lloyd round as SQL: integer squared-euclid assignment
+    (ties → lowest cell), integer floor-division means, empty cells
+    keep the previous centroid. All-integer → bit-identical to the
+    numpy driver job."""
     return f"""
-WITH cent AS (
+d{i} AS (
+  SELECT s.vec_id, c.cell, SUM((s.q - c.q) * (s.q - c.q)) AS dist
+  FROM sq s JOIN {prev} c ON s.d = c.d
+  GROUP BY s.vec_id, c.cell
+),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell ASC) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT a.cell, s.d, SUM(s.q) // COUNT(*) AS q
+  FROM a{i} a JOIN sq s ON s.vec_id = a.vec_id
+  GROUP BY a.cell, s.d
+),
+c{i} AS (
+  SELECT c.cell, c.d, COALESCE(m.q, c.q) AS q
+  FROM {prev} c LEFT JOIN m{i} m ON m.cell = c.cell AND m.d = c.d
+)"""
+
+
+def _kmeans_cent_ctes() -> str:
+    """The trained-centroid CTE chain ending in `cent(cell, c)` —
+    the DuckDB mirror of _trained_centroids (exact integer k-means;
+    quantization q = floor((x+2)·2^20) is two IEEE double ops + floor,
+    identical on both engines)."""
+    iters = ",".join(
+        _kmeans_iter_sql(i, "c0" if i == 1 else f"c{i - 1}")
+        for i in range(1, KM_ITERS + 1)
+    )
+    return f"""
+samp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % {KM_MOD} = {KM_RES} ORDER BY vec_id LIMIT {KM_CAP}
+),
+sq AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS d,
+         CAST(floor((unnest(e) + {KM_OFF}) * {KM_SCALE}) AS BIGINT) AS q
+  FROM samp
+),
+seed0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         embedding::DOUBLE[] AS c
+         embedding::DOUBLE[] AS e
   FROM embeddings
   WHERE vec_id % {CENT_MOD} = {CENT_RES}
   ORDER BY vec_id LIMIT {N_CELLS}
 ),
+c0 AS (
+  SELECT cell, generate_subscripts(e, 1) AS d,
+         CAST(floor((unnest(e) + {KM_OFF}) * {KM_SCALE}) AS BIGINT) AS q
+  FROM seed0
+),
+{iters},
+cent AS (
+  SELECT cell, list(q / {KM_SCALE}.0 - {KM_OFF} ORDER BY d) AS c
+  FROM c{KM_ITERS} GROUP BY cell
+)"""
+
+
+def _ivf_cells_oracle_sql() -> str:
+    return f"""
+WITH {_kmeans_cent_ctes()},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(
+                                         e.embedding::DOUBLE[], cent.c) DESC,
+                                       cent.cell ASC) AS rn
+    FROM embeddings e, cent
+  ) WHERE rn = 1
+)
+SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_members
+FROM assign GROUP BY cell
+"""
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+WITH {_kmeans_cent_ctes()},
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, cent.cell,
@@ -510,6 +663,7 @@ def queries():
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_cells": ann_ivf_cells,
         "embed_neardup_pairs": embed_neardup_pairs,
     }
 
@@ -519,5 +673,6 @@ def oracles():
         "ann_cosine_topk": ANN_COSINE_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_cells": _ivf_cells_oracle_sql(),
         "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     }

@@ -398,9 +398,10 @@ def test_benchmark_contamination_planted(spark, tmp_path):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF (16 cells, 4 probes): nonempty results, recall vs the exact
-    baseline within the expected coarse-quantization band, and the #1
-    neighbor usually survives probing."""
+    """IVF (16 TRAINED cells, 4 probes): nonempty results, recall vs
+    the exact baseline within the expected coarse-quantization band
+    (r4 trained centroids beat the r3 seed baseline — the pin rises
+    from 0.25 to 0.4), and every query survives probing."""
     brute = {
         (r.query_id, r.neighbor_id)
         for r in ann.ann_cosine_topk(spark, SF_SMOKE).collect()
@@ -409,7 +410,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     assert ivf
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.25, f"suspiciously low IVF recall {recall}"
+    assert recall >= 0.4, f"suspiciously low IVF recall {recall}"
     # every query returns SOMETHING (probed cells are never all empty:
     # the query's own cell is always among its nearest probes)
     assert {r.query_id for r in ivf_rows} == set(range(ann.N_QUERIES))
+
+
+def test_ivf_trained_centroids_exact_and_accounted(spark):
+    """The integer k-means trainer is BIT-identical to its SQL mirror
+    (quantization + all-integer Lloyd rounds), and the per-cell
+    accounting query covers the whole corpus with every cell id in
+    range."""
+    import duckdb
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    C = ann._trained_centroids(emb)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        "WITH " + ann._kmeans_cent_ctes() + " SELECT cell, c FROM cent ORDER BY cell"
+    ).fetchall()
+    D = np.array([r[1] for r in rows], dtype=np.float64)
+    assert np.array_equal(C, D)
+    cells = ann.ann_ivf_cells(spark, SF_SMOKE).collect()
+    n_emb = emb.count()
+    assert sum(r.n_members for r in cells) == n_emb
+    assert all(0 <= r.cell < ann.N_CELLS for r in cells)
