@@ -779,20 +779,24 @@ def _build_encryption(g: _Graph, doc_id: str, encryption: Optional[str]):
     never packed into an object stream — resolving it must not itself
     require decryption (ISO 32000-1 §7.5.8.2)."""
     handler = None
-    if encryption == "aes256":
-        # AES-256 (V5/R6, ISO 32000-2): file-key cipher, /Perms block
+    if encryption in ("aes256", "aes256r5"):
+        # AES-256 (V5, ISO 32000-2): file-key cipher, /Perms block;
+        # "aes256r5" emits the withdrawn interim R5 layout (single
+        # SHA-256 hash) real corpora still contain
         from .kernel.crypt import build_handler_v5, compute_perms
 
+        rev = 5 if encryption == "aes256r5" else 6
         handler = build_handler_v5(
             owner_pwd=b"owner-" + doc_id.encode(),
             user_pwd=b"",
             p=-44,
             seed=doc_id.encode(),
+            revision=rev,
         )
         enc = CDict()
         enc[Name("Filter")] = Name("Standard")
         enc[Name("V")] = 5
-        enc[Name("R")] = 6
+        enc[Name("R")] = rev
         enc[Name("Length")] = 256
         std = CDict()
         std[Name("Type")] = Name("CryptFilter")
@@ -1211,12 +1215,13 @@ def build_pdf(
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
-        # (V4/R4/AESV2) and AES-256 (V5/R6/AESV3) transparently, in
-        # both the classic layout and the PDF-1.5+ object-stream
-        # layout (encrypted ObjStm containers — the standard real-
-        # corpus pairing the r2 advisor flagged as untested)
+        # (V4/R4/AESV2) and AES-256 — both R6 and the withdrawn
+        # interim R5 (r4) — transparently, in both the classic layout
+        # and the PDF-1.5+ object-stream layout (encrypted ObjStm
+        # containers — the standard real-corpus pairing the r2
+        # advisor flagged as untested)
         h = int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16)
-        encryption = ("rc4", "aes", "aes256")[h % 3]
+        encryption = ("rc4", "aes", "aes256", "aes256r5")[h % 4]
         layout = ("classic", "objstream")[(h >> 8) % 2]
     if variant.startswith("filters:"):
         layout = "classic"

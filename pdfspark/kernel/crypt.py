@@ -107,6 +107,12 @@ def _aes_ecb(key: bytes, data: bytes, decrypt: bool) -> bytes:
     return op.update(data) + op.finalize()
 
 
+def hash_r5(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """R5 password hash (Adobe ExtensionLevel 3, the withdrawn interim
+    AES-256 revision): one plain SHA-256 — no 2.B iteration."""
+    return hashlib.sha256(pwd + salt + udata).digest()
+
+
 def hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
     SHA-256/384/512 with an AES-128-CBC mixing step. The 64× repeat
@@ -166,13 +172,13 @@ class StandardSecurityHandler:
     ):
         if v not in (1, 2, 4, 5):
             raise EParseError(f"unsupported /Encrypt /V {v}")
-        if r not in (2, 3, 4, 6):
+        if r not in (2, 3, 4, 5, 6):
             raise EParseError(f"unsupported /Encrypt /R {r}")
         self.v, self.r = v, r
         self.o, self.u, self.p = o, u, p
-        self.oe, self.ue = oe, ue  # V5/R6 encrypted file keys
+        self.oe, self.ue = oe, ue  # V5/R5/R6 encrypted file keys
         self.file_id0 = file_id0
-        if r == 6:
+        if r in (5, 6):
             self.n = 32
         else:
             self.n = 5 if r == 2 else max(5, min(16, length_bits // 8))
@@ -214,7 +220,7 @@ class StandardSecurityHandler:
         return out  # 16 bytes; stored /U appends 16 arbitrary bytes
 
     def authenticate(self, user_pwd: bytes = b"") -> bool:
-        if self.r == 6:
+        if self.r in (5, 6):
             return self._authenticate_r6(user_pwd)
         key = self._file_key(user_pwd)
         u = self._compute_u(key)
@@ -229,18 +235,22 @@ class StandardSecurityHandler:
         salt ‖ key salt (48 bytes); /UE = AES-256-CBC(iv=0, no pad) of
         the 32-byte file key under hash(pwd + key salt). The same
         password is tried in both the user and the owner role (owner
-        hashing appends the 48-byte /U string)."""
+        hashing appends the 48-byte /U string). R5 (Adobe's withdrawn
+        ExtensionLevel-3 interim revision, found in real corpora) is
+        the same structure with a SINGLE SHA-256 in place of the
+        iterated 2.B hash."""
         pwd = pwd[:127]
-        if len(self.u) >= 48 and hash_2b(pwd, self.u[32:40], b"") == self.u[:32]:
-            ik = hash_2b(pwd, self.u[40:48], b"")
+        hf = hash_2b if self.r == 6 else hash_r5
+        if len(self.u) >= 48 and hf(pwd, self.u[32:40], b"") == self.u[:32]:
+            ik = hf(pwd, self.u[40:48], b"")
             self.key = _aes_cbc(ik, b"\x00" * 16, self.ue[:32], decrypt=True)
             return True
         if (
             len(self.o) >= 48
             and len(self.u) >= 48
-            and hash_2b(pwd, self.o[32:40], self.u[:48]) == self.o[:32]
+            and hf(pwd, self.o[32:40], self.u[:48]) == self.o[:32]
         ):
-            ik = hash_2b(pwd, self.o[40:48], self.u[:48])
+            ik = hf(pwd, self.o[40:48], self.u[:48])
             self.key = _aes_cbc(ik, b"\x00" * 16, self.oe[:32], decrypt=True)
             return True
         return False
@@ -343,22 +353,25 @@ def build_handler(
 
 
 def build_handler_v5(
-    *, owner_pwd: bytes, user_pwd: bytes, p: int, seed: bytes
+    *, owner_pwd: bytes, user_pwd: bytes, p: int, seed: bytes,
+    revision: int = 6,
 ) -> StandardSecurityHandler:
-    """Generator entry for AES-256 (V5/R6, ISO 32000-2 Algorithms
-    8-10): derive /U /UE /O /OE from deterministic salts + a
-    deterministic 32-byte file key (codec.py contract: no RNG)."""
+    """Generator entry for AES-256 (V5, ISO 32000-2 Algorithms 8-10):
+    derive /U /UE /O /OE from deterministic salts + a deterministic
+    32-byte file key (codec.py contract: no RNG). ``revision=5``
+    builds the withdrawn interim R5 layout (single SHA-256 hash)."""
+    hf = hash_2b if revision == 6 else hash_r5
     file_key = hashlib.sha256(b"filekey:" + seed).digest()
     vs_u = hashlib.md5(b"vsu:" + seed).digest()[:8]
     ks_u = hashlib.md5(b"ksu:" + seed).digest()[:8]
     vs_o = hashlib.md5(b"vso:" + seed).digest()[:8]
     ks_o = hashlib.md5(b"kso:" + seed).digest()[:8]
-    u = hash_2b(user_pwd, vs_u, b"") + vs_u + ks_u
-    ue = _aes_cbc(hash_2b(user_pwd, ks_u, b""), b"\x00" * 16, file_key, decrypt=False)
-    o = hash_2b(owner_pwd, vs_o, u) + vs_o + ks_o
-    oe = _aes_cbc(hash_2b(owner_pwd, ks_o, u), b"\x00" * 16, file_key, decrypt=False)
+    u = hf(user_pwd, vs_u, b"") + vs_u + ks_u
+    ue = _aes_cbc(hf(user_pwd, ks_u, b""), b"\x00" * 16, file_key, decrypt=False)
+    o = hf(owner_pwd, vs_o, u) + vs_o + ks_o
+    oe = _aes_cbc(hf(owner_pwd, ks_o, u), b"\x00" * 16, file_key, decrypt=False)
     h = StandardSecurityHandler(
-        v=5, r=6, o=o, u=u, p=p, file_id0=b"", length_bits=256,
+        v=5, r=revision, o=o, u=u, p=p, file_id0=b"", length_bits=256,
         stm_cfm="AESV3", str_cfm="AESV3", oe=oe, ue=ue,
     )
     h.key = file_key

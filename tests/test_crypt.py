@@ -176,3 +176,45 @@ def test_tampered_u_rejected():
     assert isinstance(u, CString)
     u.raw = bytes(32)  # corrupt /U in place before unlock
     assert p.unlock(b"") is False
+
+
+def test_aes256_r5_roundtrip_and_reject():
+    """R5 (the withdrawn AES-256 interim revision, single SHA-256
+    hash): empty-password docs decrypt transparently in both layouts;
+    a wrong-password R5 doc still routes to the error bucket; the
+    /Encrypt dict really carries /R 5."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel import extract_spans
+
+    spans = synth_spans_py("r5a", "interim revision text " * 6)
+    payload = build_pdf("r5a", spans, "classic")
+    # force the R5 cipher through the variant-independent builder
+    from pdfspark import codec as C
+
+    g, cat, info = C.build_object_graph("r5a", spans)
+    body = C._assemble_classic(g, cat, info, "r5a", encryption="aes256r5")
+    assert b"/R 5" in body
+    status, err, got = extract_spans(body)
+    assert status == "ok", err
+    assert got == spans
+    g2, cat2, info2 = C.build_object_graph("r5a", spans)
+    body2 = C._assemble_objstream(g2, cat2, info2, "r5a", encryption="aes256r5")
+    status, err, got = extract_spans(body2)
+    assert status == "ok", err
+    assert got == spans
+
+
+def test_aes256_r5_wrong_password_rejected():
+    from pdfspark.kernel.crypt import build_handler_v5
+
+    h = build_handler_v5(
+        owner_pwd=b"owner-x", user_pwd=b"sekrit", p=-44, seed=b"x",
+        revision=5,
+    )
+    assert h.r == 5
+    h.key = None
+    assert not h.authenticate(b"")
+    assert h.authenticate(b"sekrit")
+    # owner role authenticates too
+    h.key = None
+    assert h.authenticate(b"owner-x")
