@@ -104,6 +104,15 @@ def _q_geometry_kerned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geometry_rows(spark, sf_dir, variant="classic", tj_kerning=True)
 
 
+def _q_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File attachments via the /Names → /EmbeddedFiles name tree
+    (r4): tree walk + filespec + embedded-stream decode; every output
+    column re-derivable from doc_id in SQL."""
+    from pdfspark.engine import attachments_rows
+
+    return attachments_rows(spark, sf_dir)
+
+
 def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import status_rows
 
@@ -167,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_span_geometry": _q_geometry,
         "pdf_span_geometry_cid": _q_geometry_cid,
         "pdf_span_geometry_kerned": _q_geometry_kerned,
+        "pdf_attachments": _q_attachments,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -204,6 +214,21 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
     from pdfspark.ops.multimodal import _hex_to_int
 
     h8 = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+    # attachments: n_att = 1 + (md5(doc_id)[7:8 hex] % 3); content of
+    # attachment k is the 32-char md5 hex of 'doc_id:att:k' (so size
+    # is always 32 and content_md5 = md5 of that hex string)
+    h_att = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 7, 2)
+    attachments_sql = f"""
+WITH n AS (SELECT doc_id, 1 + ({h_att}) % 3 AS n_att FROM documents),
+k AS (SELECT doc_id, unnest(range(n_att)) AS k FROM n)
+SELECT doc_id,
+       'att' || CAST(k AS VARCHAR) || '.txt' AS att_name,
+       'att' || CAST(k AS VARCHAR) || '.txt' AS filename,
+       CAST(32 AS INT) AS size,
+       md5(md5(CAST(doc_id AS VARCHAR) || ':att:' || CAST(k AS VARCHAR)))
+         AS content_md5
+FROM k
+"""
     dates_sql = "\nSELECT doc_id,\n       'D:202401' || lpad(CAST(1 + h % 28 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 256) % 24 AS VARCHAR), 2, '0')\n                  || lpad(CAST((h // 65536) % 60 AS VARCHAR), 2, '0')\n                  || '33+02''00''' AS creation_date,\n       make_timestamp(2024, 1, CAST(1 + h % 28 AS INT),\n                      CAST((h // 256) % 24 AS INT),\n                      CAST((h // 65536) % 60 AS INT), 33)\n         - INTERVAL 2 HOUR AS creation_ts\nFROM (SELECT doc_id, {h8} AS h FROM documents)\n".format(h8=h8)
     o = {
         "pdf_catalog_fields": "\nSELECT doc_id, lang,\n       CASE doc_id % 6\n         WHEN 0 THEN 'UseNone' WHEN 1 THEN 'UseOutlines'\n         WHEN 2 THEN 'UseThumbs' WHEN 3 THEN 'FullScreen'\n         WHEN 4 THEN 'UseOC' ELSE 'UseAttachments' END AS page_mode\nFROM documents\n",
@@ -288,6 +313,7 @@ FROM wk
 """,
         "pdf_malformed_policy": malformed_sql,
         "pdf_metadata": meta_sql,
+        "pdf_attachments": attachments_sql,
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

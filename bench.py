@@ -55,6 +55,8 @@ HEADLINE = [
     "pdf_salvage",
     "pdf_malformed_policy",
     "pdf_metadata",
+    "pdf_attachments",
+    "gopher_quality_flags",
     "text_windows",
     "benchmark_contamination",
     "html_main_text",

@@ -439,6 +439,7 @@ def build_object_graph(
     cjk_embedded: bool = False,
     cjk_chained: bool = False,
     forms: bool = False,
+    attachments: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -699,6 +700,55 @@ def build_object_graph(
     catalog = CDict()
     catalog[Name("Type")] = Name("Catalog")
     catalog[Name("Pages")] = Ref(pages_root_num, 0)
+    if attachments:
+        # /Names → /EmbeddedFiles name tree (ISO 32000-1 §7.9.6 +
+        # §7.11.4): 1-3 deterministic attachments per doc; content is
+        # the md5 hex of (doc_id:att:k) so the oracle recomputes size
+        # and digest in SQL; filter rotates raw/flate per k; the tree
+        # uses a /Kids split (with /Limits) when n ≥ 2 and a direct
+        # leaf /Names when n == 1 — both §7.9.6 shapes exercised
+        n_att = 1 + int(hashlib.md5(doc_id.encode()).hexdigest()[6:8], 16) % 3
+        pairs = []  # (name CString, filespec ref)
+        for k in range(n_att):
+            att_name = f"att{k}.txt"
+            content = hashlib.md5(
+                f"{doc_id}:att:{k}".encode()
+            ).hexdigest().encode("ascii")
+            if k % 2 == 0:
+                ef = _encode_content(content, ["flate"])
+            else:
+                d = CDict()
+                d[Name("Length")] = len(content)
+                ef = CStream(d, content)
+            ef.dict[Name("Type")] = Name("EmbeddedFile")
+            params = CDict()
+            params[Name("Size")] = len(content)
+            ef.dict[Name("Params")] = params
+            ef_num = g.add(ef)
+            fs = CDict()
+            fs[Name("Type")] = Name("Filespec")
+            fs[Name("F")] = CString.from_text(att_name)
+            fs[Name("UF")] = CString.from_text(att_name)
+            efd = CDict()
+            efd[Name("F")] = Ref(ef_num, 0)
+            fs[Name("EF")] = efd
+            pairs.append((CString.from_text(att_name), Ref(g.add(fs), 0)))
+
+        def _leaf(sub):
+            leaf = CDict()
+            leaf[Name("Limits")] = [sub[0][0], sub[-1][0]]
+            leaf[Name("Names")] = [x for p in sub for x in p]
+            return Ref(g.add(leaf), 0)
+
+        root = CDict()
+        if n_att >= 2:
+            mid = (n_att + 1) // 2
+            root[Name("Kids")] = [_leaf(pairs[:mid]), _leaf(pairs[mid:])]
+        else:
+            root[Name("Names")] = [x for p in pairs for x in p]
+        names_dict = CDict()
+        names_dict[Name("EmbeddedFiles")] = Ref(g.add(root), 0)
+        catalog[Name("Names")] = names_dict
     if xml_metadata is not None:
         # M8: /Metadata XMP stream (PDFDocCatalog.getXMLMetadata :137-145)
         md = CDict()
@@ -1212,6 +1262,12 @@ def build_pdf(
         # — the interpreter must recurse in encounter order
         layout = "classic"
         forms = True
+    attachments = False
+    if variant == "attachments":
+        # /Names → /EmbeddedFiles name tree with 1-3 deterministic
+        # file attachments per doc (both tree shapes, filters rotate)
+        layout = "classic"
+        attachments = True
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
@@ -1232,7 +1288,7 @@ def build_pdf(
     g, cat, info = build_object_graph(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
-        forms=forms,
+        forms=forms, attachments=attachments,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

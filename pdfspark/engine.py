@@ -479,6 +479,44 @@ def metadata_rows(spark, sf_dir: str) -> DataFrame:
     )
 
 
+ATT_SCHEMA = (
+    "doc_id bigint, att_name string, filename string, size int, "
+    "content_md5 string"
+)
+
+
+def attachments_rows(spark, sf_dir: str) -> DataFrame:
+    """File-attachment extraction (driver query `pdf_attachments`):
+    the generator embeds 1-3 deterministic files per doc in a /Names →
+    /EmbeddedFiles name tree (both §7.9.6 shapes, raw/flate rotating);
+    the kernel walks the tree, decodes each embedded stream and emits
+    (name, filename, size, md5) — all recomputable in SQL."""
+    docs = load_documents(spark, sf_dir)
+    spans = synth_spans_df(docs)
+    payloads = generate_payloads(spans, "attachments")
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import parse_document
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    doc = parse_document(bytes(payload))
+                    for r in doc.embedded_files():
+                        rows.append({"doc_id": did, **r})
+                except Exception:
+                    continue  # PERMISSIVE per-doc policy (§2.8)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "att_name", "filename", "size", "content_md5",
+                ],
+            )
+
+    return payloads.mapInPandas(ker, schema=ATT_SCHEMA)
+
+
 PAGE_MODES_ROTATION = (
     "UseNone", "UseOutlines", "UseThumbs", "FullScreen", "UseOC", "UseAttachments",
 )

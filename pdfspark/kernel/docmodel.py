@@ -16,7 +16,7 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 from typing import Optional
 
-from .cos import CDict, COS_NULL, CStream, Name, Ref
+from .cos import CDict, COS_NULL, CStream, CString, Name, Ref
 from .errors import EParseError, ParserSettings
 from .xref import Parser
 
@@ -291,6 +291,70 @@ class Document:
             "mod_date": g("ModDate"),
             "trapped": str(trapped) if trapped is not None else "",
         }
+
+    # ---- name trees + file attachments (EXTENSION, r4 — the
+    # reference reads no name trees at all; built from ISO 32000-1
+    # §7.9.6 name trees + §7.11.3/§7.11.4 file specifications) -------
+    def _walk_name_tree(self, node: CDict, depth: int = 0):
+        """In-order (name, value) pairs of a name tree: leaf /Names
+        arrays are [key1 val1 key2 val2 ...]; intermediate nodes
+        recurse through /Kids (the /Limits bounds are advisory for
+        lookup — a full scan ignores them). PERMISSIVE: malformed
+        entries are skipped, depth is guarded."""
+        if depth > 32:
+            raise EParseError("name tree too deep")
+        res = self.parser._resolve
+        names = node.get_array("Names", None, res)
+        if names:
+            for i in range(0, len(names) - 1, 2):
+                nm = node.deref(names[i], res)
+                val = node.deref(names[i + 1], res)
+                if isinstance(nm, CString):
+                    yield nm, val
+        kids = node.get_array("Kids", None, res)
+        if kids:
+            for kid in kids:
+                k = node.deref(kid, res)
+                if isinstance(k, CDict):
+                    yield from self._walk_name_tree(k, depth + 1)
+
+    def embedded_files(self) -> list[dict]:
+        """Catalog /Names → /EmbeddedFiles name tree → one row per
+        attachment: tree key, /UF-or-/F filename, decoded size, md5 of
+        the decoded bytes (corpus-building cares about the PAYLOAD,
+        so the embedded stream is run through its /Filter chain)."""
+        import hashlib
+
+        from .filters import decode_stream
+
+        res = self.parser._resolve
+        names = self.catalog.get_dict("Names", None, res)
+        if names is None:
+            return []
+        ef_root = names.get_dict("EmbeddedFiles", None, res)
+        if ef_root is None:
+            return []
+        out = []
+        for nm, fs in self._walk_name_tree(ef_root):
+            if not isinstance(fs, CDict):
+                continue
+            fname = fs.get_str("UF", "", res) or fs.get_str("F", "", res)
+            efd = fs.get_dict("EF", None, res)
+            stream = efd.get_stream("F", None, res) if efd is not None else None
+            data = (
+                decode_stream(stream.data, stream.dict, res)
+                if stream is not None
+                else b""
+            )
+            out.append(
+                {
+                    "att_name": nm.value,
+                    "filename": fname,
+                    "size": len(data),
+                    "content_md5": hashlib.md5(data).hexdigest(),
+                }
+            )
+        return out
 
     # ---- M8: XML metadata (PDFDocCatalog.getXMLMetadata, :137-145) ---
     def xml_metadata(self) -> Optional[bytes]:

@@ -412,6 +412,109 @@ FROM e
 """
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_BULLETS = ("-", "*", "•")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule set (Rae et al. 2021 §A.1.1, adapted
+    to the corpus and kept INTEGER-exact so the oracle never touches a
+    float): word-count bounds, mean-word-length bounds (3..10),
+    symbol-to-word ratio (# chars + '...' occurrences ≤ 10% of words),
+    bullet-token ratio (≤ 20%), ≥2 distinct stopwords present, and
+    ≥80% of words containing an alphabetic char. `keep` is the AND of
+    all passes — the composite filter a curation pipeline applies
+    before dedup. Every rule is a codegen projection; zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n = F.size(w)
+    # sum of token lengths = len(text) - (n-1) separators
+    tok_chars = F.length("text") - (n - F.lit(1))
+    hash_chars = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    # exact: the removed length is always a multiple of 3
+    ellipsis = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", "")))
+        / F.lit(3)
+    ).cast("long")
+    bullets = F.size(
+        F.expr(
+            "filter(split(text, ' '), x -> x in ("
+            + ",".join(f"'{b}'" for b in GOPHER_BULLETS)
+            + "))"
+        )
+    )
+    stop_distinct = F.size(
+        F.array_distinct(
+            F.expr(
+                "filter(split(text, ' '), x -> x in ("
+                + ",".join(f"'{s}'" for s in STOPWORDS)
+                + "))"
+            )
+        )
+    )
+    alpha_words = F.size(
+        F.expr("filter(split(text, ' '), x -> x rlike '[a-zA-Z]')")
+    )
+    f_wc = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+    f_mwl = (tok_chars < 3 * n) | (tok_chars > 10 * n)
+    f_sym = (hash_chars + ellipsis) * 10 > n
+    f_bul = bullets * 5 > n
+    f_stop = stop_distinct < 2
+    f_alpha = alpha_words * 5 < n * 4
+    keep = ~(f_wc | f_mwl | f_sym | f_bul | f_stop | f_alpha)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_bul.alias("flag_bullet_ratio"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        keep.alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    bullets = ",".join(f"''{b}''" for b in GOPHER_BULLETS).replace("''", "'")
+    stops = ",".join(f"''{s}''" for s in STOPWORDS).replace("''", "'")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+           AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS hash_chars,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS ellipsis,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({bullets}))) AS BIGINT) AS bullets,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                              x -> x IN ({stops})))) AS BIGINT) AS stop_d,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_w
+  FROM documents
+)
+SELECT doc_id, n AS n_words,
+       (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS flag_word_count,
+       (tok_chars < 3 * n OR tok_chars > 10 * n) AS flag_mean_word_len,
+       ((hash_chars + ellipsis) * 10 > n) AS flag_symbol_ratio,
+       (bullets * 5 > n) AS flag_bullet_ratio,
+       (stop_d < 2) AS flag_stopwords,
+       (alpha_w * 5 < n * 4) AS flag_alpha,
+       NOT ((n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS})
+            OR (tok_chars < 3 * n OR tok_chars > 10 * n)
+            OR ((hash_chars + ellipsis) * 10 > n)
+            OR (bullets * 5 > n)
+            OR (stop_d < 2)
+            OR (alpha_w * 5 < n * 4)) AS keep
+FROM base
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
@@ -422,6 +525,7 @@ def queries():
         "bm25_topk": bm25_topk,
         "corpus_sample": corpus_sample,
         "text_windows": text_windows,
+        "gopher_quality_flags": gopher_quality_flags,
     }
 
 
@@ -435,4 +539,5 @@ def oracles():
         "bm25_topk": _bm25_oracle_sql(),
         "corpus_sample": _sample_sql(),
         "text_windows": _windows_sql(),
+        "gopher_quality_flags": _gopher_sql(),
     }

@@ -440,3 +440,32 @@ def test_ivf_trained_centroids_exact_and_accounted(spark):
     n_emb = emb.count()
     assert sum(r.n_members for r in cells) == n_emb
     assert all(0 <= r.cell < ann.N_CELLS for r in cells)
+
+
+def test_gopher_quality_flags_planted(spark, tmp_path):
+    """Each rule trips on a purpose-built doc and a clean doc passes
+    them all (integer-exact rule arithmetic)."""
+    from pdfspark.ops import textstats
+
+    clean = ("the quick brown fox jumps over a lazy dog and friends "
+             "of the pack run along too ") * 3  # >50 words, sane shape
+    rows = [
+        (0, clean),
+        (1, "the and short text"),                       # word count
+        (2, "a " * 30 + "the and " + "of " * 30),        # mean len < 3
+        (3, clean + " " + "#" * 40),                     # symbol ratio
+        (4, clean.replace("fox", "- - - - - - - - - - - - - - fox")),  # bullets
+        (5, ("zq " * 26 + "xv " * 26).strip()),          # no stopwords
+        (6, clean + " " + "123 " * 60),                  # alpha < 80%
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "gq_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r for r in textstats.gopher_quality_flags(spark, path).collect()}
+    assert got[0].keep, got[0]
+    assert got[1].flag_word_count and not got[1].keep
+    assert got[2].flag_mean_word_len and not got[2].keep
+    assert got[3].flag_symbol_ratio and not got[3].keep
+    assert got[4].flag_bullet_ratio and not got[4].keep
+    assert got[5].flag_stopwords and not got[5].keep
+    assert got[6].flag_alpha and not got[6].keep
