@@ -62,6 +62,7 @@ HEADLINE = [
     "html_main_text",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "chunk_boilerplate",
     "dedup_simhash",
     "ann_cosine_topk",
     "embed_neardup_pairs",

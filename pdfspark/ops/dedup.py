@@ -671,6 +671,76 @@ WHERE na.doc_id % 2 = 0
 """
 
 
+BOILER_MIN_DOCS = 2  # a chunk in ≥ this many DISTINCT docs is boilerplate
+
+
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate accounting (the C4/FineWeb
+    line-dedup shape, over the engine's 80-char chunk contract since
+    the corpus carries no newlines): a chunk appearing in ≥
+    BOILER_MIN_DOCS distinct docs is boilerplate; per doc emit chunk
+    counts and the integer-exact boilerplate ratio. Plan: one linear
+    regexp chunking pass (no substring() O(len²)), distinct (doc,
+    chunk) → chunk-frequency groupBy, shuffle join back on chunk,
+    per-doc agg — the chunk key is high-cardinality so both shuffles
+    partition evenly; no collect anywhere."""
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '(?s).{1,80}', 0)")
+        ).alias("chunk"),
+    )
+    pairs = chunks.distinct()
+    freq = pairs.groupBy("chunk").agg(
+        F.count("*").alias("n_docs_with_chunk")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("n_docs_with_chunk") >= BOILER_MIN_DOCS).cast("long")
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint"),
+            F.col("n_boiler").cast("bigint"),
+            (F.col("n_boiler") * 1000 / F.col("n_chunks"))
+            .cast("bigint")
+            .alias("boiler_ratio_x1000"),
+        )
+    )
+
+
+CHUNK_BOILERPLATE_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         substr(text, CAST(i * 80 + 1 AS INT), 80) AS chunk
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+    FROM documents
+  )
+),
+freq AS (
+  SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_chunk
+  FROM c GROUP BY chunk
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs_with_chunk >= {BOILER_MIN_DOCS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN f.n_docs_with_chunk >= {BOILER_MIN_DOCS}
+                     THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS boiler_ratio_x1000
+FROM c JOIN freq f ON f.chunk = c.chunk
+GROUP BY c.doc_id
+"""
+
+
 def queries():
     return {
         "dedup_exact": dedup_exact,
@@ -679,6 +749,7 @@ def queries():
         "dedup_skipped_buckets": dedup_skipped_buckets,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
+        "chunk_boilerplate": chunk_boilerplate,
     }
 
 
@@ -690,4 +761,5 @@ def oracles():
         "dedup_skipped_buckets": _skipped_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
+        "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
     }

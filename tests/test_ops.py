@@ -469,3 +469,23 @@ def test_gopher_quality_flags_planted(spark, tmp_path):
     assert got[4].flag_bullet_ratio and not got[4].keep
     assert got[5].flag_stopwords and not got[5].keep
     assert got[6].flag_alpha and not got[6].keep
+
+
+def test_chunk_boilerplate_planted(spark, tmp_path):
+    """A shared 80-char chunk counts as boilerplate in every doc that
+    carries it; unique-text docs report zero."""
+    from pdfspark.ops import dedup as dd
+
+    boiler = "x" * 80  # exactly one chunk, shared verbatim
+    rows = [
+        (0, boiler + "unique tail zero " * 6),
+        (1, boiler + "another different tail entirely " * 4),
+        (2, "completely unique text with no shared chunk at all " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "boiler_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r for r in dd.chunk_boilerplate(spark, path).collect()}
+    assert got[0].n_boiler == 1 and got[1].n_boiler == 1
+    assert got[2].n_boiler == 0 and got[2].boiler_ratio_x1000 == 0
+    assert got[0].n_chunks == len(rows[0][1]) // 80 + (1 if len(rows[0][1]) % 80 else 0)
