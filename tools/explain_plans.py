@@ -113,6 +113,35 @@ COMMENTARY = {
         "10-round join tree. Rounds = component diameter (2-4 on "
         "near-dup graphs)."
     ),
+    "pdf_attachments": (
+        "Name-tree extraction rides the flagship shape: pruned "
+        "(doc_id, text) scan → generate → extract, MapInPandas "
+        "pipelined. The tree walk and embedded-stream decode are "
+        "per-document Python inside the existing UDF stage — the "
+        "plan gains no node over the metadata pipeline."
+    ),
+    "gopher_quality_flags": (
+        "ZERO Exchanges: every rule (bounds, ratios, stopword/alpha "
+        "filters) is a codegen projection fused into the pruned "
+        "(doc_id, text) scan. The composite `keep` is a boolean "
+        "expression over sibling columns — at 10^12 docs this is a "
+        "pure map stage, partition count = input splits."
+    ),
+    "chunk_boilerplate": (
+        "Chunking is ONE linear regexp pass (no O(len²) substring "
+        "loop). Two shuffles, both on the high-cardinality chunk key: "
+        "the distinct + frequency aggregation (map-side combinable) "
+        "and the join back; the per-doc rollup reuses the doc_id "
+        "partitioning. No skew hazard: chunk values are near-unique "
+        "except the boilerplate being counted."
+    ),
+    "ann_ivf_topk": (
+        "Training is driver-side on a pushed-down sample (filter + "
+        "limit reach the scan); cell assignment is one numpy Arrow "
+        "pass with NO shuffle; candidates co-locate with ONE shuffle "
+        "join on cell (probe side broadcast); the exact re-rank "
+        "window partitions by query_id — 50 output rows."
+    ),
 }
 
 
