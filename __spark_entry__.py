@@ -113,6 +113,18 @@ def _q_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attachments_rows(spark, sf_dir)
 
 
+def _q_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import outlines_rows
+
+    return outlines_rows(spark, sf_dir)
+
+
+def _q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import links_rows
+
+    return links_rows(spark, sf_dir)
+
+
 def _q_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import status_rows
 
@@ -177,6 +189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_span_geometry_cid": _q_geometry_cid,
         "pdf_span_geometry_kerned": _q_geometry_kerned,
         "pdf_attachments": _q_attachments,
+        "pdf_outlines": _q_outlines,
+        "pdf_links": _q_links,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -218,6 +232,33 @@ FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k FROM documents
     # attachment k is the 32-char md5 hex of 'doc_id:att:k' (so size
     # is always 32 and content_md5 = md5 of that hex string)
     h_att = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 7, 2)
+    # outlines: n_top = 1 + (md5[9:10 hex] % 3); top item i sits at
+    # DFS position i + 2·⌈i/2⌉ (every even item carries 2 children)
+    h_nav = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 9, 2)
+    outlines_sql = f"""
+WITH n AS (SELECT doc_id, 1 + ({h_nav}) % 3 AS n_top FROM documents),
+i AS (SELECT doc_id, unnest(range(n_top)) AS i FROM n),
+base AS (SELECT doc_id, i, i + 2 * ((i + 1) // 2) AS p0 FROM i)
+SELECT doc_id, CAST(p0 AS INT) AS pos, CAST(0 AS INT) AS level,
+       'sec' || CAST(i AS VARCHAR) AS title
+FROM base
+UNION ALL
+SELECT doc_id, CAST(p0 + 1 + j AS INT) AS pos, CAST(1 AS INT) AS level,
+       'sec' || CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR) AS title
+FROM (SELECT doc_id, i, p0, unnest(range(2)) AS j FROM base WHERE i % 2 = 0)
+"""
+    links_sql = """
+WITH pc AS (
+  SELECT doc_id,
+         CAST(greatest(1, ceil((k + k // 3) / 5.0)) AS BIGINT) AS n_pages
+  FROM (SELECT doc_id, CAST(ceil(length(text)/80.0) AS BIGINT) AS k
+        FROM documents)
+)
+SELECT doc_id, CAST(p AS INT) AS page_idx,
+       'https://example.org/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(p AS VARCHAR) AS uri
+FROM (SELECT doc_id, unnest(range(n_pages)) AS p FROM pc)
+"""
     attachments_sql = f"""
 WITH n AS (SELECT doc_id, 1 + ({h_att}) % 3 AS n_att FROM documents),
 k AS (SELECT doc_id, unnest(range(n_att)) AS k FROM n)
@@ -314,6 +355,8 @@ FROM wk
         "pdf_malformed_policy": malformed_sql,
         "pdf_metadata": meta_sql,
         "pdf_attachments": attachments_sql,
+        "pdf_outlines": outlines_sql,
+        "pdf_links": links_sql,
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

@@ -440,6 +440,7 @@ def build_object_graph(
     cjk_chained: bool = False,
     forms: bool = False,
     attachments: bool = False,
+    navigation: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -663,6 +664,22 @@ def build_object_graph(
         # 32000-1 §7.7.3.4) — exercises the M5 inheritance walk the
         # reference skips (PDFPage.java:84-86)
         page[Name("Contents")] = Ref(cnum, 0)
+        if navigation:
+            # one /Link annotation with a /URI action per page
+            # (ISO 32000-1 §12.5.6.5 + §12.6.4.7) — the link-graph
+            # projection; URI is closed-form in (doc_id, page index)
+            page_idx = p0 // SPANS_PER_PAGE
+            act = CDict()
+            act[Name("S")] = Name("URI")
+            act[Name("URI")] = CString.from_text(
+                f"https://example.org/{doc_id}/{page_idx}"
+            )
+            link = CDict()
+            link[Name("Type")] = Name("Annot")
+            link[Name("Subtype")] = Name("Link")
+            link[Name("Rect")] = [0, 0, 100, 20]
+            link[Name("A")] = act
+            page[Name("Annots")] = [Ref(g.add(link), 0)]
         page_nums.append(g.add(page))
 
     # page tree: nest intermediate /Pages nodes when fanout exceeded
@@ -700,6 +717,46 @@ def build_object_graph(
     catalog = CDict()
     catalog[Name("Type")] = Name("Catalog")
     catalog[Name("Pages")] = Ref(pages_root_num, 0)
+    if navigation:
+        # /Outlines tree (ISO 32000-1 §12.3.3): 1-3 top-level items,
+        # every EVEN item carries two children — deterministic in
+        # doc_id so the DFS order is closed-form SQL
+        n_top = 1 + int(hashlib.md5(doc_id.encode()).hexdigest()[8:10], 16) % 3
+        outlines_num = g.reserve()
+        top_nums = [g.reserve() for _ in range(n_top)]
+        total = 0
+        for i, onum in enumerate(top_nums):
+            item = CDict()
+            item[Name("Title")] = CString.from_text(f"sec{i}")
+            item[Name("Parent")] = Ref(outlines_num, 0)
+            if i > 0:
+                item[Name("Prev")] = Ref(top_nums[i - 1], 0)
+            if i + 1 < n_top:
+                item[Name("Next")] = Ref(top_nums[i + 1], 0)
+            total += 1
+            if i % 2 == 0:
+                kid_nums = [g.reserve() for _ in range(2)]
+                for j, knum in enumerate(kid_nums):
+                    kid = CDict()
+                    kid[Name("Title")] = CString.from_text(f"sec{i}.{j}")
+                    kid[Name("Parent")] = Ref(onum, 0)
+                    if j > 0:
+                        kid[Name("Prev")] = Ref(kid_nums[j - 1], 0)
+                    if j + 1 < 2:
+                        kid[Name("Next")] = Ref(kid_nums[j + 1], 0)
+                    g.objs[knum] = kid
+                item[Name("First")] = Ref(kid_nums[0], 0)
+                item[Name("Last")] = Ref(kid_nums[-1], 0)
+                item[Name("Count")] = 2
+                total += 2
+            g.objs[onum] = item
+        outl = CDict()
+        outl[Name("Type")] = Name("Outlines")
+        outl[Name("First")] = Ref(top_nums[0], 0)
+        outl[Name("Last")] = Ref(top_nums[-1], 0)
+        outl[Name("Count")] = total
+        g.objs[outlines_num] = outl
+        catalog[Name("Outlines")] = Ref(outlines_num, 0)
     if attachments:
         # /Names → /EmbeddedFiles name tree (ISO 32000-1 §7.9.6 +
         # §7.11.4): 1-3 deterministic attachments per doc; content is
@@ -1268,6 +1325,11 @@ def build_pdf(
         # file attachments per doc (both tree shapes, filters rotate)
         layout = "classic"
         attachments = True
+    navigation = False
+    if variant == "navigation":
+        # /Outlines bookmark tree + one /Link URI annotation per page
+        layout = "classic"
+        navigation = True
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
@@ -1288,7 +1350,7 @@ def build_pdf(
     g, cat, info = build_object_graph(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
-        forms=forms, attachments=attachments,
+        forms=forms, attachments=attachments, navigation=navigation,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

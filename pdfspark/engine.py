@@ -517,6 +517,71 @@ def attachments_rows(spark, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(ker, schema=ATT_SCHEMA)
 
 
+def outlines_rows(spark, sf_dir: str) -> DataFrame:
+    """Outline/bookmark extraction (driver query `pdf_outlines`): the
+    generator plants a deterministic /Outlines tree (1-3 top items,
+    even items carry two children); the kernel's /First→/Next DFS
+    emits (pos, level, title) in display order — closed-form SQL."""
+    docs = load_documents(spark, sf_dir)
+    payloads = generate_payloads(synth_spans_df(docs), "navigation")
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import parse_document
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for (pos, level, title) in parse_document(
+                        bytes(payload)
+                    ).outlines():
+                        rows.append(
+                            {
+                                "doc_id": did, "pos": pos,
+                                "level": level, "title": title,
+                            }
+                        )
+                except Exception:
+                    continue  # PERMISSIVE per-doc policy (§2.8)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "level", "title"]
+            )
+
+    return payloads.mapInPandas(
+        ker, schema="doc_id bigint, pos int, level int, title string"
+    )
+
+
+def links_rows(spark, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (driver query `pdf_links`): one /Link
+    annotation with a /URI action per page; the kernel walks page
+    /Annots and emits (page_idx, uri) — the hyperlink projection a
+    web-scale pipeline extracts alongside text."""
+    docs = load_documents(spark, sf_dir)
+    payloads = generate_payloads(synth_spans_df(docs), "navigation")
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import parse_document
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for (page_idx, uri) in parse_document(
+                        bytes(payload)
+                    ).link_uris():
+                        rows.append(
+                            {"doc_id": did, "page_idx": page_idx, "uri": uri}
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["doc_id", "page_idx", "uri"])
+
+    return payloads.mapInPandas(
+        ker, schema="doc_id bigint, page_idx int, uri string"
+    )
+
+
 PAGE_MODES_ROTATION = (
     "UseNone", "UseOutlines", "UseThumbs", "FullScreen", "UseOC", "UseAttachments",
 )

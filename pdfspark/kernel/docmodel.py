@@ -356,6 +356,63 @@ class Document:
             )
         return out
 
+    # ---- outline tree + link annotations (EXTENSION, r4 — the
+    # reference reads neither; built from ISO 32000-1 §12.3.3 document
+    # outlines and §12.5/§12.6.4.7 link annotations / URI actions) ----
+    def outlines(self) -> list[tuple]:
+        """DFS over the /Outlines tree: (ord, level, title) per item,
+        /First→child before /Next→sibling (display order). Cycle- and
+        depth-guarded; malformed items are skipped (PERMISSIVE)."""
+        res = self.parser._resolve
+        root = self.catalog.get_dict("Outlines", None, res)
+        out: list[tuple] = []
+        if root is None:
+            return out
+        seen: set[int] = set()
+
+        def walk(node: Optional[CDict], level: int) -> None:
+            while isinstance(node, CDict):
+                if id(node) in seen or level > 32 or len(seen) > 10000:
+                    return  # cycle / runaway guard
+                seen.add(id(node))
+                title = node.get_str("Title", "", res)
+                if title:
+                    out.append((len(out), level, title))
+                first = node.get_dict("First", None, res)
+                if first is not None:
+                    walk(first, level + 1)
+                node = node.get_dict("Next", None, res)
+
+        walk(root.get_dict("First", None, res), 0)
+        return out
+
+    def link_uris(self) -> list[tuple]:
+        """(page_idx, uri) for every /Subtype /Link page annotation
+        whose action is /S /URI — the link-graph projection a web-scale
+        corpus pipeline extracts alongside text."""
+        res = self.parser._resolve
+        out: list[tuple] = []
+        for idx, page in enumerate(self.pages()):
+            node = self.parser._resolve(Ref(page.obj_num, 0))
+            if not isinstance(node, CDict):
+                continue
+            annots = node.get_array("Annots", None, res)
+            if not annots:
+                continue
+            for a in annots:
+                ad = node.deref(a, res)
+                if not isinstance(ad, CDict):
+                    continue
+                if ad.get_name("Subtype", None, res) != "Link":
+                    continue
+                act = ad.get_dict("A", None, res)
+                if act is None or act.get_name("S", None, res) != "URI":
+                    continue
+                uri = act.get_str("URI", "", res)
+                if uri:
+                    out.append((idx, uri))
+        return out
+
     # ---- M8: XML metadata (PDFDocCatalog.getXMLMetadata, :137-145) ---
     def xml_metadata(self) -> Optional[bytes]:
         s = self.catalog.get_stream("Metadata", None, self.parser._resolve)

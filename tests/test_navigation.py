@@ -1,0 +1,58 @@
+"""Outline trees (§12.3.3) and /Link URI annotations (§12.5 +
+§12.6.4.7) — EXTENSION, r4: the reference reads neither."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pdfspark.codec import build_pdf, synth_spans_py
+from pdfspark.kernel.cos import CDict, Name, Ref
+from pdfspark.kernel.extract import parse_document
+
+
+def test_navigation_variant_outlines_and_links():
+    for i in range(8):
+        did = f"nav{i}"
+        spans = synth_spans_py(did, "words here " * (30 + 40 * i))
+        doc = parse_document(build_pdf(did, spans, "navigation"))
+        n_top = 1 + int(hashlib.md5(did.encode()).hexdigest()[8:10], 16) % 3
+        exp = []
+        for t in range(n_top):
+            exp.append((len(exp), 0, f"sec{t}"))
+            if t % 2 == 0:
+                exp.append((len(exp), 1, f"sec{t}.0"))
+                exp.append((len(exp), 1, f"sec{t}.1"))
+        assert doc.outlines() == exp
+        n_pages = max(1, math.ceil(len(spans) / 5))
+        assert doc.link_uris() == [
+            (p, f"https://example.org/{did}/{p}") for p in range(n_pages)
+        ]
+
+
+def test_outline_cycle_is_guarded():
+    """A /Next cycle in the outline list terminates instead of
+    looping (id-based visited set)."""
+    from pdfspark import codec as C
+
+    spans = synth_spans_py("cyc0", "x" * 60)
+    g, cat, info = C.build_object_graph("cyc0", spans)
+    a_num, b_num, root_num = g.reserve(), g.reserve(), g.reserve()
+    a = CDict(); a[Name("Title")] = C.CString.from_text("a")
+    a[Name("Next")] = Ref(b_num, 0)
+    b = CDict(); b[Name("Title")] = C.CString.from_text("b")
+    b[Name("Next")] = Ref(a_num, 0)  # cycle
+    g.objs[a_num], g.objs[b_num] = a, b
+    root = CDict(); root[Name("Type")] = Name("Outlines")
+    root[Name("First")] = Ref(a_num, 0)
+    g.objs[root_num] = root
+    g.objs[cat][Name("Outlines")] = Ref(root_num, 0)
+    payload = C._assemble_classic(g, cat, info, "cyc0")
+    got = parse_document(payload).outlines()
+    assert got == [(0, 0, "a"), (1, 0, "b")]
+
+
+def test_plain_docs_have_no_navigation():
+    spans = synth_spans_py("pl0", "y" * 90)
+    doc = parse_document(build_pdf("pl0", spans, "classic"))
+    assert doc.outlines() == [] and doc.link_uris() == []
