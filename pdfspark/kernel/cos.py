@@ -142,7 +142,11 @@ class CDict(dict):
 
     def _get(self, key: str, resolver: Optional[Resolver]):
         v = self.get(key, COS_NULL)
-        return self.deref(v, resolver)
+        # non-Ref fast path: skip the deref() frame entirely — typed
+        # accessors run tens of thousands of times per document batch
+        if v.__class__ is Ref:
+            return self.deref(v, resolver)
+        return v
 
     def get_bool(self, key, default=False, resolver=None):
         v = self._get(key, resolver)
