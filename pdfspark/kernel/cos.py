@@ -767,31 +767,100 @@ def produce_hex_string(raw: bytes) -> bytes:
     return b"<" + raw.hex().encode("ascii") + b">"
 
 
+def _produce_into(v: COSValue, out: list) -> None:
+    """Append v's serialized pieces to `out` (joined once by the
+    caller) — BYTE-identical emission to the historical per-value
+    concatenation, without its intermediate bytes objects. Exact-class
+    dispatch first (every value the parser or generator builds is one
+    of these exact classes); the isinstance chain below stays as the
+    subclass-tolerant fallback."""
+    cls = v.__class__
+    if cls is int:
+        out.append(str(v).encode("ascii"))
+    elif cls is Name:
+        out.append(produce_name(str(v)))
+    elif cls is Ref:
+        out.append(b"%d %d R" % (v.num, v.gen))
+    elif cls is CString:
+        out.append(
+            produce_hex_string(v.raw)
+            if v.force_hex
+            else produce_literal_string(v.raw)
+        )
+    elif cls is CDict:
+        out.append(b"<<")
+        for k, val in v.items():
+            out.append(b" ")
+            out.append(produce_name(str(k)))
+            out.append(b" ")
+            _produce_into(val, out)
+        out.append(b" >>")
+    elif cls is list:
+        out.append(b"[")
+        first = True
+        for x in v:
+            if not first:
+                out.append(b" ")
+            first = False
+            _produce_into(x, out)
+        out.append(b"]")
+    elif cls is float:
+        out.append(_produce_number(v))
+    elif cls is bool:
+        out.append(b"true" if v else b"false")
+    elif v is COS_NULL:
+        out.append(b"null")
+    elif cls is CStream:
+        _produce_into(v.dict, out)
+        out.append(b"\nstream\n")
+        out.append(v.data)
+        out.append(b"\nendstream")
+    # fallback: subclass instances (none are built in-tree, but the
+    # serde stays tolerant of callers handing e.g. an int subclass)
+    elif isinstance(v, bool):
+        out.append(b"true" if v else b"false")
+    elif isinstance(v, (int, float)):
+        out.append(_produce_number(v))
+    elif isinstance(v, Name):
+        out.append(produce_name(str(v)))
+    elif isinstance(v, CString):
+        out.append(
+            produce_hex_string(v.raw)
+            if v.force_hex
+            else produce_literal_string(v.raw)
+        )
+    elif isinstance(v, Ref):
+        out.append(b"%d %d R" % (v.num, v.gen))
+    elif isinstance(v, list):
+        out.append(b"[")
+        first = True
+        for x in v:
+            if not first:
+                out.append(b" ")
+            first = False
+            _produce_into(x, out)
+        out.append(b"]")
+    elif isinstance(v, CStream):
+        _produce_into(v.dict, out)
+        out.append(b"\nstream\n")
+        out.append(v.data)
+        out.append(b"\nendstream")
+    elif isinstance(v, CDict):
+        out.append(b"<<")
+        for k, val in v.items():
+            out.append(b" ")
+            out.append(produce_name(str(k)))
+            out.append(b" ")
+            _produce_into(val, out)
+        out.append(b" >>")
+    else:
+        raise TypeError(f"cannot produce {type(v)}")
+
+
 def produce(v: COSValue) -> bytes:
     """Serialize any COS value back to PDF syntax (symmetric serde per
     COSObject.java:29-33; round-trip contract mirrors
     TestCOSString.checkProduceParsePair, TestCOSString.java:148-181)."""
-    if v is COS_NULL:
-        return b"null"
-    if isinstance(v, bool):
-        return b"true" if v else b"false"
-    if isinstance(v, (int, float)):
-        return _produce_number(v)
-    if isinstance(v, Name):
-        return produce_name(str(v))
-    if isinstance(v, CString):
-        return produce_hex_string(v.raw) if v.force_hex else produce_literal_string(v.raw)
-    if isinstance(v, Ref):
-        return f"{v.num} {v.gen} R".encode("ascii")
-    if isinstance(v, list):
-        return b"[" + b" ".join(produce(x) for x in v) + b"]"
-    if isinstance(v, CStream):
-        head = produce(v.dict)
-        return head + b"\nstream\n" + v.data + b"\nendstream"
-    if isinstance(v, CDict):
-        parts = [b"<<"]
-        for k, val in v.items():
-            parts.append(produce_name(str(k)) + b" " + produce(val))
-        parts.append(b">>")
-        return b" ".join(parts)
-    raise TypeError(f"cannot produce {type(v)}")
+    out: list = []
+    _produce_into(v, out)
+    return b"".join(out)
