@@ -1154,6 +1154,112 @@ ctok_cmap_codes_w(PyObject *self, PyObject *args)
     return out;
 }
 
+/* ---- classic xref table fast path (xref._parse_classic_table) ------
+ * Parse `start count` subsections of strict 20-byte rows in one C
+ * pass. ALL-OR-NOTHING: any anomaly (non-strict geometry, non-digit
+ * fields, unknown flag, the broken-first-free writer quirk, absurd
+ * header digits) returns None and the Python implementation runs
+ * from the ORIGINAL position with its full PERMISSIVE machinery.
+ * On success returns ([(num, gen, offset), ...] for 'n' rows, endpos).
+ */
+static PyObject *
+ctok_parse_xref_table(PyObject *self, PyObject *args)
+{
+    PyObject *data, *rows, *res;
+    Py_ssize_t pos;
+    const unsigned char *d;
+    Py_ssize_t n;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "Sn", &data, &pos))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+    if (pos < 0 || pos > n)
+        Py_RETURN_NONE;
+    rows = PyList_New(0);
+    if (rows == NULL)
+        return NULL;
+#define BAIL()                                                            \
+    do {                                                                  \
+        Py_DECREF(rows);                                                  \
+        Py_RETURN_NONE;                                                   \
+    } while (0)
+    for (;;) {
+        Py_ssize_t p = pos, s, i;
+        long long start = 0, count = 0;
+        /* subsection header: ws* digits ws+ digits ws* (mirrors
+         * _XREF_SUB_RE; a non-match means `trailer` comes next) */
+        while (p < n && is_ws_c(d[p]))
+            p++;
+        if (p >= n || d[p] < '0' || d[p] > '9')
+            break; /* no more subsections — success */
+        s = p;
+        while (p < n && d[p] >= '0' && d[p] <= '9' && p - s < 18) {
+            start = start * 10 + (d[p] - '0');
+            p++;
+        }
+        if (p < n && d[p] >= '0' && d[p] <= '9')
+            BAIL(); /* absurd header */
+        if (p >= n || !is_ws_c(d[p]))
+            BAIL();
+        while (p < n && is_ws_c(d[p]))
+            p++;
+        if (p >= n || d[p] < '0' || d[p] > '9')
+            BAIL();
+        s = p;
+        while (p < n && d[p] >= '0' && d[p] <= '9' && p - s < 9) {
+            count = count * 10 + (d[p] - '0');
+            p++;
+        }
+        if (p < n && d[p] >= '0' && d[p] <= '9')
+            BAIL();
+        while (p < n && is_ws_c(d[p]))
+            p++;
+        if (p + 20 * count > n)
+            BAIL(); /* short block */
+        for (i = 0; i < count; i++) {
+            const unsigned char *row = d + p + 20 * i;
+            long long off = 0, gen = 0;
+            unsigned char flag;
+            int k;
+            if (row[10] != 0x20 || row[16] != 0x20)
+                BAIL();
+            for (k = 0; k < 10; k++) {
+                if (row[k] < '0' || row[k] > '9')
+                    BAIL();
+                off = off * 10 + (row[k] - '0');
+            }
+            for (k = 11; k < 16; k++) {
+                if (row[k] < '0' || row[k] > '9')
+                    BAIL();
+                gen = gen * 10 + (row[k] - '0');
+            }
+            flag = row[17] != 0x20 ? row[17] : row[18];
+            if (flag != 'n' && flag != 'f')
+                BAIL();
+            if (i == 0 && start == 1 && off == 0 && gen == 65535 &&
+                flag == 'f')
+                BAIL(); /* broken-first-free quirk → Python path */
+            if (flag == 'n') {
+                PyObject *t = Py_BuildValue("(LLL)", start + (long long)i,
+                                            gen, off);
+                if (t == NULL || PyList_Append(rows, t) < 0) {
+                    Py_XDECREF(t);
+                    Py_DECREF(rows);
+                    return NULL;
+                }
+                Py_DECREF(t);
+            }
+        }
+        pos = p + 20 * count;
+    }
+#undef BAIL
+    res = Py_BuildValue("(On)", rows, pos);
+    Py_DECREF(rows);
+    return res;
+}
+
 /* ---- indirect-object fast path (xref._parse_indirect_at hot half) --
  * Seek to the recorded offset, verify the `id gen obj` header (plain
  * ws between tokens, comments allowed only before — cos._IDGEN_RE
@@ -2072,6 +2178,9 @@ static PyMethodDef ctok_methods[] = {
      "cmap_codes_w(raw, ranges) -> [(code, byte_width), ...]"},
     {"table_advance", ctok_table_advance, METH_VARARGS,
      "table_advance(raw, int64_table_256) -> advance sum"},
+    {"parse_xref_table", ctok_parse_xref_table, METH_VARARGS,
+     "parse_xref_table(data, pos) -> ([(num, gen, off), ...], endpos) "
+     "| None(anomaly -> Python path)"},
     {"parse_indirect", ctok_parse_indirect, METH_VARARGS,
      "parse_indirect(data, offset, expected_num, resolver, settings, "
      "allow_reconstruction, max_scan_range) -> value | None(mismatch)"},

@@ -53,6 +53,10 @@ _POW10_5 = 10 ** np.arange(4, -1, -1, dtype=np.int64)
 _CTOK_PARSE_INDIRECT = (
     getattr(_COS_CTOK, "parse_indirect", None) if _COS_CTOK is not None else None
 )
+# one-pass C classic-table parse (all-or-nothing; anomalies → Python)
+_CTOK_PARSE_XREF = (
+    getattr(_COS_CTOK, "parse_xref_table", None) if _COS_CTOK is not None else None
+)
 
 
 @dataclass
@@ -359,6 +363,17 @@ class Parser:
         d = r.data
         pos = r.pos
         add = self.xref.add_uncompressed
+        if _CTOK_PARSE_XREF is not None and d.__class__ is bytes:
+            # one C pass over every strict subsection; None on ANY
+            # anomaly (ragged rows, broken-first-free quirk, …) →
+            # the full Python machinery below runs from r.pos
+            res = _CTOK_PARSE_XREF(d, pos)
+            if res is not None:
+                rows, endpos = res
+                for num, gen, off in rows:
+                    add(num, gen, off)
+                r.pos = endpos
+                return
         while True:
             m = _XREF_SUB_RE.match(d, pos)
             if m is None:

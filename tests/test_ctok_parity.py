@@ -464,3 +464,34 @@ def test_content_lexer_parity():
         assert run(lex_c, payload) == run(
             textops._lex_content_py, payload
         ), payload[:100]
+
+
+def test_parse_xref_table_fast_path():
+    """C classic-table pass: strict tables parse to the same entries
+    the Python path produces; every anomaly class returns None (the
+    all-or-nothing contract)."""
+    pt = getattr(cos._CTOK, "parse_xref_table", None)
+    if pt is None:
+        pytest.skip("C xref table parser not available")
+    strict = (
+        b"3 2\n"
+        b"0000000017 00000 n \n"
+        b"0000000081 00001 n \n"
+        b"7 1\n"
+        b"0000000000 65535 f \n"
+    )
+    rows, endpos = pt(strict, 0)
+    assert rows == [(3, 0, 17), (4, 1, 81)]
+    assert endpos == len(strict)
+    # CRLF row EOL + flag directly at 17
+    crlf = b"1 1\r\n0000000099 00000 n\r\n"
+    assert pt(crlf, 0) == ([(1, 0, 99)], len(crlf))
+    # anomalies → None: broken-first-free, garbage digits, short
+    # block, unknown flag, ragged geometry
+    assert pt(b"1 1\n0000000000 65535 f \n", 0) is None
+    assert pt(b"1 1\nxxxxxxxxxx 00000 n \n", 0) is None
+    assert pt(b"1 2\n0000000017 00000 n \n", 0) is None
+    assert pt(b"1 1\n0000000017 00000 q \n", 0) is None
+    assert pt(b"1 1\n0000000017  0000 n \n", 0) is None
+    # no subsection at all → empty success (trailer next)
+    assert pt(b"trailer << >>", 0) == ([], 0)
