@@ -238,9 +238,12 @@ def lzw_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def a85_decode(data: bytes) -> bytes:
-    """5 chars→4 bytes; 'z'→4 zeros; '~' EOD; partial tail padded with
-    'u'-equivalent (iText-style pad with 84) — transcribed semantics."""
+_A85_WS = bytes(b" \t\r\n\x0c\x00")
+
+
+def _a85_decode_loop(data: bytes) -> bytes:
+    """Reference per-byte loop — kept as the 'z'-bearing / oddball
+    path and as the semantics authority for the vectorized twin."""
     out = bytearray()
     chunk: list[int] = []
     for b in data:
@@ -270,6 +273,52 @@ def a85_decode(data: bytes) -> bytes:
             val = val * 85 + c
         out += val.to_bytes(4, "big")[: k - 1]
     return bytes(out)
+
+
+_P85 = None  # lazy [85^4, 85^3, 85^2, 85, 1] int64
+
+
+def a85_decode(data: bytes) -> bytes:
+    """5 chars→4 bytes; 'z'→4 zeros; '~' EOD; partial tail padded with
+    'u'-equivalent (iText-style pad with 84) — transcribed semantics.
+    Hot path: ws-strip via translate + numpy group math ('z'-bearing
+    input falls back to the per-byte loop with identical results)."""
+    i = data.find(b"~")
+    if i >= 0:
+        data = data[:i]
+    data = data.translate(None, _A85_WS)
+    if b"z" in data or len(data) < 10:
+        return _a85_decode_loop(data)
+    import numpy as np
+
+    global _P85
+    if _P85 is None:
+        _P85 = (85 ** np.arange(4, -1, -1)).astype(np.int64)
+    arr = np.frombuffer(data, dtype=np.uint8) - 0x21
+    k5 = len(arr) // 5
+    vals = arr[: k5 * 5].reshape(-1, 5).astype(np.int64) @ _P85
+    bad = np.nonzero(arr > 84)[0]
+    ovf = np.nonzero(vals > 0xFFFFFFFF)[0]
+    if bad.size or ovf.size:
+        # the per-byte loop raises whichever error comes FIRST in
+        # stream order: an invalid byte fires at its own index, a
+        # chunk overflow fires when its 5th char lands (index 5j+4)
+        bad0 = int(bad[0]) if bad.size else None
+        ovf0 = int(ovf[0]) if ovf.size else None
+        if ovf0 is not None and (bad0 is None or 5 * ovf0 + 4 < bad0):
+            raise OverflowError("int too big to convert")
+        raise EParseError(f"invalid ascii85 byte {data[bad0]:#x}")
+    out = vals.astype(">u4").tobytes()
+    tail = arr[k5 * 5 :]
+    if tail.size:
+        if tail.size == 1:
+            raise EParseError("ascii85: single trailing char")
+        chunk = list(map(int, tail)) + [84] * (5 - tail.size)
+        val = 0
+        for c in chunk:
+            val = val * 85 + c
+        out += val.to_bytes(4, "big")[: tail.size - 1]
+    return out
 
 
 def a85_encode(data: bytes) -> bytes:
@@ -302,13 +351,17 @@ def ahx_decode(data: bytes) -> bytes:
     end = data.find(b">")
     if end >= 0:
         data = data[:end]
-    cleaned = bytes(b for b in data if b not in b" \t\r\n\x0c\x00")
-    for b in cleaned:
-        if b not in _HEXSET:
-            raise EParseError(f"invalid hex byte {b:#x}")
+    cleaned = data.translate(None, _A85_WS)  # C-level ws delete
     if len(cleaned) % 2:
         cleaned += b"0"
-    return bytes.fromhex(cleaned.decode("ascii"))
+    try:
+        return bytes.fromhex(cleaned.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        # slow path only to produce the typed first-offender error
+        for b in cleaned:
+            if b not in _HEXSET:
+                raise EParseError(f"invalid hex byte {b:#x}") from None
+        raise EParseError("invalid hex data") from None
 
 
 def ahx_encode(data: bytes) -> bytes:

@@ -175,3 +175,41 @@ def test_unsupported_filter_raises():
     d[Name("Filter")] = Name("FooDecode")
     with pytest.raises(EParseError):
         decode_stream(b"", d)
+
+
+def test_a85_vectorized_vs_loop_differential():
+    """The numpy ASCII85 fast path must agree with the per-byte loop
+    (the semantics authority) on results AND error class/message/order
+    over valid, mutated, and random-garbage inputs."""
+    import random
+
+    from pdfspark.kernel import filters as Fl
+    from pdfspark.kernel.errors import EParseError
+
+    rng = random.Random(0xA85)
+
+    def run(fn, d):
+        try:
+            return ("ok", fn(d))
+        except EParseError as e:
+            return ("EParseError", str(e))
+        except OverflowError as e:
+            return ("OverflowError", str(e))
+
+    for _ in range(600):
+        n = rng.randrange(0, 160)
+        if rng.randrange(2):
+            d = Fl.a85_encode(bytes(rng.randrange(256) for _ in range(n)))
+            if rng.randrange(3) == 0:
+                d = bytearray(d)
+                for _ in range(rng.randrange(1, 3)):
+                    if d:
+                        d[rng.randrange(len(d))] = rng.randrange(256)
+                d = bytes(d)
+        else:
+            d = bytes(rng.randrange(33, 122) for _ in range(n))
+        a = run(Fl.a85_decode, d)
+        i = d.find(b"~")
+        d2 = d[:i] if i >= 0 else d
+        b = run(Fl._a85_decode_loop, d2.translate(None, Fl._A85_WS))
+        assert a == b, (d[:60], a, b)
