@@ -835,6 +835,27 @@ is_regular_c(unsigned char b)
     return !is_ws_c(b) && !is_delim_c(b);
 }
 
+/* BI..EI inline-image skip: binary image data may contain the bytes
+ * 'EI' — only an EI that is ws-preceded and ws/delim/EOF-followed
+ * terminates the image (textops._lex_content_py twin, r4). */
+static Py_ssize_t
+find_inline_ei(const unsigned char *d, Py_ssize_t n, Py_ssize_t pos)
+{
+    while (pos < n) {
+        const unsigned char *hit =
+            (const unsigned char *)memmem(d + pos, n - pos, "EI", 2);
+        Py_ssize_t i;
+        if (hit == NULL)
+            return n;
+        i = hit - d;
+        if ((i == 0 || is_ws_c(d[i - 1])) &&
+            (i + 2 >= n || is_ws_c(d[i + 2]) || is_delim_c(d[i + 2])))
+            return i + 2;
+        pos = i + 1;
+    }
+    return n;
+}
+
 static PyObject *
 ctok_lex_content(PyObject *self, PyObject *args)
 {
@@ -1014,12 +1035,8 @@ ctok_lex_content(PyObject *self, PyObject *args)
             if (opb == NULL)
                 goto fail;
             if (pos - s == 2 && d[s] == 'B' && d[s + 1] == 'I') {
-                /* inline image: skip to EI at lex level */
-                const unsigned char *hit = (pos < n)
-                    ? (const unsigned char *)memmem(d + pos, n - pos,
-                                                    "EI", 2)
-                    : NULL;
-                pos = hit == NULL ? n : (hit - d) + 2;
+                /* inline image: skip to the DELIMITED EI */
+                pos = find_inline_ei(d, n, pos);
             }
             tup = PyList_AsTuple(operands);
             if (tup == NULL) {
@@ -2049,11 +2066,7 @@ ctok_interpret_content(PyObject *self, PyObject *args)
                 pos++;
             oplen = pos - s;
             if (oplen == 2 && d[s] == 'B' && d[s + 1] == 'I') {
-                const unsigned char *hit =
-                    (pos < n) ? (const unsigned char *)memmem(
-                                    d + pos, n - pos, "EI", 2)
-                              : NULL;
-                pos = hit == NULL ? n : (hit - d) + 2;
+                pos = find_inline_ei(d, n, pos);
             }
             if (dispatch_op(&st, d + s, oplen, operands) < 0)
                 goto fail;

@@ -879,9 +879,24 @@ def _lex_content_py(data: bytes):
             continue
         op = m.group("op")
         if op == b"BI":
-            # inline image: skip to the EI delimiter at lex level
-            idx = data.find(b"EI", pos)
-            pos = end if idx < 0 else idx + 2
+            # inline image: skip to the EI delimiter at lex level.
+            # Binary image data may itself contain the bytes 'EI'
+            # (r4): only an EI that is ws-PRECEDED and ws/delim/EOF-
+            # FOLLOWED terminates the image (the token-boundary rule)
+            idx = pos
+            pos = end
+            while True:
+                idx = data.find(b"EI", idx)
+                if idx < 0:
+                    break
+                if (idx == 0 or is_ws(data[idx - 1])) and (
+                    idx + 2 >= end
+                    or is_ws(data[idx + 2])
+                    or is_delim(data[idx + 2])
+                ):
+                    pos = idx + 2
+                    break
+                idx += 1
         yield op, tuple(operands)
         operands = []
 

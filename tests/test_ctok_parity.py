@@ -311,6 +311,9 @@ def test_interpreter_parity_mutation_fuzz():
         b"q 2 0 0 2 5 5 cm BT 1 0 0 1 10 20 Tm [(a) -250 (b)] TJ ET Q",
         b"BT 14 TL 10 700 Td (x) ' 2 1 (y z) \" T* (w) Tj ET",
         b"BT /F 8 Tf (s1) Tj ET BI /W 8 ID \xff\x00 EI BT (s2) Tj ET",
+        # binary image data CONTAINING the bytes EI: only the
+        # ws-delimited EI terminates (r4 token-boundary rule)
+        b"BI ID xxEIxx\x00EI\xff EI (t) Tj BI ID noEOD",
         b"/Im1 Do q 100 0 0 50 10 720 cm /Im2 Do Q BT <4142> Tj ET",
         b"BT 1 2 3 4 5 6 Tm (k) Tj -9999999999999999999 0 Td (m) Tj ET",
     ]
@@ -445,6 +448,7 @@ def test_content_lexer_parity():
     seeds = [
         body,
         b"BI /W 8 ID \xff\x00garbage EI q 1 0 0 1 0 0 cm (s) Tj",
+        b"BI ID binEIbin\x00EI. EI (lex) Tj",
         b"[1 (a) /N <0aff> [2 3]] TJ << /P /V >> BDC 4.5.6 x ET",
     ]
     assert run(lex_c, body) == run(textops._lex_content_py, body)
