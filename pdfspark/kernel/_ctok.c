@@ -1171,6 +1171,173 @@ ctok_cmap_codes_w(PyObject *self, PyObject *args)
     return out;
 }
 
+/* ---- LZW decode (filters.lzw_decode twin) --------------------------
+ * 9→12-bit variable codes; clear=256, EOD=257; early table growth at
+ * 511/1023/2047; missing EOD tolerated. Table entries beyond 257 are
+ * (offset, len) views into the OUTPUT buffer: each new entry is
+ * prev ‖ first-byte-of-current, which is exactly the contiguous byte
+ * run starting at prev's last emission offset. A code referencing a
+ * missing entry with no prev raises IndexError exactly like the
+ * Python list lookup. */
+static PyObject *
+ctok_lzw_decode(PyObject *self, PyObject *args)
+{
+    PyObject *data;
+    const unsigned char *d;
+    Py_ssize_t n, i;
+    unsigned char *out = NULL;
+    Py_ssize_t out_len = 0, out_cap = 0;
+    /* table: codes 0..255 single bytes; 256/257 reserved; 258..4095
+     * are (offset,len) into `out` */
+    Py_ssize_t tbl_off[4096], tbl_len_arr[4096];
+    Py_ssize_t table_len = 258;
+    int code_len = 9;
+    Py_ssize_t prev_off = -1, prev_len = 0; /* -1 ⇒ prev is None */
+    unsigned long acc = 0;
+    int nbits = 0;
+    PyObject *res;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "S", &data))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+
+#define OUT_RESERVE(extra)                                                \
+    do {                                                                  \
+        if (out_len + (extra) > out_cap) {                                \
+            Py_ssize_t ncap = out_cap ? out_cap * 2 : 256;                \
+            unsigned char *nb;                                            \
+            while (ncap < out_len + (extra))                              \
+                ncap *= 2;                                                \
+            nb = (unsigned char *)PyMem_Realloc(out, ncap);               \
+            if (nb == NULL) {                                             \
+                PyMem_Free(out);                                          \
+                return PyErr_NoMemory();                                  \
+            }                                                             \
+            out = nb;                                                     \
+            out_cap = ncap;                                               \
+        }                                                                 \
+    } while (0)
+
+    for (i = 0; i < n; i++) {
+        acc = (acc << 8) | d[i];
+        nbits += 8;
+        while (nbits >= code_len) {
+            long code;
+            Py_ssize_t e_off, e_len;
+            nbits -= code_len;
+            code = (long)((acc >> nbits) & ((1UL << code_len) - 1));
+            if (code == 256) { /* clear */
+                table_len = 258;
+                code_len = 9;
+                prev_off = -1;
+                prev_len = 0;
+                continue;
+            }
+            if (code == 257) { /* EOD */
+                res = PyBytes_FromStringAndSize((const char *)out, out_len);
+                PyMem_Free(out);
+                return res;
+            }
+            if (prev_off < 0 && prev_len == 0 && code >= 256) {
+                /* prev is None and code isn't a literal: the Python
+                 * path indexes table[code] — 256/257 are the empty
+                 * placeholders, beyond is an IndexError */
+                if (code < table_len) {
+                    if (code < 258) { /* b"" placeholder: emits nothing */
+                        prev_off = out_len;
+                        prev_len = 0;
+                        goto growth;
+                    }
+                    /* unreachable: table_len>258 implies prev set */
+                }
+                PyMem_Free(out);
+                PyErr_SetString(PyExc_IndexError,
+                                "list index out of range");
+                return NULL;
+            }
+            if (prev_off < 0 && prev_len == 0 && table_len == 258 &&
+                code < 256) {
+                /* first code: literal */
+                OUT_RESERVE(1);
+                prev_off = out_len;
+                prev_len = 1;
+                out[out_len++] = (unsigned char)code;
+                goto growth;
+            }
+            if (prev_off < 0) {
+                /* prev None, mid-stream literal (after clear) */
+                OUT_RESERVE(1);
+                prev_off = out_len;
+                prev_len = 1;
+                out[out_len++] = (unsigned char)code;
+                goto growth;
+            }
+            if (code < 256) {
+                e_off = -1; /* literal */
+                e_len = 1;
+            } else if (code < table_len) {
+                if (code < 258) { /* empty placeholder */
+                    e_off = out_len;
+                    e_len = 0;
+                } else {
+                    e_off = tbl_off[code];
+                    e_len = tbl_len_arr[code];
+                }
+            } else {
+                /* KwKwK: entry = prev + prev[:1] */
+                e_off = -2;
+                e_len = prev_len + 1;
+            }
+            /* register the NEW table entry = prev + entry[:1]; its
+             * bytes are prev's bytes followed by the first byte of
+             * this emission — contiguous at prev_off ONLY when prev
+             * was emitted at prev_off and entry follows directly; we
+             * emit below at out_len, so the combined run starts at
+             * prev_off iff prev_off+prev_len == out_len (always true:
+             * prev was the previous emission). */
+            if (table_len < 4096) {
+                tbl_off[table_len] = prev_off;
+                tbl_len_arr[table_len] = prev_len + 1;
+                table_len++;
+            } else {
+                /* Python list would keep appending past 4096; codes
+                 * can't reference >4095 at 12 bits, but table GROWTH
+                 * bookkeeping must not corrupt — emulate by counting */
+                table_len++;
+            }
+            /* emit the entry */
+            if (e_off == -1) { /* literal byte */
+                OUT_RESERVE(1);
+                prev_off = out_len;
+                out[out_len++] = (unsigned char)code;
+                prev_len = 1;
+            } else if (e_off == -2) { /* KwKwK */
+                OUT_RESERVE(e_len);
+                memcpy(out + out_len, out + prev_off, prev_len);
+                out[out_len + prev_len] = out[prev_off];
+                prev_off = out_len;
+                out_len += e_len;
+                prev_len = e_len;
+            } else {
+                OUT_RESERVE(e_len);
+                memcpy(out + out_len, out + e_off, e_len);
+                prev_off = out_len;
+                out_len += e_len;
+                prev_len = e_len;
+            }
+        growth:
+            if (table_len + 1 >= (1L << code_len) && code_len < 12)
+                code_len++;
+        }
+    }
+    res = PyBytes_FromStringAndSize((const char *)out, out_len);
+    PyMem_Free(out);
+    return res;
+#undef OUT_RESERVE
+}
+
 /* ---- classic xref table fast path (xref._parse_classic_table) ------
  * Parse `start count` subsections of strict 20-byte rows in one C
  * pass. ALL-OR-NOTHING: any anomaly (non-strict geometry, non-digit
@@ -2191,6 +2358,8 @@ static PyMethodDef ctok_methods[] = {
      "cmap_codes_w(raw, ranges) -> [(code, byte_width), ...]"},
     {"table_advance", ctok_table_advance, METH_VARARGS,
      "table_advance(raw, int64_table_256) -> advance sum"},
+    {"lzw_decode", ctok_lzw_decode, METH_VARARGS,
+     "lzw_decode(data) -> decoded bytes (PDF early-change LZW)"},
     {"parse_xref_table", ctok_parse_xref_table, METH_VARARGS,
      "parse_xref_table(data, pos) -> ([(num, gen, off), ...], endpos) "
      "| None(anomaly -> Python path)"},

@@ -147,9 +147,30 @@ def predictor_encode_up(data: bytes, columns: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _load_ctok_lzw():
+    try:
+        from .cos import _CTOK
+
+        if _CTOK is not None:
+            return getattr(_CTOK, "lzw_decode", None)
+    except Exception:  # pragma: no cover - env without gcc
+        pass
+    return None
+
+
+_CTOK_LZW = _load_ctok_lzw()
+
+
 def lzw_decode(data: bytes) -> bytes:
     """9→12-bit variable codes; clear=256, EOD=257; early table growth
-    at 511/1023/2047; missing EOD tolerated."""
+    at 511/1023/2047; missing EOD tolerated. C fast path when the
+    extension is available (differential parity in test_ctok_parity)."""
+    if _CTOK_LZW is not None and data.__class__ is bytes:
+        return _CTOK_LZW(data)
+    return _lzw_decode_py(data)
+
+
+def _lzw_decode_py(data: bytes) -> bytes:
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     code_len = 9

@@ -499,3 +499,38 @@ def test_parse_xref_table_fast_path():
     assert pt(b"1 1\n0000000017  0000 n \n", 0) is None
     # no subsection at all → empty success (trailer next)
     assert pt(b"trailer << >>", 0) == ([], 0)
+
+
+def test_lzw_decode_parity():
+    """C LZW decoder vs the Python loop: results AND error classes
+    over valid round trips, mutated streams, and random garbage."""
+    from pdfspark.kernel import filters as Fl
+
+    if getattr(cos._CTOK, "lzw_decode", None) is None:
+        pytest.skip("C lzw not available")
+    rng = random.Random(0x12A)
+
+    def run(fn, d):
+        try:
+            return ("ok", fn(d))
+        except Exception as e:
+            return (type(e).__name__, str(e))
+
+    for _ in range(800):
+        n = rng.randrange(0, 300)
+        if rng.randrange(3) < 2:
+            raw = bytes(rng.choice(b"abcdXYZ\x00\xff") for _ in range(n))
+            d = Fl.lzw_encode(raw)
+            if rng.randrange(4) == 0:
+                d = bytearray(d)
+                for _ in range(rng.randrange(1, 4)):
+                    if d:
+                        d[rng.randrange(len(d))] = rng.randrange(256)
+                d = bytes(d)
+        else:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        assert run(cos._CTOK.lzw_decode, d) == run(Fl._lzw_decode_py, d), d[:40]
+    # 10-12 bit code widths + table growth
+    big = b"the quick brown fox jumps over the lazy dog " * 300
+    enc = Fl.lzw_encode(big)
+    assert cos._CTOK.lzw_decode(enc) == Fl._lzw_decode_py(enc) == big
