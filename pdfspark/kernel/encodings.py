@@ -78,6 +78,8 @@ def encode_pdfdoc(text: str) -> bytes:
     single bytes; else UTF-16BE with BOM (the reference's live encode
     path is low-byte truncation, COSString.java:361-436 — we encode
     spec-correctly so decode∘encode = identity)."""
+    if text.isascii():  # identical to the per-char loop for <0x80
+        return text.encode("ascii")
     out = bytearray()
     for ch in text:
         o = ord(ch)

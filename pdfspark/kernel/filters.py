@@ -342,7 +342,7 @@ def a85_decode(data: bytes) -> bytes:
     return out
 
 
-def a85_encode(data: bytes) -> bytes:
+def _a85_encode_loop(data: bytes) -> bytes:
     out = bytearray()
     for i in range(0, len(data), 4):
         block = data[i : i + 4]
@@ -359,6 +359,30 @@ def a85_encode(data: bytes) -> bytes:
             out += bytes(d + 0x21 for d in digits[: k + 1])
     out += b"~>"
     return bytes(out)
+
+
+def a85_encode(data: bytes) -> bytes:
+    """Vectorized ASCII85 encode (byte-identical to the loop twin);
+    'z'-block-bearing input falls back to the loop — rare for real
+    payloads, and the loop remains the semantics authority."""
+    n = len(data)
+    if n < 16:
+        return _a85_encode_loop(data)
+    pad = (-n) % 4
+    vals = np.frombuffer(data + b"\x00" * pad, dtype=">u4").astype(np.int64)
+    full = len(vals) - (1 if pad else 0)
+    if (vals[:full] == 0).any():
+        return _a85_encode_loop(data)  # 'z' shortcut blocks present
+    digits = np.empty((len(vals), 5), dtype=np.uint8)
+    v = vals.copy()
+    for j in range(4, -1, -1):
+        digits[:, j] = (v % 85) + 0x21
+        v //= 85
+    out = digits[:full].tobytes()
+    if pad:
+        k = 4 - pad
+        out += digits[full, : k + 1].tobytes()
+    return out + b"~>"
 
 
 # ---------------------------------------------------------------------------

@@ -213,3 +213,24 @@ def test_a85_vectorized_vs_loop_differential():
         d2 = d[:i] if i >= 0 else d
         b = run(Fl._a85_decode_loop, d2.translate(None, Fl._A85_WS))
         assert a == b, (d[:60], a, b)
+
+
+def test_a85_encode_vectorized_vs_loop():
+    """Vectorized ASCII85 encode must be byte-identical to the loop
+    twin, including zero-block ('z') and partial-tail inputs."""
+    import random
+
+    from pdfspark.kernel import filters as Fl
+
+    rng = random.Random(0xE85)
+    for _ in range(500):
+        n = rng.randrange(0, 160)
+        mode = rng.randrange(3)
+        if mode == 0:
+            d = bytes(rng.randrange(256) for _ in range(n))
+        elif mode == 1:
+            d = bytes(rng.choice(b"\x00ab") for _ in range(n))
+        else:
+            d = b"\x00" * n
+        assert Fl.a85_encode(d) == Fl._a85_encode_loop(d)
+        assert Fl.a85_decode(Fl.a85_encode(d)) == d
