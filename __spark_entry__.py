@@ -355,6 +355,9 @@ FROM wk
         "pdf_malformed_policy": malformed_sql,
         "pdf_metadata": meta_sql,
         "pdf_attachments": attachments_sql,
+        # the production STREAMING sink must produce the identical
+        # span table the batch pipeline does — same identity oracle
+        "pdf_stream_extract": _SPANS_ORACLE_SQL,
         "pdf_outlines": outlines_sql,
         "pdf_links": links_sql,
     }

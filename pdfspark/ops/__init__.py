@@ -11,17 +11,29 @@ from collections.abc import Callable
 
 def register_ops_queries() -> dict[str, Callable]:
     out: dict[str, Callable] = {}
-    from . import ann, curate, dedup, html, multimodal, relational, textstats
+    from . import (
+        ann, curate, dedup, html, multimodal, relational, streaming,
+        textstats,
+    )
 
-    for mod in (dedup, ann, textstats, multimodal, html, curate, relational):
+    for mod in (
+        dedup, ann, textstats, multimodal, html, curate, relational,
+        streaming,
+    ):
         out.update(mod.queries())
     return out
 
 
 def register_ops_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    from . import ann, curate, dedup, html, multimodal, relational, textstats
+    from . import (
+        ann, curate, dedup, html, multimodal, relational, streaming,
+        textstats,
+    )
 
-    for mod in (dedup, ann, textstats, multimodal, html, curate, relational):
+    for mod in (
+        dedup, ann, textstats, multimodal, html, curate, relational,
+        streaming,
+    ):
         out.update(mod.oracles())
     return out

@@ -133,11 +133,43 @@ def run_stateful_counts_to_memory(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def stream_extract_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `pdf_stream_extract` (r4): the WHOLE production
+    streaming path — payload parquet lands in a directory, readStream
+    micro-batches run the identical extract kernel, the exactly-once
+    foreachBatch sink writes per-batch partitions + lineage — and the
+    final spans table must equal the batch round-trip, so the SAME
+    spans-identity SQL oracle gates it. Upgrades streaming from
+    pytest-only to a driver-oracled surface."""
+    import os
+    import tempfile
+
+    from ..engine import generate_payloads, load_documents, synth_spans_df
+
+    docs = load_documents(spark, sf_dir)
+    payloads = generate_payloads(synth_spans_df(docs), "classic")
+    base = tempfile.mkdtemp(prefix="pdfspark-streamq-")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "out")
+    payloads.repartition(4).write.parquet(landing)
+    run_streaming_extraction_to_table(
+        spark, landing, out, max_files_per_trigger=2
+    )
+    return spark.read.parquet(os.path.join(out, "spans")).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+
+
 def queries():
-    return {}  # streaming ops are exercised in pytest (memory sink)
+    # the memory-sink/watermark/stateful operators stay pytest-only
+    # (their results are runtime state, not a stable table); the
+    # production extraction sink IS a stable table → driver-oracled
+    return {"pdf_stream_extract": stream_extract_rows}
 
 
 def oracles():
+    # registered centrally: __spark_entry__ assigns the shared
+    # spans-identity SQL (streaming result == batch round-trip)
     return {}
 
 
