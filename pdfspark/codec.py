@@ -428,6 +428,29 @@ def _media_stub_bytes(media_ref: str) -> bytes:
     return b"\xff\xd8\xff\xe0" + h * 4 + b"\xff\xd9"
 
 
+def _media_bmp_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) BI_RGB 24-bit BMP, deterministic in
+    media_ref: dims 1-8 px from digest bytes, solid color from digest
+    bytes 2-4 — so the decode query's width/height/channel means are
+    closed-form SQL over md5(media_ref)."""
+    import struct
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    r, g, b = h[2], h[3], h[4]
+    stride = (w * 3 + 3) & ~3
+    row = (bytes((b, g, r)) * w) + b"\x00" * (stride - w * 3)
+    pixels = row * ht
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, ht, 1, 24, 0, len(pixels),
+                      2835, 2835, 0, 0)
+    )
+    return header + pixels
+
+
 def build_object_graph(
     doc_id: str,
     spans: Sequence[tuple],

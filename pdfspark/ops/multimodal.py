@@ -2,14 +2,18 @@
 (task brief: decode / feature-extract / resize / frame-sample as
 vectorized stages over binary columns).
 
-The image/audio codec libraries are not in this container, so the
-DECODE step is stubbed (``decode_image_real`` raises
-NotImplementedError; ``_fake_decode`` derives deterministic metadata
-from the payload's embedded digest). Everything Spark-side is REAL and
-exercised: binary column schema, Arrow batch transfer of bytes through
-mapInPandas, per-batch shaping, and the downstream typed-metadata
-DataFrame. Swapping ``_fake_decode`` for PIL/ffmpeg is a one-function
-change.
+Decode status (r4): ``decode_image_real`` REALLY decodes the
+self-describing uncompressed formats that need no codec library —
+BMP (BI_RGB), PGM/PPM, PCM WAV — with struct header parsing and
+numpy pixel/sample statistics; the `media_decode_real` driver query
+runs that path end-to-end against a closed-form oracle. Codec
+formats (JPEG/PNG/video) still raise NotImplementedError: that
+decode genuinely needs libraries absent from this container, and
+``_fake_decode`` (deterministic metadata from the payload's embedded
+digest) stands in for them — swapping it for PIL/ffmpeg on a real
+cluster is the documented one-function change. Everything Spark-side
+is REAL either way: binary column schema, Arrow batch transfer,
+per-batch shaping, typed-metadata output.
 
 The media payloads are the generator's pass-through DCT stubs
 (codec._media_stub_bytes — F7 Filter_DoNothing semantics): a JPEG
@@ -33,12 +37,105 @@ MEDIA_META_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """STUB — the real decoder needs an image library not present in
-    this container. On a production cluster, replace with e.g.
-    PIL.Image.open(io.BytesIO(payload))."""
+    """REAL decode for self-describing uncompressed formats — these
+    need no codec library, only struct + numpy (r4): BMP (BI_RGB
+    24-bit), PGM/PPM (P5/P6 binary), WAV (PCM). Returns typed
+    metadata + integer channel statistics. Codec formats (JPEG, PNG,
+    H.264, …) still raise NotImplementedError — that decode genuinely
+    needs libraries absent from this container; on a production
+    cluster it is the documented one-function PIL/ffmpeg swap."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off, = struct.unpack_from("<I", payload, 10)
+        hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if hsz < 40 or comp != 0 or bpp != 24:
+            raise NotImplementedError("BMP variant beyond BI_RGB 24-bit")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3]
+        if bottom_up:
+            px = px[::-1]
+        bgr = px.reshape(h, w, 3).astype(np.int64)
+        n = w * h
+        return {
+            "fmt": "bmp", "width": w, "height": h, "n_bytes": len(payload),
+            # integer-exact channel means (floor) — oracle-friendly
+            "mean_r": int(bgr[:, :, 2].sum() // n),
+            "mean_g": int(bgr[:, :, 1].sum() // n),
+            "mean_b": int(bgr[:, :, 0].sum() // n),
+        }
+    if payload[:2] in (b"P5", b"P6"):
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                j = payload.find(b"\n", i)
+                i = len(payload) if j < 0 else j + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        w, h, maxv = (int(t) for t in toks)
+        i += 1  # single whitespace after maxval
+        ch = 1 if payload[:2] == b"P5" else 3
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        means = px.reshape(-1, ch).astype(np.int64).sum(axis=0) // (w * h)
+        out = {
+            "fmt": "pgm" if ch == 1 else "ppm",
+            "width": w, "height": h, "n_bytes": len(payload),
+        }
+        if ch == 1:
+            out["mean_r"] = out["mean_g"] = out["mean_b"] = int(means[0])
+        else:
+            out["mean_r"], out["mean_g"], out["mean_b"] = map(int, means)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        fmt_info = None
+        data_view = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz, = struct.unpack_from("<I", payload, i + 4)
+            if cid == b"fmt ":
+                audio_fmt, nch, rate = struct.unpack_from("<HHI", payload, i + 8)
+                bits, = struct.unpack_from("<H", payload, i + 22)
+                fmt_info = (audio_fmt, nch, rate, bits)
+            elif cid == b"data":
+                data_view = payload[i + 8 : i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+        if fmt_info is None or data_view is None or fmt_info[0] != 1:
+            raise NotImplementedError("WAV variant beyond PCM")
+        _, nch, rate, bits = fmt_info
+        if bits == 16:
+            samples = np.frombuffer(
+                data_view, dtype="<i2", count=len(data_view) // 2
+            ).astype(np.int64)
+        elif bits == 8:
+            samples = np.frombuffer(data_view, dtype=np.uint8).astype(np.int64) - 128
+        else:
+            raise NotImplementedError(f"{bits}-bit WAV")
+        return {
+            "fmt": "wav", "width": 0, "height": 0, "n_bytes": len(payload),
+            "sample_rate": rate, "n_channels": nch,
+            "n_samples": len(samples) // max(nch, 1),
+            "peak": int(np.abs(samples).max(initial=0)),
+        }
     raise NotImplementedError(
-        "image codec libraries unavailable in this environment; "
-        "use _fake_decode (deterministic) for tests/benchmarks"
+        "codec-format decode (JPEG/PNG/…) needs image/audio libraries "
+        "unavailable in this environment; use _fake_decode "
+        "(deterministic) for tests/benchmarks"
     )
 
 
@@ -196,6 +293,80 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_media_bytes(media_spans(spark, sf_dir)))
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path (r4): BMP payloads decoded for real — header parse,
+# numpy pixel math, integer channel means. No codec library involved.
+# ---------------------------------------------------------------------------
+
+MEDIA_DECODE_SCHEMA = (
+    "doc_id bigint, media_ref string, fmt string, width int, height int, "
+    "mean_r int, mean_g int, mean_b int"
+)
+
+
+def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `media_decode_real`: every media span gets a REAL
+    BI_RGB BMP payload (deterministic in media_ref) and runs through
+    `decode_image_real` — actual header parsing and pixel statistics,
+    not the stub — inside one Arrow-batched stage. The closed-form
+    oracle re-derives dims and channel means from md5(media_ref)."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec import _media_bmp_bytes
+
+        for pdf in batches:
+            rows = []
+            for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
+                m = decode_image_real(_media_bmp_bytes(mref))
+                rows.append(
+                    {
+                        "doc_id": did, "media_ref": mref, "fmt": m["fmt"],
+                        "width": m["width"], "height": m["height"],
+                        "mean_r": m["mean_r"], "mean_g": m["mean_g"],
+                        "mean_b": m["mean_b"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "fmt", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media_spans(spark, sf_dir).mapInPandas(
+        ker, schema=MEDIA_DECODE_SCHEMA
+    )
+
+
+def _media_decode_sql() -> str:
+    # BMP dims/color derive from md5(media_ref) DIGEST bytes 0..4 =
+    # hex chars 1-2 / 3-4 / 5-6 / 7-8 / 9-10 (solid color → the
+    # integer channel means ARE the color bytes)
+    w = f"(1 + ({_hex_to_int('md5(media_ref)', 1, 2)}) % 8)"
+    h = f"(1 + ({_hex_to_int('md5(media_ref)', 3, 2)}) % 8)"
+    r = _hex_to_int("md5(media_ref)", 5, 2)
+    g = _hex_to_int("md5(media_ref)", 7, 2)
+    b = _hex_to_int("md5(media_ref)", 9, 2)
+    return f"""
+WITH c AS (
+  SELECT doc_id, unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id,
+         'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
+           AS media_ref
+  FROM c WHERE i % 3 = 2
+)
+SELECT doc_id, media_ref, 'bmp' AS fmt,
+       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST({r} AS INT) AS mean_r, CAST({g} AS INT) AS mean_g,
+       CAST({b} AS INT) AS mean_b
+FROM media
+"""
+
+
 def _media_frames_sql() -> str:
     # payload bytes [8:10) = md5(media_ref) digest bytes [4:6) =
     # hex chars 9..12 → same value from the hex string directly
@@ -223,8 +394,16 @@ FROM frames
 
 
 def queries():
-    return {"media_meta": media_meta, "media_frames": media_frames}
+    return {
+        "media_meta": media_meta,
+        "media_frames": media_frames,
+        "media_decode_real": media_decode_real,
+    }
 
 
 def oracles():
-    return {"media_meta": _media_meta_sql(), "media_frames": _media_frames_sql()}
+    return {
+        "media_meta": _media_meta_sql(),
+        "media_frames": _media_frames_sql(),
+        "media_decode_real": _media_decode_sql(),
+    }

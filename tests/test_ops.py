@@ -489,3 +489,35 @@ def test_chunk_boilerplate_planted(spark, tmp_path):
     assert got[0].n_boiler == 1 and got[1].n_boiler == 1
     assert got[2].n_boiler == 0 and got[2].boiler_ratio_x1000 == 0
     assert got[0].n_chunks == len(rows[0][1]) // 80 + (1 if len(rows[0][1]) % 80 else 0)
+
+
+def test_decode_image_real_formats():
+    """The r4 real decoders: BMP dims/means, PGM/PPM channel stats,
+    PCM WAV metadata + peak; codec formats still raise."""
+    import struct
+
+    from pdfspark.codec import _media_bmp_bytes
+    import hashlib
+
+    ref = "mfeedface01234567"
+    h = hashlib.md5(ref.encode()).digest()
+    m = multimodal.decode_image_real(_media_bmp_bytes(ref))
+    assert m["fmt"] == "bmp"
+    assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
+    p = multimodal.decode_image_real(b"P6 2 1 255 " + bytes([10, 20, 30, 30, 40, 50]))
+    assert (p["mean_r"], p["mean_g"], p["mean_b"]) == (20, 30, 40)
+    data = struct.pack("<4h", 100, -300, 200, -100)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    w = multimodal.decode_image_real(wav)
+    assert (w["fmt"], w["sample_rate"], w["n_samples"], w["peak"]) == (
+        "wav", 8000, 4, 300,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\xff\xd8\xff\xe0jpegdata")
