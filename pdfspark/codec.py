@@ -451,6 +451,45 @@ def _media_bmp_bytes(media_ref: str) -> bytes:
     return header + pixels
 
 
+def _media_png_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) 8-bit RGB PNG, deterministic in media_ref:
+    same dims/color contract as _media_bmp_bytes (digest bytes 0-4) —
+    zlib is stdlib, so both sides of the oracle stay library-free.
+    Scanlines alternate filter None (raw color bytes) and filter Up
+    (all-zero residuals against the previous row), so real
+    unfiltering runs on every decode."""
+    import struct
+    import zlib
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = bytes((h[2], h[3], h[4]))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, ht, 8, 2, 0, 0, 0)
+    row = color * w
+    scan = b"".join(
+        (b"\x02" + b"\x00" * len(row))  # Up residual of a flat image
+        if y and y % 2
+        else (b"\x00" + row)
+        for y in range(ht)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
 def build_object_graph(
     doc_id: str,
     spans: Sequence[tuple],

@@ -101,6 +101,8 @@ def decode_image_real(payload: bytes) -> dict:
         else:
             out["mean_r"], out["mean_g"], out["mean_b"] = map(int, means)
         return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt_info = None
@@ -137,6 +139,91 @@ def decode_image_real(payload: bytes) -> dict:
         "unavailable in this environment; use _fake_decode "
         "(deterministic) for tests/benchmarks"
     )
+
+
+def _png_decode(payload: bytes) -> dict:
+    """REAL PNG decode — zlib is stdlib, so inflate + scanline
+    unfiltering need no codec library. 8-bit depth, no interlace;
+    gray/RGB (±alpha) color types; all five filter types (None/Up/Sub
+    vectorized; Average/Paeth per-pixel — they carry an intra-line
+    dependency). Alpha is excluded from the channel means."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    i = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while i + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, i)
+        chunk = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
+    w, h, bitd, ctype, comp, filt, interlace = ihdr
+    if bitd != 8 or interlace != 0 or comp != 0 or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG variant beyond 8-bit non-interlaced (depth {bitd}, "
+            f"color {ctype})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("PNG data shorter than geometry")
+    img = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft == 1:  # Sub = per-channel prefix sum mod 256
+            cur = line.copy()
+            for c0 in range(ch):
+                cur[c0::ch] = np.cumsum(line[c0::ch]) % 256
+        elif ft == 3:  # Average (left is intra-line sequential)
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        img[y] = cur
+        prev = cur
+    n = w * h
+    px = img.reshape(h, w, ch)
+    color_ch = 1 if ctype in (0, 4) else 3
+    means = [int(px[:, :, k].sum() // n) for k in range(color_ch)]
+    out = {
+        "fmt": "png", "width": w, "height": h, "n_bytes": len(payload),
+    }
+    if color_ch == 1:
+        out["mean_r"] = out["mean_g"] = out["mean_b"] = means[0]
+    else:
+        out["mean_r"], out["mean_g"], out["mean_b"] = means
+    return out
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -306,18 +393,26 @@ MEDIA_DECODE_SCHEMA = (
 
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `media_decode_real`: every media span gets a REAL
-    BI_RGB BMP payload (deterministic in media_ref) and runs through
-    `decode_image_real` — actual header parsing and pixel statistics,
-    not the stub — inside one Arrow-batched stage. The closed-form
-    oracle re-derives dims and channel means from md5(media_ref)."""
+    payload — BMP (BI_RGB) or PNG (zlib + None/Up filtered
+    scanlines), rotating on the digest — and runs through
+    `decode_image_real`: actual header parsing, inflate, unfiltering
+    and pixel statistics, not the stub, inside one Arrow-batched
+    stage. The closed-form oracle re-derives format, dims and channel
+    means from md5(media_ref)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..codec import _media_bmp_bytes
+        import hashlib
+
+        from ..codec import _media_bmp_bytes, _media_png_bytes
 
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                m = decode_image_real(_media_bmp_bytes(mref))
+                png = hashlib.md5(mref.encode()).digest()[5] % 2 == 1
+                payload = (
+                    _media_png_bytes(mref) if png else _media_bmp_bytes(mref)
+                )
+                m = decode_image_real(payload)
                 rows.append(
                     {
                         "doc_id": did, "media_ref": mref, "fmt": m["fmt"],
@@ -348,6 +443,11 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
+    # format rotation: digest byte 5 (hex chars 11-12) odd → PNG
+    fmt = (
+        f"CASE WHEN ({_hex_to_int('md5(media_ref)', 11, 2)}) % 2 = 1 "
+        "THEN 'png' ELSE 'bmp' END"
+    )
     return f"""
 WITH c AS (
   SELECT doc_id, unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
@@ -359,7 +459,7 @@ media AS (
            AS media_ref
   FROM c WHERE i % 3 = 2
 )
-SELECT doc_id, media_ref, 'bmp' AS fmt,
+SELECT doc_id, media_ref, {fmt} AS fmt,
        CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
        CAST({r} AS INT) AS mean_r, CAST({g} AS INT) AS mean_g,
        CAST({b} AS INT) AS mean_b

@@ -521,3 +521,76 @@ def test_decode_image_real_formats():
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\xff\xd8\xff\xe0jpegdata")
+
+
+def test_png_decode_all_filters_and_generator():
+    """Real PNG decode: generator PNGs (None/Up rows) hit the digest
+    contract exactly, and a hand-filtered image using ALL FIVE filter
+    types round-trips to correct channel means."""
+    import hashlib
+    import random
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdfspark.codec import _media_png_bytes
+
+    ref = "mpngprobe0001"
+    h = hashlib.md5(ref.encode()).digest()
+    m = multimodal.decode_image_real(_media_png_bytes(ref))
+    assert m["fmt"] == "png"
+    assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
+
+    rng = random.Random(5)
+    w, ht, ch = 7, 6, 3
+    img = np.array(
+        [[rng.randrange(256) for _ in range(w * ch)] for _ in range(ht)],
+        dtype=np.int64,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = bytearray()
+    for y in range(ht):
+        ft = y % 5
+        prev = img[y - 1] if y else np.zeros(w * ch, np.int64)
+        raw = img[y]
+        out = np.zeros(w * ch, np.int64)
+        for x in range(w * ch):
+            a = raw[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                out[x] = raw[x]
+            elif ft == 1:
+                out[x] = (raw[x] - a) % 256
+            elif ft == 2:
+                out[x] = (raw[x] - b) % 256
+            elif ft == 3:
+                out[x] = (raw[x] - (a + b) // 2) % 256
+            else:
+                out[x] = (raw[x] - paeth(a, b, c)) % 256
+        scan += bytes([ft]) + bytes(out.astype(np.uint8))
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, ht, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    m = multimodal._png_decode(png)
+    n = w * ht
+    exp = tuple(int(img.reshape(ht, w, ch)[:, :, k].sum() // n) for k in range(3))
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == exp
+    assert (m["width"], m["height"]) == (w, ht)
