@@ -490,6 +490,32 @@ def _media_png_bytes(media_ref: str) -> bytes:
     )
 
 
+def _media_wav_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) PCM-16 mono WAV, deterministic in
+    media_ref: sample rate, length and amplitude from digest bytes
+    5-7; samples alternate ±A so peak == A exactly — every decoded
+    field is closed-form SQL over md5(media_ref)."""
+    import struct
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    rate = 8000 + (h[5] % 8) * 1000
+    n = 16 + h[6] % 240
+    amp = 1 + (h[7] * 117) % 30000
+    data = struct.pack(
+        "<%dh" % n, *((amp if i % 2 == 0 else -amp) for i in range(n))
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def build_object_graph(
     doc_id: str,
     spans: Sequence[tuple],

@@ -4,10 +4,11 @@ vectorized stages over binary columns).
 
 Decode status (r4): ``decode_image_real`` REALLY decodes the
 self-describing uncompressed formats that need no codec library —
-BMP (BI_RGB), PGM/PPM, PCM WAV — with struct header parsing and
-numpy pixel/sample statistics; the `media_decode_real` driver query
-runs that path end-to-end against a closed-form oracle. Codec
-formats (JPEG/PNG/video) still raise NotImplementedError: that
+BMP (BI_RGB), PNG (stdlib zlib + unfiltering), PGM/PPM, PCM WAV —
+with struct header parsing and numpy pixel/sample statistics; the
+`media_decode_real` (BMP/PNG rotation) and `media_audio_meta` (WAV)
+driver queries run that path end-to-end against closed-form oracles.
+Codec formats (JPEG/video) still raise NotImplementedError: that
 decode genuinely needs libraries absent from this container, and
 ``_fake_decode`` (deterministic metadata from the payload's embedded
 digest) stands in for them — swapping it for PIL/ffmpeg on a real
@@ -37,13 +38,14 @@ MEDIA_META_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """REAL decode for self-describing uncompressed formats — these
-    need no codec library, only struct + numpy (r4): BMP (BI_RGB
-    24-bit), PGM/PPM (P5/P6 binary), WAV (PCM). Returns typed
-    metadata + integer channel statistics. Codec formats (JPEG, PNG,
-    H.264, …) still raise NotImplementedError — that decode genuinely
-    needs libraries absent from this container; on a production
-    cluster it is the documented one-function PIL/ffmpeg swap."""
+    """REAL decode for formats that need no codec library (r4):
+    BMP (BI_RGB 24-bit), PNG (stdlib zlib + scanline unfiltering),
+    PGM/PPM (P5/P6 binary), WAV (PCM) — struct + numpy + zlib only.
+    Returns typed metadata + integer channel/sample statistics.
+    Codec formats (JPEG, H.264, …) still raise NotImplementedError —
+    that decode genuinely needs libraries absent from this container;
+    on a production cluster it is the documented one-function
+    PIL/ffmpeg swap."""
     import struct
 
     import numpy as np
@@ -135,7 +137,7 @@ def decode_image_real(payload: bytes) -> dict:
             "peak": int(np.abs(samples).max(initial=0)),
         }
     raise NotImplementedError(
-        "codec-format decode (JPEG/PNG/…) needs image/audio libraries "
+        "codec-format decode (JPEG/H.264/…) needs image/audio libraries "
         "unavailable in this environment; use _fake_decode "
         "(deterministic) for tests/benchmarks"
     )
@@ -434,6 +436,69 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_AUDIO_SCHEMA = (
+    "doc_id bigint, media_ref string, fmt string, sample_rate int, "
+    "n_channels int, n_samples int, peak int"
+)
+
+
+def media_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `media_audio_meta`: the audio leg of the
+    multimodal triad — every media span gets a REAL PCM WAV payload
+    (deterministic in media_ref) and runs through the real decoder
+    (RIFF chunk walk + numpy sample statistics). Closed-form oracle
+    over md5(media_ref)."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec import _media_wav_bytes
+
+        for pdf in batches:
+            rows = []
+            for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
+                m = decode_image_real(_media_wav_bytes(mref))
+                rows.append(
+                    {
+                        "doc_id": did, "media_ref": mref, "fmt": m["fmt"],
+                        "sample_rate": m["sample_rate"],
+                        "n_channels": m["n_channels"],
+                        "n_samples": m["n_samples"], "peak": m["peak"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "fmt", "sample_rate",
+                    "n_channels", "n_samples", "peak",
+                ],
+            )
+
+    return media_spans(spark, sf_dir).mapInPandas(
+        ker, schema=MEDIA_AUDIO_SCHEMA
+    )
+
+
+def _media_audio_sql() -> str:
+    rate = f"(8000 + (({_hex_to_int('md5(media_ref)', 11, 2)}) % 8) * 1000)"
+    n = f"(16 + ({_hex_to_int('md5(media_ref)', 13, 2)}) % 240)"
+    peak = f"(1 + (({_hex_to_int('md5(media_ref)', 15, 2)}) * 117) % 30000)"
+    return f"""
+WITH c AS (
+  SELECT doc_id, unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id,
+         'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
+           AS media_ref
+  FROM c WHERE i % 3 = 2
+)
+SELECT doc_id, media_ref, 'wav' AS fmt,
+       CAST({rate} AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST({n} AS INT) AS n_samples, CAST({peak} AS INT) AS peak
+FROM media
+"""
+
+
 def _media_decode_sql() -> str:
     # BMP dims/color derive from md5(media_ref) DIGEST bytes 0..4 =
     # hex chars 1-2 / 3-4 / 5-6 / 7-8 / 9-10 (solid color → the
@@ -498,6 +563,7 @@ def queries():
         "media_meta": media_meta,
         "media_frames": media_frames,
         "media_decode_real": media_decode_real,
+        "media_audio_meta": media_audio_meta,
     }
 
 
@@ -506,4 +572,5 @@ def oracles():
         "media_meta": _media_meta_sql(),
         "media_frames": _media_frames_sql(),
         "media_decode_real": _media_decode_sql(),
+        "media_audio_meta": _media_audio_sql(),
     }

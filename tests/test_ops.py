@@ -594,3 +594,17 @@ def test_png_decode_all_filters_and_generator():
     exp = tuple(int(img.reshape(ht, w, ch)[:, :, k].sum() // n) for k in range(3))
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == exp
     assert (m["width"], m["height"]) == (w, ht)
+
+
+def test_media_wav_generator_decodes_exactly():
+    import hashlib
+
+    from pdfspark.codec import _media_wav_bytes
+
+    for ref in ("mwavx", "mwavy"):
+        h = hashlib.md5(ref.encode()).digest()
+        m = multimodal.decode_image_real(_media_wav_bytes(ref))
+        assert m["fmt"] == "wav" and m["n_channels"] == 1
+        assert m["sample_rate"] == 8000 + (h[5] % 8) * 1000
+        assert m["n_samples"] == 16 + h[6] % 240
+        assert m["peak"] == 1 + (h[7] * 117) % 30000
