@@ -219,9 +219,14 @@ class Document:
         def walk(node: CDict, node_num: int, inherited: dict, depth: int) -> None:
             if depth > 64:
                 raise EParseError("page tree too deep")
-            inh = dict(inherited)
+            # copy-on-write: leaf pages usually inherit everything, so
+            # the per-node dict copy only happens when a node actually
+            # overrides one of the four inheritable attributes
+            inh = inherited
             for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
                 if key in node:
+                    if inh is inherited:
+                        inh = dict(inherited)
                     inh[key] = node.deref(node[key], res)
             ntype = node.get_name("Type")
             kids = node.get_array("Kids", None, res)
