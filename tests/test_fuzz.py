@@ -112,3 +112,48 @@ def test_extract_total(data):
     assert status in ("ok", "error")
     if status == "error":
         assert spans == []
+
+
+R4_VARIANTS = ("encrypted", "cjk:embedded", "attachments", "navigation")
+
+
+@pytest.mark.parametrize("variant", R4_VARIANTS)
+def test_r4_variant_mutations_never_raise(variant):
+    """The r4 structural surfaces under corruption: encryption (all
+    four ciphers × layouts), chained embedded CMaps, name trees and
+    outline/annotation graphs must keep the PERMISSIVE contract."""
+    base = build_pdf(
+        "fz" + variant, synth_spans_py("fz" + variant, "fuzz seed " * 25),
+        variant,
+    )
+    rng = random.Random(hash(variant) & 0xFFFF)
+    for _ in range(150):
+        mutated = _mutate(rng, base)
+        status, err, spans = extract_spans(mutated)
+        assert status in ("ok", "error")
+        if status == "error":
+            assert spans == [] and err
+
+
+@pytest.mark.parametrize("variant", ("classic", "objstream", "encrypted"))
+def test_lenient_reconstruction_mutations_never_raise(variant):
+    """RECONSTRUCTION under corruption — the riskiest path: lenient
+    mode runs the whole-file scan + trailer harvest + (for encrypted
+    docs) the unlock-then-expand sequence on arbitrarily damaged
+    input, and must still only ever return the status tuple."""
+    from pdfspark.kernel.errors import ParserSettings
+
+    lenient = ParserSettings(allow_reconstruction=True)
+    base = build_pdf(
+        "fr" + variant, synth_spans_py("fr" + variant, "recon seed " * 25),
+        variant,
+    )
+    cut = base[: base.rfind(b"startxref")] + b"%%EOF\n"
+    rng = random.Random(0xF00D + hash(variant) % 997)
+    for seed_doc in (base, cut):
+        for _ in range(120):
+            mutated = _mutate(rng, seed_doc)
+            status, err, spans = extract_spans(mutated, lenient)
+            assert status in ("ok", "error")
+            if status == "error":
+                assert spans == [] and err
