@@ -490,6 +490,83 @@ def _media_png_bytes(media_ref: str) -> bytes:
     )
 
 
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW encoder (LSB-first; clear/EOD; width grows when
+    next_code reaches 2^width, cap 12 then clear) — the inverse of the
+    decoder in ops/multimodal._gif_lzw_decode."""
+    clear = 1 << min_code
+    eod = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([c]): c for c in range(clear)}
+    next_code = eod + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        c = bytes([b])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # lockstep: the decoder lags one entry (it adds our entry E_t
+        # only when reading C_{t+1}), so its table size when reading
+        # the NEXT code is next_code − 1; it widens at 2^width
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear)
+            table = {bytes([cc]): cc for cc in range(clear)}
+            next_code = eod + 1
+            width = min_code + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(eod)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _media_gif_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) GIF89a, deterministic in media_ref: same
+    dims/color contract as the BMP/PNG twins (digest bytes 0-4) — a
+    2-entry global palette whose entry 0 is the color, all pixels
+    index 0, real GIF-LZW data sub-blocks."""
+    import struct
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = bytes((h[2], h[3], h[4]))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, ht, 0x80, 0, 0)  # GCT, 2 entries
+    out += color + b"\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, ht, 0)
+    min_code = 2  # spec minimum
+    out.append(min_code)
+    data = _gif_lzw_encode(b"\x00" * (w * ht), min_code)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
 def _media_wav_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) PCM-16 mono WAV, deterministic in
     media_ref: sample rate, length and amplitude from digest bytes

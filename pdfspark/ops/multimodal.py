@@ -105,6 +105,8 @@ def decode_image_real(payload: bytes) -> dict:
         return out
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt_info = None
@@ -226,6 +228,122 @@ def _png_decode(payload: bytes) -> dict:
     else:
         out["mean_r"], out["mean_g"], out["mean_b"] = means
     return out
+
+
+def _gif_decode(payload: bytes) -> dict:
+    """REAL GIF decode — LZW is pure arithmetic, so no codec library:
+    logical-screen + palette parsing, extension skipping, sub-block
+    reassembly, LSB-first variable-width GIF-LZW (clear/EOD, width
+    grows at 2^w — NOT the PDF/TIFF early change), interlace row
+    permutation; first frame only, means over the palette-mapped
+    pixels."""
+    import struct
+
+    import numpy as np
+
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, np.uint8, n_colors * 3, i
+        ).reshape(-1, 3)
+        i += n_colors * 3
+    while i < len(payload):
+        introducer = payload[i]
+        if introducer == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif introducer == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, i + 1)
+            i += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n_colors = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, n_colors * 3, i
+                ).reshape(-1, 3)
+                i += n_colors * 3
+            interlaced = bool(ipacked & 0x40)
+            if pal is None:
+                raise NotImplementedError("GIF without any color table")
+            min_code = payload[i]
+            i += 1
+            blocks = []
+            while i < len(payload) and payload[i] != 0:
+                ln = payload[i]
+                blocks.append(payload[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            data = b"".join(blocks)
+            idx = _gif_lzw_decode(data, min_code, iw * ih)
+            px = pal[np.clip(np.array(idx, dtype=np.int64), 0, len(pal) - 1)]
+            if interlaced:
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                img = np.empty((ih, iw, 3), np.uint8)
+                img[order] = px[: iw * ih].reshape(ih, iw, 3)
+                px = img.reshape(-1, 3)
+            n = iw * ih
+            sums = px[:n].astype(np.int64).sum(axis=0)
+            return {
+                "fmt": "gif", "width": iw, "height": ih,
+                "n_bytes": len(payload),
+                "mean_r": int(sums[0] // n), "mean_g": int(sums[1] // n),
+                "mean_b": int(sums[2] // n),
+            }
+        elif introducer == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"GIF block {introducer:#x}")
+    raise NotImplementedError("GIF without an image frame")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
+    """GIF-flavor LZW: LSB-first bit packing, clear = 2^N,
+    EOD = 2^N+1, width grows WHEN next_code reaches 2^width (cap 12).
+    Returns the index stream (clamped to max_pixels)."""
+    clear = 1 << min_code
+    eod = clear + 1
+    table: list[tuple] = [(c,) for c in range(clear)] + [(), ()]
+    width = min_code + 1
+    out: list = []
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(c,) for c in range(clear)] + [(), ()]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eod:
+                return out[:max_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out.extend(entry)
+            if len(out) >= max_pixels:
+                return out[:max_pixels]
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out[:max_pixels]
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -395,26 +513,26 @@ MEDIA_DECODE_SCHEMA = (
 
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `media_decode_real`: every media span gets a REAL
-    payload — BMP (BI_RGB) or PNG (zlib + None/Up filtered
-    scanlines), rotating on the digest — and runs through
-    `decode_image_real`: actual header parsing, inflate, unfiltering
-    and pixel statistics, not the stub, inside one Arrow-batched
-    stage. The closed-form oracle re-derives format, dims and channel
-    means from md5(media_ref)."""
+    payload — BMP (BI_RGB), PNG (zlib inflate + filtered scanlines)
+    or GIF (GIF-LZW sub-blocks), rotating on the digest — and runs
+    through `decode_image_real`: actual header parsing, inflate/LZW,
+    unfiltering and pixel statistics, not the stub, inside one
+    Arrow-batched stage. The closed-form oracle re-derives format,
+    dims and channel means from md5(media_ref)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from ..codec import _media_bmp_bytes, _media_png_bytes
+        from ..codec import (
+            _media_bmp_bytes, _media_gif_bytes, _media_png_bytes,
+        )
 
+        makers = (_media_bmp_bytes, _media_png_bytes, _media_gif_bytes)
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                png = hashlib.md5(mref.encode()).digest()[5] % 2 == 1
-                payload = (
-                    _media_png_bytes(mref) if png else _media_bmp_bytes(mref)
-                )
-                m = decode_image_real(payload)
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 3]
+                m = decode_image_real(maker(mref))
                 rows.append(
                     {
                         "doc_id": did, "media_ref": mref, "fmt": m["fmt"],
@@ -508,10 +626,10 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) odd → PNG
+    # format rotation: digest byte 5 (hex chars 11-12) % 3
     fmt = (
-        f"CASE WHEN ({_hex_to_int('md5(media_ref)', 11, 2)}) % 2 = 1 "
-        "THEN 'png' ELSE 'bmp' END"
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 3 "
+        "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END"
     )
     return f"""
 WITH c AS (

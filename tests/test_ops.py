@@ -608,3 +608,35 @@ def test_media_wav_generator_decodes_exactly():
         assert m["sample_rate"] == 8000 + (h[5] % 8) * 1000
         assert m["n_samples"] == 16 + h[6] % 240
         assert m["peak"] == 1 + (h[7] * 117) % 30000
+
+
+def test_gif_decode_and_lzw_roundtrip():
+    """Real GIF decode: generator GIFs match the digest contract;
+    the GIF-LZW encoder/decoder pair round-trips arbitrary index
+    streams through 12-bit table growth and the table-full clear."""
+    import hashlib
+    import random
+
+    from pdfspark.codec import _gif_lzw_encode, _media_gif_bytes
+
+    ref = "mgifprobe42"
+    h = hashlib.md5(ref.encode()).digest()
+    m = multimodal.decode_image_real(_media_gif_bytes(ref))
+    assert m["fmt"] == "gif"
+    assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
+
+    rng = random.Random(3)
+    for min_code in (2, 8):
+        nsym = 1 << min_code
+        for trial in range(20):
+            n = rng.randrange(0, 2500)
+            idx = bytes(rng.randrange(nsym) for _ in range(n))
+            if trial % 3 == 0:
+                idx = (idx[:20] * 200)[:n]
+            enc = _gif_lzw_encode(idx, min_code)
+            assert bytes(multimodal._gif_lzw_decode(enc, min_code, n)) == idx
+    deep = b"abcd" * 4000  # forces the 4096-entry clear
+    assert bytes(
+        multimodal._gif_lzw_decode(_gif_lzw_encode(deep, 8), 8, len(deep))
+    ) == deep
