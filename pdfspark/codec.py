@@ -567,6 +567,49 @@ def _media_gif_bytes(media_ref: str) -> bytes:
     return bytes(out)
 
 
+def _media_tiff_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) baseline TIFF, deterministic in media_ref:
+    same dims/color contract as the BMP/PNG/GIF twins; compression
+    rotates none/LZW on digest byte 6 (TIFF-LZW IS the PDF-flavor
+    MSB early-change LZW, so kernel.filters.lzw_encode serves)."""
+    import struct
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = bytes((h[2], h[3], h[4]))
+    use_lzw = h[6] % 2 == 1
+    pixels = color * (w * ht)
+    if use_lzw:
+        pixels = lzw_encode(pixels)
+    # layout: 8-byte header | pixel strip | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(pixels)
+    entries = [
+        (256, 3, 1, w),            # ImageWidth
+        (257, 3, 1, ht),           # ImageLength
+        (258, 3, 3, None),         # BitsPerSample [8,8,8] (external)
+        (259, 3, 1, 5 if use_lzw else 1),  # Compression
+        (262, 3, 1, 2),            # Photometric RGB
+        (273, 4, 1, strip_off),    # StripOffsets
+        (277, 3, 1, 3),            # SamplesPerPixel
+        (278, 3, 1, ht),           # RowsPerStrip
+        (279, 4, 1, len(pixels)),  # StripByteCounts
+    ]
+    bits_off = ifd_off + 2 + len(entries) * 12 + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += pixels
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            out += struct.pack("<HHII", tag, typ, cnt, bits_off)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)
+
+
 def _media_wav_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) PCM-16 mono WAV, deterministic in
     media_ref: sample rate, length and amplitude from digest bytes

@@ -2,13 +2,15 @@
 (task brief: decode / feature-extract / resize / frame-sample as
 vectorized stages over binary columns).
 
-Decode status (r4): ``decode_image_real`` REALLY decodes the
-self-describing uncompressed formats that need no codec library —
-BMP (BI_RGB), PNG (stdlib zlib + unfiltering), PGM/PPM, PCM WAV —
-with struct header parsing and numpy pixel/sample statistics; the
-`media_decode_real` (BMP/PNG rotation) and `media_audio_meta` (WAV)
-driver queries run that path end-to-end against closed-form oracles.
-Codec formats (JPEG/video) still raise NotImplementedError: that
+Decode status (r4): ``decode_image_real`` REALLY decodes every
+format that needs no codec library — BMP (BI_RGB), PNG (stdlib zlib
++ unfiltering), GIF (pure GIF-LZW), TIFF (baseline none/LZW),
+PGM/PPM, PCM WAV, and JPEG SOF headers (dimensions without entropy
+decode) — with struct parsing and numpy pixel/sample statistics; the
+`media_decode_real` (BMP/PNG/GIF/TIFF rotation) and
+`media_audio_meta` (WAV) driver queries run that path end-to-end
+against closed-form oracles. JPEG/video PIXEL decode still raises
+NotImplementedError: that
 decode genuinely needs libraries absent from this container, and
 ``_fake_decode`` (deterministic metadata from the payload's embedded
 digest) stands in for them — swapping it for PIL/ffmpeg on a real
@@ -40,12 +42,14 @@ MEDIA_META_SCHEMA = (
 def decode_image_real(payload: bytes) -> dict:
     """REAL decode for formats that need no codec library (r4):
     BMP (BI_RGB 24-bit), PNG (stdlib zlib + scanline unfiltering),
-    PGM/PPM (P5/P6 binary), WAV (PCM) — struct + numpy + zlib only.
+    GIF (pure GIF-LZW), TIFF (baseline none/LZW + predictor),
+    PGM/PPM (P5/P6 binary), WAV (PCM), plus JPEG SOF HEADER parsing
+    (dimensions without entropy decode) — struct + numpy + zlib only.
     Returns typed metadata + integer channel/sample statistics.
-    Codec formats (JPEG, H.264, …) still raise NotImplementedError —
-    that decode genuinely needs libraries absent from this container;
-    on a production cluster it is the documented one-function
-    PIL/ffmpeg swap."""
+    Full JPEG/video pixel decode still raises NotImplementedError —
+    that genuinely needs libraries absent from this container; on a
+    production cluster it is the documented one-function PIL/ffmpeg
+    swap."""
     import struct
 
     import numpy as np
@@ -107,6 +111,12 @@ def decode_image_real(payload: bytes) -> dict:
         return _png_decode(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: entropy decode needs a codec library, but the SOF
+        # header is plain marker parsing — REAL dimension extraction
+        return _jpeg_header_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt_info = None
@@ -346,6 +356,103 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
     return out[:max_pixels]
 
 
+def _tiff_decode(payload: bytes) -> dict:
+    """REAL baseline-TIFF decode: IFD walk (both endiannesses),
+    strip assembly, Compression 1 (none) and 5 (TIFF-LZW — the SAME
+    MSB early-change algorithm as PDF LZWDecode, so the existing
+    decoder serves), horizontal-differencing predictor, 8-bit
+    gray/RGB; integer channel means. Exotic variants raise."""
+    import struct
+
+    import numpy as np
+
+    from ..kernel.filters import lzw_decode
+
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list] = {}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for k in range(n_entries):
+        off = ifd_off + 2 + k * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in type_fmt:
+            continue
+        total = type_size[typ] * cnt
+        if total <= 4:
+            vals = struct.unpack_from(bo + type_fmt[typ] * cnt, payload, off + 8)
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+            vals = struct.unpack_from(bo + type_fmt[typ] * cnt, payload, voff)
+        tags[tag] = list(vals)
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offs = tags[273]
+        counts = tags[279]
+    except KeyError:
+        raise NotImplementedError("TIFF missing required tags") from None
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])[0]
+    pred = tags.get(317, [1])[0]
+    if bits != 8 or spp not in (1, 3) or comp not in (1, 5) or pred not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF variant beyond 8-bit gray/RGB none/LZW (bits {bits}, "
+            f"spp {spp}, comp {comp}, pred {pred})"
+        )
+    raw = b"".join(payload[o : o + c] for o, c in zip(offs, counts))
+    if comp == 5:
+        raw = lzw_decode(raw)
+    if len(raw) < w * h * spp:
+        raise NotImplementedError("TIFF data shorter than geometry")
+    px = np.frombuffer(raw, np.uint8, w * h * spp).astype(np.int64)
+    px = px.reshape(h, w, spp)
+    if pred == 2:  # horizontal differencing: prefix sum per row/channel
+        px = np.cumsum(px, axis=1) % 256
+    n = w * h
+    means = [int(px[:, :, c].sum() // n) for c in range(spp)]
+    out = {"fmt": "tiff", "width": w, "height": h, "n_bytes": len(payload)}
+    if spp == 1:
+        out["mean_r"] = out["mean_g"] = out["mean_b"] = means[0]
+    else:
+        out["mean_r"], out["mean_g"], out["mean_b"] = means
+    return out
+
+
+def _jpeg_header_decode(payload: bytes) -> dict:
+    """REAL JPEG header parse (markers only — no entropy decode):
+    dimensions from the first SOF0-SOF15 frame marker. Pixel decode
+    still needs a codec library; SOF-less payloads (e.g. the
+    generator's opaque DCT stubs) raise NotImplementedError."""
+    import struct
+
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, i + 4)
+            return {
+                "fmt": "jpeg", "width": w, "height": h,
+                "n_bytes": len(payload), "n_components": ncomp,
+                "precision": prec,
+            }
+        if marker == 0xDA:  # start of scan: entropy data follows
+            break
+        i += 2 + seglen
+    raise NotImplementedError(
+        "JPEG without a parseable SOF frame header (or pixel decode "
+        "requested) — needs a codec library"
+    )
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic decode stand-in: dimensions from the embedded
     digest bytes (payload[4:8]); format from the magic."""
@@ -525,13 +632,17 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..codec import (
             _media_bmp_bytes, _media_gif_bytes, _media_png_bytes,
+            _media_tiff_bytes,
         )
 
-        makers = (_media_bmp_bytes, _media_png_bytes, _media_gif_bytes)
+        makers = (
+            _media_bmp_bytes, _media_png_bytes, _media_gif_bytes,
+            _media_tiff_bytes,
+        )
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 3]
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 4]
                 m = decode_image_real(maker(mref))
                 rows.append(
                     {
@@ -626,10 +737,11 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) % 3
+    # format rotation: digest byte 5 (hex chars 11-12) % 4
     fmt = (
-        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 3 "
-        "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END"
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 4 "
+        "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' "
+        "ELSE 'tiff' END"
     )
     return f"""
 WITH c AS (

@@ -640,3 +640,33 @@ def test_gif_decode_and_lzw_roundtrip():
     assert bytes(
         multimodal._gif_lzw_decode(_gif_lzw_encode(deep, 8), 8, len(deep))
     ) == deep
+
+
+def test_tiff_decode_and_jpeg_header():
+    """Real TIFF decode (none + LZW strips — TIFF-LZW is the PDF
+    early-change flavor) and real JPEG SOF header parsing."""
+    import hashlib
+    import struct
+
+    from pdfspark.codec import _media_tiff_bytes
+
+    seen = set()
+    for i in range(10):
+        ref = f"mtifx{i}"
+        h = hashlib.md5(ref.encode()).digest()
+        seen.add("lzw" if h[6] % 2 else "none")
+        m = multimodal.decode_image_real(_media_tiff_bytes(ref))
+        assert m["fmt"] == "tiff"
+        assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
+        assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
+    assert seen == {"none", "lzw"}
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x00" * 3
+        + b"\xff\xd9"
+    )
+    m = multimodal.decode_image_real(jpeg)
+    assert (m["fmt"], m["width"], m["height"], m["n_components"]) == (
+        "jpeg", 640, 480, 3,
+    )
