@@ -1171,6 +1171,254 @@ ctok_cmap_codes_w(PyObject *self, PyObject *args)
     return out;
 }
 
+/* ---- COS serializer (cos.produce twin) -----------------------------
+ * Byte-identical emission to the Python accumulator implementation:
+ * exact-class dispatch, one growing C buffer. Names route through the
+ * shared Python produce-name cache (escaping + interning live there);
+ * floats use PyOS_double_to_string('f', 6) — the same dtoa CPython's
+ * format() uses — then the same strip-trailing-zeros rule. */
+
+typedef struct {
+    unsigned char *buf;
+    Py_ssize_t len, cap;
+} pbuf_t;
+
+static int
+pbuf_reserve(pbuf_t *b, Py_ssize_t extra)
+{
+    if (b->len + extra > b->cap) {
+        Py_ssize_t ncap = b->cap ? b->cap * 2 : 256;
+        unsigned char *nb;
+        while (ncap < b->len + extra)
+            ncap *= 2;
+        nb = (unsigned char *)PyMem_Realloc(b->buf, ncap);
+        if (nb == NULL) {
+            PyErr_NoMemory();
+            return -1;
+        }
+        b->buf = nb;
+        b->cap = ncap;
+    }
+    return 0;
+}
+
+static int
+pbuf_put(pbuf_t *b, const void *src, Py_ssize_t n)
+{
+    if (pbuf_reserve(b, n) < 0)
+        return -1;
+    memcpy(b->buf + b->len, src, n);
+    b->len += n;
+    return 0;
+}
+
+static int
+produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
+{
+    PyTypeObject *cls = Py_TYPE(v);
+    char tmp[64];
+
+    if (depth > 400) { /* Python recursion parity: deep trees raise */
+        PyErr_SetString(PyExc_RecursionError,
+                        "maximum recursion depth exceeded");
+        return -1;
+    }
+    if (cls == &PyLong_Type) {
+        int overflow;
+        long long x = PyLong_AsLongLongAndOverflow(v, &overflow);
+        if (!overflow && !(x == -1 && PyErr_Occurred())) {
+            int n = snprintf(tmp, sizeof(tmp), "%lld", x);
+            return pbuf_put(b, tmp, n);
+        }
+        PyErr_Clear();
+        {
+            PyObject *s = PyObject_Str(v);
+            int rc;
+            if (s == NULL)
+                return -1;
+            rc = pbuf_put(b, PyUnicode_AsUTF8(s),
+                          (Py_ssize_t)strlen(PyUnicode_AsUTF8(s)));
+            Py_DECREF(s);
+            return rc;
+        }
+    }
+    if ((PyObject *)cls == S.NameType) {
+        PyObject *nb = PyObject_CallFunctionObjArgs(name_fn, v, NULL);
+        int rc;
+        if (nb == NULL)
+            return -1;
+        rc = pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb));
+        Py_DECREF(nb);
+        return rc;
+    }
+    if ((PyObject *)cls == S.Ref) {
+        PyObject *num = PyTuple_GET_ITEM(v, 0);
+        PyObject *gen = PyTuple_GET_ITEM(v, 1);
+        int n = snprintf(tmp, sizeof(tmp), "%lld %lld R",
+                         (long long)PyLong_AsLongLong(num),
+                         (long long)PyLong_AsLongLong(gen));
+        if (PyErr_Occurred())
+            return -1;
+        return pbuf_put(b, tmp, n);
+    }
+    if ((PyObject *)cls == S.CString) {
+        PyObject *raw = PyObject_GetAttr(v, S.str_raw);
+        PyObject *fh;
+        int hex, rc = 0;
+        const unsigned char *d;
+        Py_ssize_t n, i;
+        if (raw == NULL)
+            return -1;
+        fh = PyObject_GetAttrString(v, "force_hex");
+        if (fh == NULL) {
+            Py_DECREF(raw);
+            return -1;
+        }
+        hex = PyObject_IsTrue(fh);
+        Py_DECREF(fh);
+        d = (const unsigned char *)PyBytes_AS_STRING(raw);
+        n = PyBytes_GET_SIZE(raw);
+        if (hex) {
+            static const char hx[] = "0123456789abcdef";
+            if (pbuf_reserve(b, 2 * n + 2) < 0) {
+                Py_DECREF(raw);
+                return -1;
+            }
+            b->buf[b->len++] = '<';
+            for (i = 0; i < n; i++) {
+                b->buf[b->len++] = hx[d[i] >> 4];
+                b->buf[b->len++] = hx[d[i] & 15];
+            }
+            b->buf[b->len++] = '>';
+        } else {
+            if (pbuf_put(b, "(", 1) < 0)
+                rc = -1;
+            for (i = 0; rc == 0 && i < n; i++) {
+                unsigned char c = d[i];
+                if (c == 0x28)
+                    rc = pbuf_put(b, "\\(", 2);
+                else if (c == 0x29)
+                    rc = pbuf_put(b, "\\)", 2);
+                else if (c == 0x5C)
+                    rc = pbuf_put(b, "\\\\", 2);
+                else if (c == 0x0A)
+                    rc = pbuf_put(b, "\\n", 2);
+                else if (c == 0x0D)
+                    rc = pbuf_put(b, "\\r", 2);
+                else
+                    rc = pbuf_put(b, &c, 1);
+            }
+            if (rc == 0)
+                rc = pbuf_put(b, ")", 1);
+        }
+        Py_DECREF(raw);
+        return rc;
+    }
+    if ((PyObject *)cls == S.CDict) {
+        PyObject *key, *val;
+        Py_ssize_t pos = 0;
+        if (pbuf_put(b, "<<", 2) < 0)
+            return -1;
+        while (PyDict_Next(v, &pos, &key, &val)) {
+            PyObject *nb;
+            if (pbuf_put(b, " ", 1) < 0)
+                return -1;
+            nb = PyObject_CallFunctionObjArgs(name_fn, key, NULL);
+            if (nb == NULL)
+                return -1;
+            if (pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb)) < 0) {
+                Py_DECREF(nb);
+                return -1;
+            }
+            Py_DECREF(nb);
+            if (pbuf_put(b, " ", 1) < 0)
+                return -1;
+            if (produce_into_c(val, b, name_fn, depth + 1) < 0)
+                return -1;
+        }
+        return pbuf_put(b, " >>", 3);
+    }
+    if (cls == &PyList_Type) {
+        Py_ssize_t i, n = PyList_GET_SIZE(v);
+        if (pbuf_put(b, "[", 1) < 0)
+            return -1;
+        for (i = 0; i < n; i++) {
+            if (i && pbuf_put(b, " ", 1) < 0)
+                return -1;
+            if (produce_into_c(PyList_GET_ITEM(v, i), b, name_fn,
+                               depth + 1) < 0)
+                return -1;
+        }
+        return pbuf_put(b, "]", 1);
+    }
+    if (cls == &PyFloat_Type) {
+        char *s = PyOS_double_to_string(PyFloat_AS_DOUBLE(v), 'f', 6, 0, NULL);
+        Py_ssize_t n, rc;
+        if (s == NULL)
+            return -1;
+        n = (Py_ssize_t)strlen(s);
+        while (n > 0 && s[n - 1] == '0')
+            n--; /* rstrip("0") */
+        if (n > 0 && s[n - 1] == '.')
+            s[n++] = '0'; /* "...": re-add one zero (buffer shrank, safe) */
+        rc = pbuf_put(b, s, n);
+        PyMem_Free(s);
+        return (int)rc;
+    }
+    if (cls == &PyBool_Type) {
+        return v == Py_True ? pbuf_put(b, "true", 4) : pbuf_put(b, "false", 5);
+    }
+    if (v == S.cos_null) {
+        return pbuf_put(b, "null", 4);
+    }
+    if ((PyObject *)cls == S.CStream) {
+        PyObject *dict = PyObject_GetAttrString(v, "dict");
+        PyObject *data;
+        int rc;
+        if (dict == NULL)
+            return -1;
+        rc = produce_into_c(dict, b, name_fn, depth + 1);
+        Py_DECREF(dict);
+        if (rc < 0)
+            return -1;
+        if (pbuf_put(b, "\nstream\n", 8) < 0)
+            return -1;
+        data = PyObject_GetAttrString(v, "data");
+        if (data == NULL)
+            return -1;
+        rc = pbuf_put(b, PyBytes_AS_STRING(data), PyBytes_GET_SIZE(data));
+        Py_DECREF(data);
+        if (rc < 0)
+            return -1;
+        return pbuf_put(b, "\nendstream", 10);
+    }
+    /* anything exotic (subclasses etc.): signal the Python fallback */
+    PyErr_SetString(PyExc_TypeError, "ctok_produce: unsupported value");
+    return -1;
+}
+
+static PyObject *
+ctok_produce(PyObject *self, PyObject *args)
+{
+    PyObject *v, *name_fn, *res;
+    pbuf_t b = {NULL, 0, 0};
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "OO", &v, &name_fn))
+        return NULL;
+    if (produce_into_c(v, &b, name_fn, 0) < 0) {
+        PyMem_Free(b.buf);
+        return NULL;
+    }
+    res = PyBytes_FromStringAndSize((const char *)b.buf, b.len);
+    PyMem_Free(b.buf);
+    return res;
+}
+
 /* ---- LZW decode (filters.lzw_decode twin) --------------------------
  * 9→12-bit variable codes; clear=256, EOD=257; early table growth at
  * 511/1023/2047; missing EOD tolerated. Table entries beyond 257 are
@@ -2358,6 +2606,8 @@ static PyMethodDef ctok_methods[] = {
      "cmap_codes_w(raw, ranges) -> [(code, byte_width), ...]"},
     {"table_advance", ctok_table_advance, METH_VARARGS,
      "table_advance(raw, int64_table_256) -> advance sum"},
+    {"produce", ctok_produce, METH_VARARGS,
+     "produce(value, name_fn) -> serialized bytes (COS syntax)"},
     {"lzw_decode", ctok_lzw_decode, METH_VARARGS,
      "lzw_decode(data) -> decoded bytes (PDF early-change LZW)"},
     {"parse_xref_table", ctok_parse_xref_table, METH_VARARGS,

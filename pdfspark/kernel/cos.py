@@ -682,6 +682,9 @@ def _load_ctok():
 
 _CTOK = _load_ctok()
 
+# C serializer hook (produce() reads this at call time)
+_CTOK_PRODUCE = getattr(_CTOK, "produce", None) if _CTOK is not None else None
+
 if _CTOK is not None:
     _ctok_parse = _CTOK.parse_object
 
@@ -857,10 +860,28 @@ def _produce_into(v: COSValue, out: list) -> None:
         raise TypeError(f"cannot produce {type(v)}")
 
 
-def produce(v: COSValue) -> bytes:
-    """Serialize any COS value back to PDF syntax (symmetric serde per
-    COSObject.java:29-33; round-trip contract mirrors
-    TestCOSString.checkProduceParsePair, TestCOSString.java:148-181)."""
+def _produce_py_top(v: COSValue) -> bytes:
     out: list = []
     _produce_into(v, out)
     return b"".join(out)
+
+
+def _produce_name_key(k) -> bytes:
+    return produce_name(str(k))
+
+
+def produce(v: COSValue) -> bytes:
+    """Serialize any COS value back to PDF syntax (symmetric serde per
+    COSObject.java:29-33; round-trip contract mirrors
+    TestCOSString.checkProduceParsePair, TestCOSString.java:148-181).
+    C fast path when the extension is available (byte-identical —
+    differential parity in test_ctok_parity); exotic values and deep
+    trees fall back to the Python accumulator, the authority."""
+    fn = _CTOK_PRODUCE
+    if fn is not None:
+        try:
+            return fn(v, _produce_name_key)
+        except (TypeError, RecursionError):
+            pass
+    return _produce_py_top(v)
+

@@ -534,3 +534,58 @@ def test_lzw_decode_parity():
     big = b"the quick brown fox jumps over the lazy dog " * 300
     enc = Fl.lzw_encode(big)
     assert cos._CTOK.lzw_decode(enc) == Fl._lzw_decode_py(enc) == big
+
+
+def test_produce_parity():
+    """C serializer vs the Python accumulator: byte-identical over
+    random COS trees and float edge cases; exotic values fall back."""
+    if cos._CTOK_PRODUCE is None:
+        pytest.skip("C produce not available")
+    from pdfspark.kernel.cos import (
+        CDict, COS_NULL, CStream, CString, Name, Ref,
+    )
+
+    rng = random.Random(77)
+
+    def rand_val(d=0):
+        c = rng.randrange(9 if d < 3 else 6)
+        if c == 0:
+            return (
+                rng.randrange(-10**12, 10**12)
+                if rng.randrange(4)
+                else rng.randrange(-10**25, 10**25)
+            )
+        if c == 1:
+            return rng.random() * 2000 - 1000
+        if c == 2:
+            return Name("Nm" + "#( z"[rng.randrange(4)] + str(rng.randrange(50)))
+        if c == 3:
+            return CString(
+                bytes(rng.randrange(256) for _ in range(rng.randrange(25))),
+                force_hex=bool(rng.randrange(2)),
+            )
+        if c == 4:
+            return Ref(rng.randrange(1, 99999), rng.randrange(4))
+        if c == 5:
+            return rng.choice([True, False, COS_NULL])
+        if c == 6:
+            return [rand_val(d + 1) for _ in range(rng.randrange(5))]
+        if c == 7:
+            dd = CDict()
+            for _ in range(rng.randrange(5)):
+                dd[Name("K" + str(rng.randrange(25)))] = rand_val(d + 1)
+            return dd
+        dd = CDict()
+        dd[Name("Length")] = 3
+        return CStream(dd, bytes(rng.randrange(256) for _ in range(3)))
+
+    for _ in range(2000):
+        v = rand_val()
+        assert cos.produce(v) == cos._produce_py_top(v)
+    for f in (0.0, -0.0, 1.5, -123.456789, 1e-7, 123456789.123456, 1e20):
+        assert cos.produce(f) == cos._produce_py_top(f)
+    # deep tree: C bails at its depth guard, the fallback serves
+    deep = [0]
+    for _ in range(800):
+        deep = [deep]
+    assert cos.produce(deep) == cos._produce_py_top(deep)
