@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
+        "pdf_roundtrip_type3": _q_roundtrip("type3"),
         "pdf_salvage": _q_salvage,
         "pdf_salvage_encrypted": _q_salvage_encrypted,
         "pdf_span_geometry": _q_geometry,
@@ -295,6 +296,9 @@ FROM k
         # (rotating /Matrix + own-vs-inherited /Resources) — the
         # interpreter recursion must preserve the exact span sequence
         "pdf_roundtrip_forms": _SPANS_ORACLE_SQL,
+        # Type3 glyph-procedure fonts: byte codes decode through the
+        # /Differences → AGL table; extraction must be lossless
+        "pdf_roundtrip_type3": _SPANS_ORACLE_SQL,
         # §C.2 reconstruction: startxref-less payloads must salvage to
         # the identical span sequence
         "pdf_salvage": _SPANS_ORACLE_SQL,

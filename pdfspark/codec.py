@@ -94,6 +94,25 @@ def _show_bytes_simple(text: str) -> Optional[bytes]:
     return None if enc is None else produce_literal_string(enc)
 
 
+_AGL_REVERSE: Optional[dict] = None
+
+
+def _agl_reverse() -> dict:
+    """char → Adobe glyph name (reverse of the kernel's AGL subset) —
+    the generator side of Type3 /Differences encoding."""
+    global _AGL_REVERSE
+    if _AGL_REVERSE is None:
+        from .kernel.textops import _AGL
+
+        _AGL_REVERSE = {v: k for k, v in _AGL.items() if len(v) == 1}
+    return _AGL_REVERSE
+
+
+def _type3_encodable(text: str) -> bool:
+    rev = _agl_reverse()
+    return all(ch in rev for ch in text)
+
+
 def _show_bytes_cid(text: str) -> bytes:
     return b"<" + text.encode("utf-16-be").hex().encode("ascii") + b">"
 
@@ -268,6 +287,7 @@ def _content_for(
     cjk: bool = False,
     embedded_code_of: Optional[dict[str, bytes]] = None,
     form_sink=None,
+    type3: bool = False,
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
@@ -302,6 +322,10 @@ def _content_for(
         elif simple is None:
             used_cid = True
             font, shown = b"/F2", _show_bytes_cid(text or "")
+        elif type3 and _type3_encodable(text or ""):
+            # Type3 glyph-procedure font: same byte codes, decoded via
+            # the /Differences → AGL name table
+            font, shown = b"/F4", simple
         else:
             font, shown = b"/F1", simple
         form = ordinal % 4
@@ -649,6 +673,7 @@ def build_object_graph(
     forms: bool = False,
     attachments: bool = False,
     navigation: bool = False,
+    type3: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -812,6 +837,43 @@ def build_object_graph(
         font_res[Name("F2")] = Ref(f2_num, 0)
     if f3_num is not None:
         font_res[Name("F3")] = Ref(f3_num, 0)
+    if type3:
+        # /F4: Type3 glyph-procedure font (ISO 32000-1 §9.6.5) — the
+        # /Differences → AGL table is the decode path; /CharProcs
+        # carries a trivial d0 proc per glyph for spec shape. Width
+        # metrics are FontMatrix-scaled and deliberately out of the
+        # extraction contract (span w stays null for Type3 spans).
+        rev = _agl_reverse()
+        t3_chars = sorted(
+            {
+                ch
+                for (k, t, _m, _o) in spans
+                if k == "text" and t and _type3_encodable(t)
+                for ch in t
+            }
+        )
+        diffs: list = []
+        charprocs = CDict()
+        for ch in t3_chars:
+            gname = rev[ch]
+            diffs.append(ord(ch))
+            diffs.append(Name(gname))
+            proc = CDict()
+            body3 = b"0 0 d0"
+            proc[Name("Length")] = len(body3)
+            charprocs[Name(gname)] = Ref(g.add(CStream(proc, body3)), 0)
+        enc4 = CDict()
+        enc4[Name("Differences")] = diffs
+        f4 = CDict()
+        f4[Name("Type")] = Name("Font")
+        f4[Name("Subtype")] = Name("Type3")
+        f4[Name("FontBBox")] = [0, 0, 1000, 1000]
+        f4[Name("FontMatrix")] = [0.001, 0, 0, 0.001, 0, 0]
+        f4[Name("Encoding")] = enc4
+        f4[Name("CharProcs")] = Ref(g.add(charprocs), 0)
+        f4[Name("FirstChar")] = 32
+        f4[Name("LastChar")] = 126
+        font_res[Name("F4")] = Ref(g.add(f4), 0)
     xobj_res = CDict()
     for mref, onum in image_objs.items():
         xobj_res[Name(image_names[mref])] = Ref(onum, 0)
@@ -862,7 +924,7 @@ def build_object_graph(
         page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
         body, _ = _content_for(
             page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
-            form_sink=form_sink if forms else None,
+            form_sink=form_sink if forms else None, type3=type3,
         )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
@@ -1538,6 +1600,12 @@ def build_pdf(
         # /Outlines bookmark tree + one /Link URI annotation per page
         layout = "classic"
         navigation = True
+    type3 = False
+    if variant == "type3":
+        # AGL-encodable text renders through a /Subtype /Type3
+        # glyph-procedure font decoded via /Differences
+        layout = "classic"
+        type3 = True
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128
@@ -1559,6 +1627,7 @@ def build_pdf(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
         forms=forms, attachments=attachments, navigation=navigation,
+        type3=type3,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

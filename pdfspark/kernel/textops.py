@@ -403,6 +403,14 @@ class Font:
                             [fdict.deref(x, resolver) for x in warr]
                         )
             self.default_width = dw
+        elif subtype == "Type3":
+            # Type3 glyph-procedure fonts (§9.6.5): byte codes decode
+            # through /Encoding /Differences exactly like other simple
+            # fonts, but /Widths are in GLYPH space scaled by
+            # /FontMatrix — not the 1000-em contract the advance math
+            # assumes — so width metrics stay out of scope (span w
+            # null) while text decodes fully
+            pass
         else:
             ws = fdict.get_array("Widths", None, resolver)
             if ws:

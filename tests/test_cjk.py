@@ -290,3 +290,25 @@ def _unflate_all(payload: bytes) -> bytes:
         except Exception:
             pass
     return b"\n".join(out)
+
+
+def test_type3_font_roundtrip_and_null_widths():
+    """Type3 glyph-procedure fonts (§9.6.5): text decodes through the
+    /Differences → AGL table losslessly; width metrics are FontMatrix-
+    scaled and deliberately out of scope, so geometry spans carry null
+    w while x/y/h stay populated."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import extract_spans, extract_spans_geo
+
+    text = "The quick brown fox, jumps over 12 lazy dogs! " * 4
+    spans = synth_spans_py("t3pin", text)
+    payload = build_pdf("t3pin", spans, "type3")
+    assert b"/Subtype /Type3" in payload or b"/Type3" in payload
+    st, err, got = extract_spans(payload)
+    assert st == "ok", err
+    assert got == spans
+    st, err, geo = extract_spans_geo(payload)
+    assert st == "ok"
+    texts = [g for g in geo if g[0] == "text"]
+    assert texts and all(g[6] is None for g in texts)  # w null
+    assert all(g[4] is not None and g[7] is not None for g in texts)  # x, h
