@@ -94,6 +94,16 @@ def _q_geometry_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geometry_rows(spark, sf_dir, variant="cjk:embedded")
 
 
+def _q_geometry_type3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry through Type3 glyph-procedure fonts: glyph-space
+    /Widths (32) × FontMatrix (1/64 — exact binary fraction that
+    survives the %.6f emit) give the same 500/1000-em advance as the
+    simple font, so the SAME closed-form oracle holds."""
+    from pdfspark.engine import geometry_rows
+
+    return geometry_rows(spark, sf_dir, variant="type3")
+
+
 def _q_geometry_kerned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span geometry with TJ kerning ON: the §9.4.3 kern number in
     form-1 spans ([a -250 b] TJ at Tz 50, Tfs 12) displaces width by
@@ -189,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_span_geometry": _q_geometry,
         "pdf_span_geometry_cid": _q_geometry_cid,
         "pdf_span_geometry_kerned": _q_geometry_kerned,
+        "pdf_span_geometry_type3": _q_geometry_type3,
         "pdf_attachments": _q_attachments,
         "pdf_outlines": _q_outlines,
         "pdf_links": _q_links,
@@ -371,6 +382,9 @@ FROM wk
     # single-byte code 32 — so the SAME closed-form oracle holds; the
     # multi-byte /W + /DW arithmetic is pinned in tests/test_cjk.py
     o["pdf_span_geometry_cid"] = o["pdf_span_geometry"]
+    # Type3: glyph-space widths × FontMatrix reproduce the simple
+    # font's 500/1000-em advance exactly → same closed-form oracle
+    o["pdf_span_geometry_type3"] = o["pdf_span_geometry"]
     # TJ kerning ON: form-1 spans with >1 char carry one -250 kern
     # between the two halves → +((250/1000)·12)·0.5 = +1.5 width;
     # 1-char (and empty-splitter) spans have no kern array

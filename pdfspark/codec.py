@@ -867,12 +867,17 @@ def build_object_graph(
         f4 = CDict()
         f4[Name("Type")] = Name("Font")
         f4[Name("Subtype")] = Name("Type3")
-        f4[Name("FontBBox")] = [0, 0, 1000, 1000]
-        f4[Name("FontMatrix")] = [0.001, 0, 0, 0.001, 0, 0]
+        f4[Name("FontBBox")] = [0, 0, 64, 64]
+        # FontMatrix 1/64: an exact binary fraction WITH ≤6 decimals
+        # (the serializer emits %.6f), so glyph widths of 32 give
+        # 32·(1/64)·1000 = 500/1000-em — identical advance arithmetic
+        # to /F1, keeping the closed-form geometry oracle hash-exact
+        f4[Name("FontMatrix")] = [0.015625, 0, 0, 0.015625, 0, 0]
         f4[Name("Encoding")] = enc4
         f4[Name("CharProcs")] = Ref(g.add(charprocs), 0)
         f4[Name("FirstChar")] = 32
         f4[Name("LastChar")] = 126
+        f4[Name("Widths")] = [32] * (126 - 32 + 1)
         font_res[Name("F4")] = Ref(g.add(f4), 0)
     xobj_res = CDict()
     for mref, onum in image_objs.items():

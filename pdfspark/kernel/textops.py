@@ -355,7 +355,7 @@ class Font:
     __slots__ = (
         "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
-        "cid_widths", "cid_wranges", "_code_memo", "_w_table",
+        "cid_widths", "cid_wranges", "_code_memo", "_w_table", "t3_scale",
     )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
@@ -388,6 +388,9 @@ class Font:
         self.cid_wranges: list[tuple[int, int, int]] = []
         self._code_memo: dict = {}  # (code, bw) → (char, width)
         self._w_table = None  # lazy 256×int64 per-byte width table
+        # Type3: glyph-space widths scale by FontMatrix[0]·1000 into
+        # the 1000-em contract (None for every other font class)
+        self.t3_scale: Optional[float] = None
         if self.two_byte:
             # /DW (default 1000) + /W per-CID widths (ISO 32000-1
             # §9.7.4.3: `c [w1 .. wn]` lists, `c_lo c_hi w` ranges)
@@ -406,11 +409,25 @@ class Font:
         elif subtype == "Type3":
             # Type3 glyph-procedure fonts (§9.6.5): byte codes decode
             # through /Encoding /Differences exactly like other simple
-            # fonts, but /Widths are in GLYPH space scaled by
-            # /FontMatrix — not the 1000-em contract the advance math
-            # assumes — so width metrics stay out of scope (span w
-            # null) while text decodes fully
-            pass
+            # fonts; /Widths are in GLYPH space scaled by /FontMatrix
+            # — the advance layer converts via w·a·1000 so the same
+            # 1000-em arithmetic (and the same closed-form oracle)
+            # applies. Fonts without /Widths+/FontMatrix report no
+            # metrics (span w null).
+            fm = fdict.get_array("FontMatrix", None, resolver)
+            ws = fdict.get_array("Widths", None, resolver)
+            if fm and len(fm) == 6 and ws:
+                a = fdict.deref(fm[0], resolver)
+                if isinstance(a, (int, float)) and not isinstance(a, bool):
+                    vals = []
+                    for x in ws:
+                        v = fdict.deref(x, resolver)
+                        if isinstance(v, (int, float)) and not isinstance(v, bool):
+                            vals.append(int(v))
+                    if vals:
+                        self.widths = vals
+                        self.first_char = fdict.get_int("FirstChar", 0, resolver)
+                        self.t3_scale = float(a) * 1000.0
         else:
             ws = fdict.get_array("Widths", None, resolver)
             if ws:
@@ -737,8 +754,10 @@ class Font:
         if self.widths is None:
             return None
         ws, dflt = self.widths, self.default_width
+        t3 = self.t3_scale
         if not ws or (len(ws) == 1 and ws[0] == dflt):
-            return len(raw) * dflt  # constant-width fast path
+            base = len(raw) * dflt  # constant-width fast path
+            return base * t3 if t3 is not None else base
         fc = self.first_char
         hi = fc + len(ws)
         if _CTOK_TADV is not None:
@@ -750,11 +769,12 @@ class Font:
                     "q",
                     [ws[b - fc] if fc <= b < hi else dflt for b in range(256)],
                 )
-            return _CTOK_TADV(raw, t)
+            base = _CTOK_TADV(raw, t)
+            return base * t3 if t3 is not None else base
         w = 0
         for b in raw:
             w += ws[b - fc] if fc <= b < hi else dflt
-        return w
+        return w * t3 if t3 is not None else w
 
 
 _DEFAULT_FONT = Font(CDict(), None)

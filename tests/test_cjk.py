@@ -292,23 +292,31 @@ def _unflate_all(payload: bytes) -> bytes:
     return b"\n".join(out)
 
 
-def test_type3_font_roundtrip_and_null_widths():
+def test_type3_font_roundtrip_and_matrix_widths():
     """Type3 glyph-procedure fonts (§9.6.5): text decodes through the
-    /Differences → AGL table losslessly; width metrics are FontMatrix-
-    scaled and deliberately out of scope, so geometry spans carry null
-    w while x/y/h stay populated."""
+    /Differences → AGL table losslessly, and glyph-space /Widths ×
+    FontMatrix reproduce the simple font's advance BIT-exactly (the
+    generator's 32 × 1/64 = 500/1000-em contract) — whole geometry
+    rows equal the classic variant's. A Type3 font WITHOUT
+    /Widths+/FontMatrix reports no metrics (w null)."""
     from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.cos import CDict, Name
     from pdfspark.kernel.extract import extract_spans, extract_spans_geo
+    from pdfspark.kernel.textops import Font as _Font
 
     text = "The quick brown fox, jumps over 12 lazy dogs! " * 4
     spans = synth_spans_py("t3pin", text)
     payload = build_pdf("t3pin", spans, "type3")
-    assert b"/Subtype /Type3" in payload or b"/Type3" in payload
+    assert b"/Type3" in payload
     st, err, got = extract_spans(payload)
     assert st == "ok", err
     assert got == spans
     st, err, geo = extract_spans_geo(payload)
     assert st == "ok"
-    texts = [g for g in geo if g[0] == "text"]
-    assert texts and all(g[6] is None for g in texts)  # w null
-    assert all(g[4] is not None and g[7] is not None for g in texts)  # x, h
+    st, err, geo_classic = extract_spans_geo(
+        build_pdf("t3pin", spans, "classic")
+    )
+    assert geo == geo_classic  # incl. bit-exact widths
+    bare = CDict()
+    bare[Name("Subtype")] = Name("Type3")
+    assert _Font(bare, None).advance_1000(b"ab") is None
