@@ -373,6 +373,8 @@ FROM wk
         # the production STREAMING sink must produce the identical
         # span table the batch pipeline does — same identity oracle
         "pdf_stream_extract": _SPANS_ORACLE_SQL,
+        # the watermarked streaming window agg equals its batch twin →
+        # same SQL oracle (bound below after ops oracles register)
         "pdf_outlines": outlines_sql,
         "pdf_links": links_sql,
     }
@@ -394,4 +396,5 @@ FROM wk
         " + (CASE WHEN tlen > 1 THEN 1.5 ELSE 0 END)",
     )
     o.update(register_ops_oracles())
+    o["stream_window_counts"] = o["events_window_agg"]
     return o

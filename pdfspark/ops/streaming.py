@@ -160,11 +160,23 @@ def stream_extract_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `stream_window_counts` (r4): the WATERMARKED
+    windowed aggregation run through Structured Streaming's memory
+    sink — gated by the SAME SQL oracle as its batch twin
+    (events_window_agg), so watermark + window semantics carry the
+    full rows+schema+hash correctness check, not just pytest."""
+    return run_windowed_counts_to_memory(spark, sf_dir, "drv_win_counts")
+
+
 def queries():
-    # the memory-sink/watermark/stateful operators stay pytest-only
-    # (their results are runtime state, not a stable table); the
-    # production extraction sink IS a stable table → driver-oracled
-    return {"pdf_stream_extract": stream_extract_rows}
+    # the stateful-counter operator stays pytest-only (its output is
+    # update-mode runtime state); the watermarked window agg and the
+    # production extraction sink ARE stable tables → driver-oracled
+    return {
+        "pdf_stream_extract": stream_extract_rows,
+        "stream_window_counts": stream_window_counts,
+    }
 
 
 def oracles():
