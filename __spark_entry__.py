@@ -397,4 +397,9 @@ FROM wk
     )
     o.update(register_ops_oracles())
     o["stream_window_counts"] = o["events_window_agg"]
+    # the applyInPandasWithState counter's final state == batch counts
+    o["stream_user_counts"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
     return o

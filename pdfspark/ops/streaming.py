@@ -160,6 +160,20 @@ def stream_extract_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `stream_user_counts` (r4): the CUSTOM STATEFUL
+    operator (applyInPandasWithState per-user counter) run to
+    completion; update-mode emits one row per user per touching
+    micro-batch, so the FINAL state is max(n_events) per user — which
+    must equal a plain batch count. Oracled in ANSI SQL."""
+    import pyspark.sql.functions as F
+
+    out = run_stateful_counts_to_memory(spark, sf_dir, "drv_state_counts")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events")
+    )
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `stream_window_counts` (r4): the WATERMARKED
     windowed aggregation run through Structured Streaming's memory
@@ -176,6 +190,7 @@ def queries():
     return {
         "pdf_stream_extract": stream_extract_rows,
         "stream_window_counts": stream_window_counts,
+        "stream_user_counts": stream_user_counts,
     }
 
 
