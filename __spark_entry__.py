@@ -180,6 +180,79 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's CORRECTNESS check covers the FIRST 50 registered
+# queries (registration order == dict insertion order).  Every query
+# must carry a driver row in some round with code unchanged since, so
+# each round this list rotates: queries whose code CHANGED this round
+# (or that have never been driver-checked) come first; the tail —
+# rotated outside the window — must stay byte-identical to the commit
+# of their last green row.  r5 window: all 23 PDF pipelines (the C
+# generation tier touches codec.py → every roundtrip re-verifies),
+# all 4 streaming surfaces (3 had never been driver-checked before
+# r5 — the r4 verdict's #1 ask), relational+curate (rotated out in
+# r4, byte-identical to their r03-green code, refreshed here), the
+# four ops queries changed in r5 (chunk_boilerplate broadcast plan,
+# IVF geometry, media JPEG rotation), plus 7 refresh picks.  The 16
+# rotated out are all r4-green and untouched in r5.
+_DRIVER_WINDOW = [
+    # --- streaming: first driver rows ever (r4 verdict ask #1) ------
+    "pdf_stream_extract",
+    "stream_window_counts",
+    "stream_user_counts",
+    "stream_append_counts",
+    # --- changed in r5 ---------------------------------------------
+    "chunk_boilerplate",
+    "ann_ivf_topk",
+    "ann_ivf_cells",
+    "media_decode_real",
+    # --- PDF pipelines (codec.py C generation tier lands in r5) ----
+    "pdf_roundtrip_interleaved",
+    "pdf_roundtrip_objstream",
+    "pdf_roundtrip_incremental",
+    "pdf_roundtrip_filters",
+    "pdf_roundtrip_encrypted",
+    "pdf_roundtrip_cjk",
+    "pdf_roundtrip_cjk_embedded",
+    "pdf_roundtrip_forms",
+    "pdf_roundtrip_type3",
+    "pdf_salvage",
+    "pdf_salvage_encrypted",
+    "pdf_span_geometry",
+    "pdf_span_geometry_cid",
+    "pdf_span_geometry_kerned",
+    "pdf_span_geometry_type3",
+    "pdf_attachments",
+    "pdf_outlines",
+    "pdf_links",
+    "pdf_malformed_policy",
+    "pdf_metadata",
+    "pdf_dates",
+    "pdf_span_stats",
+    "pdf_catalog_fields",
+    # --- relational + curate (refresh: out of window in r4) --------
+    "corpus_profile",
+    "corpus_quantiles",
+    "events_range_join",
+    "lineitem_pricing_summary",
+    "orders_revenue_by_nation",
+    "events_latest_dedup",
+    "events_sessionize",
+    "events_window_agg",
+    "events_asof_click",
+    "top_documents",
+    "corpus_curate",
+    "benchmark_contamination",
+    # --- refresh picks (green r4, unchanged) -----------------------
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "token_count",
+    "lang_id",
+    "media_meta",
+    "html_main_text",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdfspark.ops import register_ops_queries
 
@@ -210,7 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_catalog_fields": _q_catalog_fields,
     }
     q.update(register_ops_queries())
-    return q
+    # Rotate the driver's 50-query window to the front (see
+    # _DRIVER_WINDOW); everything else keeps registration order after.
+    ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -397,6 +474,15 @@ FROM wk
     )
     o.update(register_ops_oracles())
     o["stream_window_counts"] = o["events_window_agg"]
+    # append mode + watermark eviction emits exactly the CLOSED
+    # windows: win_end <= max(ts) - 10 min (the final no-data
+    # micro-batch evicts up to the global watermark)
+    o["stream_append_counts"] = (
+        "WITH agg AS (" + o["events_window_agg"] + ")\n"
+        "SELECT * FROM agg\n"
+        "WHERE win_start + INTERVAL 5 MINUTE <="
+        " (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)\n"
+    )
     # the applyInPandasWithState counter's final state == batch counts
     o["stream_user_counts"] = """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -183,6 +183,90 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_counts_to_memory(spark, sf_dir, "drv_win_counts")
 
 
+def stage_events_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> str:
+    """Stage the events table as ``n_files`` event-time-ordered parquet
+    files with strictly increasing mtimes, so the file stream source
+    replays them in event-time order (its default oldest-mtime-first
+    order).  Ordered arrival is what makes the append-mode watermark
+    query DETERMINISTIC: with random arrival the watermark jumps to
+    near-global-max after the first batch and most later events are
+    dropped as late (measured: 255/986 windows emitted vs 986/986
+    ordered).  At scale this ordering comes from the source itself
+    (kafka offsets / landing-file arrival order), not a global sort —
+    this staging harness only reproduces that arrival contract."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tag = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:8]
+    landing = os.path.join(
+        tempfile.gettempdir(), f"pdfspark_stream_ord_{tag}"
+    )
+    if os.path.isdir(landing) and len(os.listdir(landing)) == n_files:
+        return landing
+    shutil.rmtree(landing, ignore_errors=True)
+    tmp = landing + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ascending range partitions: part-file NUMBER order == ts order
+    ev.repartitionByRange(n_files, "ts").sortWithinPartitions(
+        "ts"
+    ).write.parquet(tmp)
+    os.makedirs(landing + ".stage", exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    t0 = time.time() - 3600
+    for k, f in enumerate(parts):
+        dst = os.path.join(landing + ".stage", f"{k:05d}.parquet")
+        os.rename(os.path.join(tmp, f), dst)
+        os.utime(dst, (t0 + k, t0 + k))
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.rename(landing + ".stage", landing)
+    return landing
+
+
+def stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `stream_append_counts` (r5): the PRODUCTION posture
+    for streaming window aggregation — outputMode("append") with
+    watermark EVICTION to a parquet FILE sink (checkpointed), i.e.
+    bounded state, unlike the complete-mode memory-sink harness of
+    `stream_window_counts`.  A window row is emitted exactly once,
+    when the watermark (max event time − 10 min) passes its end; state
+    for emitted windows is dropped.  The oracle is the batch twin
+    restricted to CLOSED windows: win_end <= max(ts) − 10 min — the
+    final no-data micro-batch evicts everything up to the global
+    watermark, so the sink holds exactly the closed-window subset
+    (pinned empirically: 986/986 window match at sf0.001)."""
+    import os
+    import tempfile
+
+    landing = stage_events_ordered(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pdfspark-append-")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        windowed_counts(src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out)
+
+
 def queries():
     # the stateful-counter operator stays pytest-only (its output is
     # update-mode runtime state); the watermarked window agg and the
@@ -191,6 +275,7 @@ def queries():
         "pdf_stream_extract": stream_extract_rows,
         "stream_window_counts": stream_window_counts,
         "stream_user_counts": stream_user_counts,
+        "stream_append_counts": stream_append_counts,
     }
 
 

@@ -36,6 +36,28 @@ def test_streaming_windowed_agg_equals_batch(spark):
     assert a == b
 
 
+def test_streaming_append_mode_emits_closed_windows(spark):
+    """Production posture (r5): append mode + watermark eviction to a
+    FILE sink holds exactly the batch twin's CLOSED windows (win_end
+    <= max(ts) - 10 min) — bounded state, one emit per window; open
+    windows within the watermark horizon are withheld."""
+    import datetime
+
+    got = streaming.stream_append_counts(spark, SF_SMOKE)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    wm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(minutes=10)
+    batch = relational.events_window_agg(spark, SF_SMOKE)
+    closed = batch.where(
+        F.col("win_start") + F.expr("INTERVAL 5 MINUTES") <= F.lit(wm)
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in closed.collect()}
+    assert a == b
+    # bounded state: the open tail (windows inside the watermark
+    # horizon) was genuinely withheld, not flushed
+    assert batch.count() > len(b)
+
+
 def test_stateful_user_counts(spark):
     got = streaming.run_stateful_counts_to_memory(spark, SF_SMOKE, "t_state")
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
