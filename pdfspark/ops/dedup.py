@@ -679,11 +679,21 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-dedup shape, over the engine's 80-char chunk contract since
     the corpus carries no newlines): a chunk appearing in ≥
     BOILER_MIN_DOCS distinct docs is boilerplate; per doc emit chunk
-    counts and the integer-exact boilerplate ratio. Plan: one linear
-    regexp chunking pass (no substring() O(len²)), distinct (doc,
-    chunk) → chunk-frequency groupBy, shuffle join back on chunk,
-    per-doc agg — the chunk key is high-cardinality so both shuffles
-    partition evenly; no collect anywhere."""
+    counts and the integer-exact boilerplate ratio.
+
+    Skew-proof plan (r5): a genuine boilerplate chunk in 10^9 docs is
+    by definition a hot join key, so the full chunks⋈freq shuffle join
+    is the wrong shape at scale.  Instead: distinct (doc, chunk) →
+    chunk-frequency groupBy (hot keys collapse to ONE row each via
+    map-side partial aggregation), FILTER to the boilerplate keys
+    (small by construction — each needs ≥ BOILER_MIN_DOCS distinct
+    docs, so |keys| ≤ corpus_chunks / BOILER_MIN_DOCS and in practice
+    tiny), BROADCAST that set, and compute both n_chunks and n_boiler
+    in one per-doc aggregation over the broadcast left join — no
+    shuffle join on chunk at all, one Exchange on doc_id (even).  If
+    the boiler-key set ever outgrew the broadcast threshold, the
+    fallback is the shuffle join + AQE skew split; the plan-shape
+    pytest pins BroadcastHashJoin / zero SortMergeJoin."""
     docs = _docs(spark, sf_dir)
     chunks = docs.select(
         "doc_id",
@@ -691,18 +701,20 @@ def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(text, '(?s).{1,80}', 0)")
         ).alias("chunk"),
     )
-    pairs = chunks.distinct()
-    freq = pairs.groupBy("chunk").agg(
-        F.count("*").alias("n_docs_with_chunk")
+    boiler_keys = (
+        chunks.distinct()
+        .groupBy("chunk")
+        .agg(F.count("*").alias("n_docs_with_chunk"))
+        .where(F.col("n_docs_with_chunk") >= BOILER_MIN_DOCS)
+        .select("chunk", F.lit(1).alias("is_boiler"))
     )
     return (
-        chunks.join(freq, "chunk")
+        chunks.join(F.broadcast(boiler_keys), "chunk", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
-            F.sum(
-                (F.col("n_docs_with_chunk") >= BOILER_MIN_DOCS).cast("long")
-            ).alias("n_boiler"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)).cast("long"))
+            .alias("n_boiler"),
         )
         .select(
             "doc_id",

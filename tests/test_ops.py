@@ -513,6 +513,26 @@ def test_chunk_boilerplate_planted(spark, tmp_path):
     assert got[0].n_chunks == len(rows[0][1]) // 80 + (1 if len(rows[0][1]) % 80 else 0)
 
 
+def test_chunk_boilerplate_plan_broadcasts_boiler_keys(spark, tmp_path):
+    """Skew-proof plan (r5): even with a chunk planted in EVERY doc (a
+    maximally hot join key), the per-doc accounting join must be a
+    BroadcastHashJoin of the filtered boiler-key set — no shuffle
+    (SortMergeJoin/ShuffledHashJoin) on the skewed chunk column."""
+    from pdfspark.ops import dedup as dd
+
+    boiler = "y" * 80
+    rows = [(i, boiler + f"unique tail for doc {i} " * 5) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "hot_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    df = dd.chunk_boilerplate(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    got = {r.doc_id: r.n_boiler for r in df.collect()}
+    assert all(v == 1 for v in got.values())
+
+
 def test_decode_image_real_formats():
     """The r4 real decoders: BMP dims/means, PGM/PPM channel stats,
     PCM WAV metadata + peak; codec formats still raise."""
