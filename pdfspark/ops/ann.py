@@ -352,10 +352,34 @@ FROM ranked WHERE rank <= {TOP_K}
 # IVF scale path (coarse quantization + probe)
 # ---------------------------------------------------------------------------
 
-N_CELLS = 16
-N_PROBE = 4
-CENT_MOD = 31  # k-means SEEDS: first N_CELLS of vec_id % 31 == 7,
-CENT_RES = 7  # ordered by vec_id — no RNG anywhere
+# --- r5: sf-dependent index geometry (√N cells) ---------------------
+# n_cells = clamp(isqrt(N), 16, 256) — the classic IVF sizing (cell
+# population ≈ √N keeps probe cost ≈ n_probe·√N per query); n_probe =
+# max(4, ceil(n_cells/2)).  The 50% probe fraction is what the tiny
+# test corpora need: at N=500 a cell holds ~23 vectors so top-5
+# neighborhoods fragment across cells (measured recall 0.54 at 27%
+# probed, 0.80 at 50%; 0.84 at sf0.1) — at production N the per-cell
+# population is ~√N ≫ k and the fraction can drop toward the usual
+# 1-5% without losing recall.  Python uses math.isqrt, the SQL oracle
+# floor(sqrt(count(*))) — identical for every N < 2^52 (sqrt is
+# correctly rounded and the nearest double to k²−ε never reaches k).
+# At true production scale (10^12 vectors) the 256 clamp would lift to
+# ~√N with a multi-pass mini-batch trainer; the search plan is
+# unchanged.
+N_CELLS_MIN = 16
+N_CELLS_MAX = 256
+CENT_MOD = 7  # k-means SEEDS: first n_cells of vec_id % 7 == 3,
+CENT_RES = 3  # ordered by vec_id — no RNG anywhere (stride 7 keeps
+# ≥ n_cells seed candidates down to the smallest SF)
+
+
+def _geometry(n: int) -> tuple[int, int]:
+    """(n_cells, n_probe) for a corpus of n vectors."""
+    import math
+
+    n_cells = max(N_CELLS_MIN, min(N_CELLS_MAX, math.isqrt(max(n, 1))))
+    n_probe = max(4, -(-n_cells // 2))
+    return n_cells, n_probe
 
 # --- r4: trained centroids — deterministic INTEGER k-means ----------
 # Lloyd iterations over QUANTIZED vectors: q = floor((x+2)·2^20) as
@@ -368,9 +392,11 @@ CENT_RES = 7  # ordered by vec_id — no RNG anywhere
 # filter + limit); at production scale this is the classic "train on a
 # sample, assign at scale" IVF recipe with the SAME search plan.
 KM_MOD = 2  # training sample: vec_id % 2 == 1, first KM_CAP — a
-KM_RES = 1  # sparser stride starves the 16 cells at small SF and the
+KM_RES = 1  # sparser stride starves the cells at small SF and the
 # trained recall drops BELOW the seed baseline (measured)
-KM_CAP = 1024
+KM_CAP = 8192  # r5: 1024 → 8192 (sample size was the recall lever in
+# r4's mod-11 experiment; 8192×64 float64 ≈ 4 MB driver-side, still
+# closure-shippable)
 KM_ITERS = 2
 KM_SCALE = 1 << 20
 KM_OFF = 2.0  # embeddings live in (-1, 1); offset keeps q ≥ 0 so
@@ -383,7 +409,7 @@ def _quantize(X):
     return np.floor((X + KM_OFF) * KM_SCALE).astype(np.int64)
 
 
-def _trained_centroids(emb: DataFrame):
+def _trained_centroids(emb: DataFrame, n_cells: int):
     """KM_ITERS Lloyd rounds, exact integer math (|q| < 2^22, squared
     dists < 2^51, sums < 2^53 — every value exactly representable);
     ties → lowest cell; an empty cell keeps its previous centroid.
@@ -393,7 +419,7 @@ def _trained_centroids(emb: DataFrame):
     seeds = (
         emb.where(F.col("vec_id") % CENT_MOD == CENT_RES)
         .orderBy("vec_id")
-        .limit(N_CELLS)
+        .limit(n_cells)
         .select("embedding")
         .collect()
     )
@@ -410,17 +436,17 @@ def _trained_centroids(emb: DataFrame):
         d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)  # argmin returns FIRST min → lowest cell
         C = C.copy()
-        for c in range(N_CELLS):
+        for c in range(n_cells):
             members = Q[a == c]
             if len(members):
                 C[c] = members.sum(axis=0) // len(members)
     return C.astype(np.float64) / KM_SCALE - KM_OFF
 
 
-def _centroids(emb: DataFrame):
+def _centroids(emb: DataFrame, n_cells: int):
     import numpy as np
 
-    C = _trained_centroids(emb)
+    C = _trained_centroids(emb, n_cells)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
@@ -456,7 +482,8 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode and probe cost degrades toward brute force — at 10^12 docs
     this table is the thing an operator actually watches."""
     emb = _emb(spark, sf_dir)
-    cells = _assign_cells(emb, _centroids(emb))
+    n_cells, _ = _geometry(emb.count())
+    cells = _assign_cells(emb, _centroids(emb, n_cells))
     return (
         cells.groupBy("cell")
         .agg(F.count("*").alias("n_members"))
@@ -466,13 +493,13 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the third scale path of the brief:
-    coarse-quantize every vector to its nearest of N_CELLS TRAINED
-    centroids (deterministic integer k-means over a pushed-down
-    sample; cosine argmax, ties → lowest cell), then search only the
-    N_PROBE cells nearest each query and exact-cosine re-rank.
-    Search cost ≈ |Q|·N·(N_PROBE/N_CELLS) instead of |Q|·N.
+    coarse-quantize every vector to its nearest of n_cells ≈ √N
+    TRAINED centroids (deterministic integer k-means over a
+    pushed-down sample; cosine argmax, ties → lowest cell), then
+    search only the n_probe cells nearest each query and exact-cosine
+    re-rank.  Search cost ≈ |Q|·N·(n_probe/n_cells) instead of |Q|·N.
 
-    Plan: centroids are DRIVER-tiny (N_CELLS×DIM) and ship in the task
+    Plan: centroids are DRIVER-tiny (n_cells×DIM) and ship in the task
     closure; cell assignment is one numpy pass over Arrow batches (no
     shuffle); candidates co-locate with ONE shuffle join on cell; the
     re-rank dot products run in the same JVM fold the LSH re-rank uses
@@ -480,7 +507,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    Cn = _centroids(emb)
+    n_cells, n_probe = _geometry(emb.count())
+    Cn = _centroids(emb, n_cells)
     cells = _assign_cells(emb, Cn)
     inv = cells.join(emb, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
@@ -497,9 +525,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     probes = []
     for r, qid in zip(Qn @ Cn.T, [int(x.vec_id) for x in qrows]):
-        # top-N_PROBE cells, ties → lowest cell (lexsort mirror of the
+        # top-n_probe cells, ties → lowest cell (lexsort mirror of the
         # oracle's ORDER BY sim DESC, cell ASC)
-        order = np.lexsort((np.arange(N_CELLS), -r))[:N_PROBE]
+        order = np.lexsort((np.arange(n_cells), -r))[:n_probe]
         probes += [(qid, int(c)) for c in order]
     probe_df = spark.createDataFrame(probes, "query_id long, cell int")
     qemb = spark.createDataFrame(
@@ -567,6 +595,12 @@ def _kmeans_cent_ctes() -> str:
         for i in range(1, KM_ITERS + 1)
     )
     return f"""
+nc AS (
+  SELECT CAST(greatest({N_CELLS_MIN}, least({N_CELLS_MAX},
+              floor(sqrt(count(*))))) AS BIGINT) AS n
+  FROM embeddings
+),
+npb AS (SELECT greatest(4, (n + 1) // 2) AS n FROM nc),
 samp AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   WHERE vec_id % {KM_MOD} = {KM_RES} ORDER BY vec_id LIMIT {KM_CAP}
@@ -577,11 +611,12 @@ sq AS (
   FROM samp
 ),
 seed0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         embedding::DOUBLE[] AS e
-  FROM embeddings
-  WHERE vec_id % {CENT_MOD} = {CENT_RES}
-  ORDER BY vec_id LIMIT {N_CELLS}
+  SELECT cell, e FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           embedding::DOUBLE[] AS e
+    FROM embeddings
+    WHERE vec_id % {CENT_MOD} = {CENT_RES}
+  ) WHERE cell < (SELECT n FROM nc)
 ),
 c0 AS (
   SELECT cell, generate_subscripts(e, 1) AS d,
@@ -635,7 +670,7 @@ probes AS (
                                        cent.cell ASC) AS rn
     FROM embeddings q, cent
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
+  ) WHERE rn <= (SELECT n FROM npb)
 ),
 cand AS (
   SELECT DISTINCT p.query_id, qe.embedding::DOUBLE[] AS q,

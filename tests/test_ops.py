@@ -420,10 +420,11 @@ def test_benchmark_contamination_planted(spark, tmp_path):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF (16 TRAINED cells, 4 probes): nonempty results, recall vs
-    the exact baseline within the expected coarse-quantization band
-    (r4 trained centroids beat the r3 seed baseline — the pin rises
-    from 0.25 to 0.4), and every query survives probing."""
+    """IVF at the r5 √N geometry (isqrt(N) trained cells, ceil(nc/2)
+    probes): nonempty results, recall vs the exact baseline within the
+    expected coarse-quantization band (measured 0.80 at sf0.001, 0.84
+    at sf0.1 — pin leaves slack only for geometry-neutral churn), and
+    every query survives probing."""
     brute = {
         (r.query_id, r.neighbor_id)
         for r in ann.ann_cosine_topk(spark, SF_SMOKE).collect()
@@ -432,7 +433,7 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     assert ivf
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.4, f"suspiciously low IVF recall {recall}"
+    assert recall >= 0.7, f"suspiciously low IVF recall {recall}"
     # every query returns SOMETHING (probed cells are never all empty:
     # the query's own cell is always among its nearest probes)
     assert {r.query_id for r in ivf_rows} == set(range(ann.N_QUERIES))
@@ -447,7 +448,8 @@ def test_ivf_trained_centroids_exact_and_accounted(spark):
     import numpy as np
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    C = ann._trained_centroids(emb)
+    n_cells, _ = ann._geometry(emb.count())
+    C = ann._trained_centroids(emb, n_cells)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
@@ -461,7 +463,7 @@ def test_ivf_trained_centroids_exact_and_accounted(spark):
     cells = ann.ann_ivf_cells(spark, SF_SMOKE).collect()
     n_emb = emb.count()
     assert sum(r.n_members for r in cells) == n_emb
-    assert all(0 <= r.cell < ann.N_CELLS for r in cells)
+    assert all(0 <= r.cell < n_cells for r in cells)
 
 
 def test_gopher_quality_flags_planted(spark, tmp_path):
