@@ -634,6 +634,158 @@ def _media_tiff_bytes(media_ref: str) -> bytes:
     return bytes(out)
 
 
+# --- baseline JPEG (r5): a real SOF0 encoder, no codec library ------
+#
+# The lossless-roundtrip trick that makes JPEG oracle-able: per-MCU
+# SOLID color + all-ones quantization tables.  The FDCT of a constant
+# 8×8 block is DC-only (DC = 8·(v−128), every AC exactly 0), quant 1
+# stores it losslessly, and the IDCT of a DC-only block is exactly
+# constant again — so the ONLY lossy step is RGB↔YCbCr, which both
+# sides implement in the same integer fixed-point arithmetic
+# (_jpeg_ycc / _jpeg_rgb below == the SQL mirror in
+# ops/multimodal._media_decode_sql).  Entropy coding is REAL canonical
+# Huffman (custom minimal tables: every emitted code path is one the
+# decoder must genuinely walk).
+
+# DC table: size categories 0..11, all at code length 4 (canonical
+# codes 0000..1011).  AC table: the single EOB symbol at length 2.
+JPEG_DC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+JPEG_AC_VALS = (0x00,)  # EOB
+
+
+def _jpeg_ycc(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """RGB → YCbCr in 16.16 fixed point (floor shift + clamp) — the
+    integer mirror of the JFIF float formulas; bit-identical to the
+    SQL oracle's expressions."""
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = (8421376 - 11059 * r - 21712 * g + 32768 * b + 32768) >> 16
+    cr = (8421376 + 32768 * r - 27439 * g - 5329 * b + 32768) >> 16
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _jpeg_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """YCbCr → RGB, same fixed-point contract (the decoder's inverse;
+    numerators offset by 2^24 so floor-shift == non-negative integer
+    division in every engine, incl. DuckDB's truncating //)."""
+    r = ((65536 * y + 91881 * cr - 11760768 + 32768 + 16777216) >> 16) - 256
+    g = (
+        (65536 * y - 22554 * cb - 46802 * cr + 8877568 + 32768 + 16777216)
+        >> 16
+    ) - 256
+    b = ((65536 * y + 116130 * cb - 14864640 + 32768 + 16777216) >> 16) - 256
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill
+        return bytes(self.out)
+
+
+def _huff_codes(bits: Sequence[int], vals: Sequence[int]) -> dict:
+    """Canonical JPEG Huffman code assignment (T.81 Annex C)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_put_dc(w: _JpegBitWriter, codes: dict, diff: int) -> None:
+    mag, cat = abs(diff), 0
+    while mag:
+        cat += 1
+        mag >>= 1
+    w.put(*codes[cat])
+    if cat:
+        w.put(diff if diff >= 0 else diff - 1, cat)  # T.81 F.1.2.1
+
+
+def _jpeg_bytes(w: int, h: int, mcu_color) -> bytes:
+    """Baseline JPEG (SOF0, 4:4:4, all-ones quant): w×h image where
+    MCU (i,j) is the solid RGB color ``mcu_color(j, i)``.  Real
+    marker segments + real canonical-Huffman entropy data."""
+    import struct
+
+    dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    pred = [0, 0, 0]
+    for j in range(my):
+        for i in range(mx):
+            ycc = _jpeg_ycc(*mcu_color(j, i))
+            for c in range(3):
+                dc_val = 8 * (ycc[c] - 128)
+                _jpeg_put_dc(bw, dc, dc_val - pred[c])
+                pred[c] = dc_val
+                bw.put(*ac[0x00])  # EOB: all 63 AC are zero
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)  # table 0, all ones
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _media_jpeg_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) baseline JPEG, deterministic in media_ref:
+    same dims/color contract as the BMP/PNG/GIF/TIFF twins (digest
+    bytes 0-4).  The decoded channel means are the YCbCr-roundtripped
+    color — closed-form over md5(media_ref) because both directions
+    are the shared integer fixed-point converters."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = (h[2], h[3], h[4])
+    return _jpeg_bytes(w, ht, lambda j, i: color)
+
+
 def _media_wav_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) PCM-16 mono WAV, deterministic in
     media_ref: sample rate, length and amplitude from digest bytes

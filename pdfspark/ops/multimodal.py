@@ -2,15 +2,17 @@
 (task brief: decode / feature-extract / resize / frame-sample as
 vectorized stages over binary columns).
 
-Decode status (r4): ``decode_image_real`` REALLY decodes every
-format that needs no codec library — BMP (BI_RGB), PNG (stdlib zlib
-+ unfiltering), GIF (pure GIF-LZW), TIFF (baseline none/LZW),
-PGM/PPM, PCM WAV, and JPEG SOF headers (dimensions without entropy
-decode) — with struct parsing and numpy pixel/sample statistics; the
-`media_decode_real` (BMP/PNG/GIF/TIFF rotation) and
+Decode status (r5): ``decode_image_real`` REALLY decodes every image
+format in the rotation — BMP (BI_RGB), PNG (stdlib zlib +
+unfiltering), GIF (pure GIF-LZW), TIFF (baseline none/LZW), baseline
+JPEG (SOF0: canonical Huffman entropy decode, dequant, IDCT,
+fixed-point YCbCr→RGB — pure numpy, no codec library), PGM/PPM, PCM
+WAV — with struct parsing and numpy pixel/sample statistics; the
+`media_decode_real` (BMP/PNG/GIF/TIFF/JPEG rotation) and
 `media_audio_meta` (WAV) driver queries run that path end-to-end
-against closed-form oracles. JPEG/video PIXEL decode still raises
-NotImplementedError: that
+against closed-form oracles. Non-baseline JPEG (progressive,
+subsampled) falls back to header-only dims; VIDEO frame decode is
+the one remaining NotImplementedError: that
 decode genuinely needs libraries absent from this container, and
 ``_fake_decode`` (deterministic metadata from the payload's embedded
 digest) stands in for them — swapping it for PIL/ffmpeg on a real
@@ -40,15 +42,16 @@ MEDIA_META_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """REAL decode for formats that need no codec library (r4):
+    """REAL decode for formats that need no codec library (r4-r5):
     BMP (BI_RGB 24-bit), PNG (stdlib zlib + scanline unfiltering),
     GIF (pure GIF-LZW), TIFF (baseline none/LZW + predictor),
-    PGM/PPM (P5/P6 binary), WAV (PCM), plus JPEG SOF HEADER parsing
-    (dimensions without entropy decode) — struct + numpy + zlib only.
+    baseline JPEG (SOF0/SOF1 4:4:4 — full entropy decode + IDCT in
+    pure numpy; non-baseline frames fall back to SOF header dims),
+    PGM/PPM (P5/P6 binary), WAV (PCM) — struct + numpy + zlib only.
     Returns typed metadata + integer channel/sample statistics.
-    Full JPEG/video pixel decode still raises NotImplementedError —
-    that genuinely needs libraries absent from this container; on a
-    production cluster it is the documented one-function PIL/ffmpeg
+    VIDEO pixel decode still raises NotImplementedError — that
+    genuinely needs libraries absent from this container; on a
+    production cluster it is the documented one-function ffmpeg
     swap."""
     import struct
 
@@ -114,9 +117,14 @@ def decode_image_real(payload: bytes) -> dict:
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _tiff_decode(payload)
     if payload[:2] == b"\xff\xd8":
-        # JPEG: entropy decode needs a codec library, but the SOF
-        # header is plain marker parsing — REAL dimension extraction
-        return _jpeg_header_decode(payload)
+        # JPEG (r5): REAL baseline pixel decode — marker walk, DQT/DHT
+        # tables, canonical Huffman entropy decode, dequant, IDCT,
+        # fixed-point YCbCr→RGB.  Non-baseline frames (progressive,
+        # subsampled, arithmetic) fall back to header-only dims.
+        try:
+            return _jpeg_decode(payload)
+        except NotImplementedError:
+            return _jpeg_header_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt_info = None
@@ -421,6 +429,246 @@ def _tiff_decode(payload: bytes) -> dict:
     return out
 
 
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_idct_basis():
+    """The 8×8 DCT-III basis M[u,x] = C(u)/2·cos((2x+1)uπ/16); the
+    spatial block is Mᵀ·S·M.  For a DC-only block the result is
+    exactly S00/8 up to 2e-16 relative error — far inside the
+    round-to-int margin, so solid-color blocks decode losslessly."""
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2.0)
+    return m
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy-coded scan with 0xFF00
+    unstuffing; a real marker (FF xx, xx≠00) ends the scan."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.buf):
+                raise NotImplementedError("JPEG scan data truncated")
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise NotImplementedError("JPEG scan data truncated")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: additional bits → signed value."""
+    return v if cat == 0 or v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_decode(payload: bytes) -> dict:
+    """REAL baseline JPEG pixel decode in pure numpy (r5): marker
+    walk, DQT (8/16-bit) + DHT canonical table build, interleaved-MCU
+    Huffman entropy decode with per-component DC prediction, dequant,
+    de-zigzag, float IDCT, level shift, fixed-point YCbCr→RGB
+    (codec._jpeg_rgb — the exact integer mirror the SQL oracle uses).
+    Supported: SOF0/SOF1, 4:4:4 (all sampling factors 1×1) or
+    grayscale, no restart intervals — everything the codec-free
+    encoder emits plus generic tables/coefficients; anything else
+    raises NotImplementedError and the caller falls back to
+    header-only dims."""
+    import struct
+
+    import numpy as np
+
+    from ..codec import _jpeg_rgb
+
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            raise NotImplementedError("JPEG marker stream desynced")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9 or i + 4 > len(payload):
+            break
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                j += 1
+                if pq:
+                    vals = list(
+                        struct.unpack_from(f">{64}H", body, j)
+                    )
+                    j += 128
+                else:
+                    vals = list(body[j : j + 64])
+                    j += 64
+                qtables[tq] = vals
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0xF
+                bits = body[j + 1 : j + 17]
+                nvals = sum(bits)
+                vals = body[j + 17 : j + 17 + nvals]
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(cls, tid)] = table
+                j += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision beyond 8-bit")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG")
+                comps.append({"id": cid, "tq": tq})
+            frame = (w, h, comps)
+        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
+            raise NotImplementedError("non-baseline JPEG frame")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 0xF)
+            scan = (sel, i + 2 + seglen)
+            break
+        i += 2 + seglen
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG without baseline SOF + SOS")
+    w, h, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    sel, data_off = scan
+    rd = _JpegBitReader(payload, data_off)
+    basis = _jpeg_idct_basis()
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        np.zeros((my * 8, mx * 8), dtype=np.int64) for _ in comps
+    ]
+    pred = [0] * len(comps)
+    for by in range(my):
+        for bx in range(mx):
+            for ci, comp in enumerate(comps):
+                dc_tid, ac_tid = sel[comp["id"]]
+                q = qtables[comp["tq"]]
+                coef = np.zeros(64, dtype=np.float64)
+                cat = rd.huff(htables[(0, dc_tid)])
+                pred[ci] += _jpeg_extend(rd.bits(cat), cat)
+                coef[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = rd.huff(htables[(1, ac_tid)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise NotImplementedError("bad JPEG AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC overrun")
+                    coef[_JPEG_ZIGZAG[k]] = (
+                        _jpeg_extend(rd.bits(size), size) * q[k]
+                    )
+                    k += 1
+                block = basis.T @ coef.reshape(8, 8) @ basis
+                px = np.rint(block).astype(np.int64) + 128
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = np.clip(px, 0, 255)
+    planes = [p[:h, :w] for p in planes]
+    n = w * h
+    if len(comps) == 1:
+        mean = int(planes[0].sum() // n)
+        return {
+            "fmt": "jpeg", "width": w, "height": h,
+            "n_bytes": len(payload),
+            "mean_r": mean, "mean_g": mean, "mean_b": mean,
+        }
+    y, cb, cr = planes
+    # fixed-point YCbCr→RGB, vectorized (same integer ops as
+    # codec._jpeg_rgb; numerators kept non-negative by the 2^24
+    # offset so >> is plain division in every engine)
+    r = np.clip(
+        ((65536 * y + 91881 * cr - 11760768 + 32768 + 16777216) >> 16)
+        - 256, 0, 255,
+    )
+    g = np.clip(
+        (
+            (65536 * y - 22554 * cb - 46802 * cr + 8877568 + 32768
+             + 16777216) >> 16
+        ) - 256, 0, 255,
+    )
+    b = np.clip(
+        ((65536 * y + 116130 * cb - 14864640 + 32768 + 16777216) >> 16)
+        - 256, 0, 255,
+    )
+    return {
+        "fmt": "jpeg", "width": w, "height": h, "n_bytes": len(payload),
+        "mean_r": int(r.sum() // n),
+        "mean_g": int(g.sum() // n),
+        "mean_b": int(b.sum() // n),
+    }
+
+
 def _jpeg_header_decode(payload: bytes) -> dict:
     """REAL JPEG header parse (markers only — no entropy decode):
     dimensions from the first SOF0-SOF15 frame marker. Pixel decode
@@ -620,29 +868,32 @@ MEDIA_DECODE_SCHEMA = (
 
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `media_decode_real`: every media span gets a REAL
-    payload — BMP (BI_RGB), PNG (zlib inflate + filtered scanlines)
-    or GIF (GIF-LZW sub-blocks), rotating on the digest — and runs
-    through `decode_image_real`: actual header parsing, inflate/LZW,
-    unfiltering and pixel statistics, not the stub, inside one
-    Arrow-batched stage. The closed-form oracle re-derives format,
-    dims and channel means from md5(media_ref)."""
+    payload — BMP (BI_RGB), PNG (zlib inflate + filtered scanlines),
+    GIF (GIF-LZW sub-blocks), TIFF (none/LZW) or baseline JPEG
+    (canonical Huffman + IDCT, r5), rotating on the digest — and runs
+    through `decode_image_real`: actual header parsing, entropy
+    decode, unfiltering and pixel statistics, not the stub, inside
+    one Arrow-batched stage. The closed-form oracle re-derives
+    format, dims and channel means from md5(media_ref); for JPEG the
+    means are the YCbCr fixed-point roundtrip of the color (the one
+    lossy step — mirrored integer-exactly in SQL)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         from ..codec import (
-            _media_bmp_bytes, _media_gif_bytes, _media_png_bytes,
-            _media_tiff_bytes,
+            _media_bmp_bytes, _media_gif_bytes, _media_jpeg_bytes,
+            _media_png_bytes, _media_tiff_bytes,
         )
 
         makers = (
             _media_bmp_bytes, _media_png_bytes, _media_gif_bytes,
-            _media_tiff_bytes,
+            _media_tiff_bytes, _media_jpeg_bytes,
         )
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 4]
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 5]
                 m = decode_image_real(maker(mref))
                 rows.append(
                     {
@@ -737,11 +988,11 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) % 4
+    # format rotation: digest byte 5 (hex chars 11-12) % 5
     fmt = (
-        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 4 "
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 5 "
         "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' "
-        "ELSE 'tiff' END"
+        "WHEN 3 THEN 'tiff' ELSE 'jpeg' END"
     )
     return f"""
 WITH c AS (
@@ -753,12 +1004,46 @@ media AS (
          'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
            AS media_ref
   FROM c WHERE i % 3 = 2
+),
+rgb AS (
+  SELECT doc_id, media_ref, {fmt} AS fmt,
+         CAST({w} AS BIGINT) AS w, CAST({h} AS BIGINT) AS h,
+         CAST({r} AS BIGINT) AS r, CAST({g} AS BIGINT) AS g,
+         CAST({b} AS BIGINT) AS b
+  FROM media
+),
+-- JPEG's one lossy step, RGB→YCbCr in 16.16 fixed point
+-- (codec._jpeg_ycc: floor shift; only Cb/Cr can graze 256 → least)
+ycc AS (
+  SELECT *,
+         (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+         least(255, (8421376 - 11059*r - 21712*g + 32768*b + 32768)
+                    // 65536) AS cb,
+         least(255, (8421376 + 32768*r - 27439*g - 5329*b + 32768)
+                    // 65536) AS cr
+  FROM rgb
+),
+-- …and back (codec._jpeg_rgb: +2^24 offset keeps numerators
+-- non-negative so // is the same floor shift in every engine)
+rt AS (
+  SELECT *,
+         greatest(0, least(255,
+           (65536*y + 91881*cr - 11760768 + 32768 + 16777216) // 65536
+             - 256)) AS r2,
+         greatest(0, least(255,
+           (65536*y - 22554*cb - 46802*cr + 8877568 + 32768 + 16777216)
+             // 65536 - 256)) AS g2,
+         greatest(0, least(255,
+           (65536*y + 116130*cb - 14864640 + 32768 + 16777216) // 65536
+             - 256)) AS b2
+  FROM ycc
 )
-SELECT doc_id, media_ref, {fmt} AS fmt,
-       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
-       CAST({r} AS INT) AS mean_r, CAST({g} AS INT) AS mean_g,
-       CAST({b} AS INT) AS mean_b
-FROM media
+SELECT doc_id, media_ref, fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN fmt = 'jpeg' THEN r2 ELSE r END AS INT) AS mean_r,
+       CAST(CASE WHEN fmt = 'jpeg' THEN g2 ELSE g END AS INT) AS mean_g,
+       CAST(CASE WHEN fmt = 'jpeg' THEN b2 ELSE b END AS INT) AS mean_b
+FROM rt
 """
 
 

@@ -535,6 +535,41 @@ def test_chunk_boilerplate_plan_broadcasts_boiler_keys(spark, tmp_path):
     assert all(v == 1 for v in got.values())
 
 
+def test_jpeg_baseline_decode_real():
+    """r5: REAL baseline JPEG decode — canonical Huffman, dequant,
+    IDCT, fixed-point YCbCr→RGB. Solid-color payloads roundtrip to
+    exactly the fixed-point color (the DCT path is lossless for
+    constant blocks under all-ones quant); multi-MCU images exercise
+    DC prediction; non-baseline frames fall back to header dims."""
+    import hashlib
+
+    from pdfspark.codec import (
+        _jpeg_bytes, _jpeg_rgb, _jpeg_ycc, _media_jpeg_bytes,
+    )
+
+    for i in range(50):
+        ref = f"mjp{i}"
+        h = hashlib.md5(ref.encode()).digest()
+        m = multimodal.decode_image_real(_media_jpeg_bytes(ref))
+        assert m["fmt"] == "jpeg"
+        assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
+        exp = _jpeg_rgb(*_jpeg_ycc(h[2], h[3], h[4]))
+        assert (m["mean_r"], m["mean_g"], m["mean_b"]) == exp
+
+    # two MCUs, two colors: DC diff coding across MCUs must track
+    p = _jpeg_bytes(16, 8, lambda j, i: (255, 0, 0) if i == 0 else (0, 0, 255))
+    m = multimodal.decode_image_real(p)
+    e1 = _jpeg_rgb(*_jpeg_ycc(255, 0, 0))
+    e2 = _jpeg_rgb(*_jpeg_ycc(0, 0, 255))
+    exp = tuple((a * 64 + b * 64) // 128 for a, b in zip(e1, e2))
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == exp
+
+    # a progressive (SOF2) frame falls back to header-only dims
+    prog = _media_jpeg_bytes("mjp0").replace(b"\xff\xc0", b"\xff\xc2", 1)
+    m = multimodal.decode_image_real(prog)
+    assert m["width"] and "mean_r" not in m
+
+
 def test_decode_image_real_formats():
     """The r4 real decoders: BMP dims/means, PGM/PPM channel stats,
     PCM WAV metadata + peak; codec formats still raise."""
