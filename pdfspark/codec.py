@@ -265,6 +265,8 @@ def _build_chained_embedded_cmap(
 def _show_bytes_embedded(text: str, code_of: dict[str, bytes]) -> bytes:
     """Show bytes under the custom embedded CMap: ASCII one byte,
     everything else its assigned 2-byte code."""
+    if text.isascii():  # fast path: codes == ordinals, one encode
+        return b"<" + text.encode("ascii").hex().encode("ascii") + b">"
     out = bytearray()
     for ch in text:
         o = ord(ch)

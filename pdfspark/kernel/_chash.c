@@ -22,7 +22,7 @@
 /* OpenSSL 3: explicit one-time fetches — the legacy EVP_aes_128_cbc()
  * constants trigger an implicit provider fetch on EVERY init, which
  * dominates a loop this tight (~10 us per fetch x ~200 inits/call) */
-static EVP_CIPHER *g_aes;
+static EVP_CIPHER *g_aes, *g_aes256;
 static EVP_MD *g_sha256, *g_sha384, *g_sha512;
 
 static PyObject *
@@ -112,9 +112,121 @@ chash_hash_2b(PyObject *self, PyObject *args)
     return PyBytes_FromStringAndSize((const char *)k, 32);
 }
 
+/* RC4 (KSA + PRGA) in plain C — no OpenSSL involved: RC4 sits in
+ * OpenSSL 3's legacy provider and the `cryptography` wrapper pays a
+ * fresh context + provider dispatch per call, which dominates the
+ * many small per-object encryptions a PDF performs.  Byte-identical
+ * to crypt.rc4's pure-Python fallback (parity-tested). */
+static PyObject *
+chash_rc4(PyObject *self, PyObject *args)
+{
+    const unsigned char *key, *data;
+    Py_ssize_t klen, n, i;
+    unsigned char s[256];
+    unsigned int a, j, b;
+    PyObject *res;
+    unsigned char *out;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "y#y#", &key, &klen, &data, &n))
+        return NULL;
+    if (klen < 1 || klen > 256) {
+        PyErr_SetString(PyExc_ValueError, "rc4 key length");
+        return NULL;
+    }
+    res = PyBytes_FromStringAndSize(NULL, n);
+    if (res == NULL)
+        return NULL;
+    out = (unsigned char *)PyBytes_AS_STRING(res);
+    for (i = 0; i < 256; i++)
+        s[i] = (unsigned char)i;
+    j = 0;
+    for (i = 0; i < 256; i++) {
+        unsigned char t;
+        j = (j + s[i] + key[i % klen]) & 255;
+        t = s[i];
+        s[i] = s[j];
+        s[j] = t;
+    }
+    a = j = 0;
+    for (i = 0; i < n; i++) {
+        unsigned char t;
+        a = (a + 1) & 255;
+        j = (j + s[a]) & 255;
+        t = s[a];
+        s[a] = s[j];
+        s[j] = t;
+        b = (s[a] + s[j]) & 255;
+        out[i] = data[i] ^ s[b];
+    }
+    return res;
+}
+
+/* AES-CBC with the module-init-fetched ciphers (128/256 by key len),
+ * NO padding — the Python callers own the PKCS#5 logic.  One ctx per
+ * call but zero provider fetches and zero abc/isinstance overhead. */
+static PyObject *
+chash_aes_cbc(PyObject *self, PyObject *args)
+{
+    const unsigned char *key, *iv, *data;
+    Py_ssize_t klen, ivlen, n;
+    int decrypt;
+    const EVP_CIPHER *ciph;
+    EVP_CIPHER_CTX *ctx;
+    PyObject *res;
+    int outl = 0, tmpl = 0, ok;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "y#y#y#p", &key, &klen, &iv, &ivlen, &data,
+                          &n, &decrypt))
+        return NULL;
+    if (ivlen != 16 || (klen != 16 && klen != 32) || (n % 16) != 0) {
+        PyErr_SetString(PyExc_ValueError, "aes_cbc geometry");
+        return NULL;
+    }
+    ciph = klen == 16 ? g_aes : g_aes256;
+    res = PyBytes_FromStringAndSize(NULL, n);
+    if (res == NULL)
+        return NULL;
+    ctx = EVP_CIPHER_CTX_new();
+    if (ctx == NULL) {
+        Py_DECREF(res);
+        return PyErr_NoMemory();
+    }
+    if (decrypt)
+        ok = EVP_DecryptInit_ex(ctx, ciph, NULL, key, iv) &&
+             EVP_CIPHER_CTX_set_padding(ctx, 0) &&
+             EVP_DecryptUpdate(ctx,
+                               (unsigned char *)PyBytes_AS_STRING(res),
+                               &outl, data, (int)n) &&
+             EVP_DecryptFinal_ex(
+                 ctx, (unsigned char *)PyBytes_AS_STRING(res) + outl,
+                 &tmpl);
+    else
+        ok = EVP_EncryptInit_ex(ctx, ciph, NULL, key, iv) &&
+             EVP_CIPHER_CTX_set_padding(ctx, 0) &&
+             EVP_EncryptUpdate(ctx,
+                               (unsigned char *)PyBytes_AS_STRING(res),
+                               &outl, data, (int)n) &&
+             EVP_EncryptFinal_ex(
+                 ctx, (unsigned char *)PyBytes_AS_STRING(res) + outl,
+                 &tmpl);
+    EVP_CIPHER_CTX_free(ctx);
+    if (!ok || outl + tmpl != (int)n) {
+        Py_DECREF(res);
+        PyErr_SetString(PyExc_RuntimeError, "EVP AES-CBC failed");
+        return NULL;
+    }
+    return res;
+}
+
 static PyMethodDef chash_methods[] = {
     {"hash_2b", chash_hash_2b, METH_VARARGS,
      "hash_2b(pwd, salt, udata) -> 32-byte key (ISO 32000-2 Alg 2.B)"},
+    {"rc4", chash_rc4, METH_VARARGS,
+     "rc4(key, data) -> bytes (symmetric RC4, plain C)"},
+    {"aes_cbc", chash_aes_cbc, METH_VARARGS,
+     "aes_cbc(key, iv, data, decrypt) -> bytes (no padding)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef chash_module = {
@@ -126,10 +238,11 @@ PyMODINIT_FUNC
 PyInit__chash(void)
 {
     g_aes = EVP_CIPHER_fetch(NULL, "AES-128-CBC", NULL);
+    g_aes256 = EVP_CIPHER_fetch(NULL, "AES-256-CBC", NULL);
     g_sha256 = EVP_MD_fetch(NULL, "SHA2-256", NULL);
     g_sha384 = EVP_MD_fetch(NULL, "SHA2-384", NULL);
     g_sha512 = EVP_MD_fetch(NULL, "SHA2-512", NULL);
-    if (!g_aes || !g_sha256 || !g_sha384 || !g_sha512) {
+    if (!g_aes || !g_aes256 || !g_sha256 || !g_sha384 || !g_sha512) {
         PyErr_SetString(PyExc_ImportError, "OpenSSL EVP fetch failed");
         return NULL;
     }

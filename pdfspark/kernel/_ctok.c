@@ -1212,8 +1212,35 @@ pbuf_put(pbuf_t *b, const void *src, Py_ssize_t n)
     return 0;
 }
 
+/* name emission: the shared Python produce-name cache consulted
+ * C-side first (PyDict_GetItem, no call overhead); misses route
+ * through name_fn, which escapes AND populates that same cache. */
 static int
-produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
+emit_name_c(PyObject *key, pbuf_t *b, PyObject *name_fn,
+            PyObject *name_cache)
+{
+    PyObject *nb;
+    int rc;
+
+    if (name_cache != NULL) {
+        PyObject *hit = PyDict_GetItemWithError(name_cache, key);
+        if (hit != NULL && PyBytes_CheckExact(hit))
+            return pbuf_put(b, PyBytes_AS_STRING(hit),
+                            PyBytes_GET_SIZE(hit));
+        if (PyErr_Occurred())
+            return -1;
+    }
+    nb = PyObject_CallFunctionObjArgs(name_fn, key, NULL);
+    if (nb == NULL)
+        return -1;
+    rc = pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb));
+    Py_DECREF(nb);
+    return rc;
+}
+
+static int
+produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn,
+               PyObject *name_cache, int depth)
 {
     PyTypeObject *cls = Py_TYPE(v);
     char tmp[64];
@@ -1243,13 +1270,7 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
         }
     }
     if ((PyObject *)cls == S.NameType) {
-        PyObject *nb = PyObject_CallFunctionObjArgs(name_fn, v, NULL);
-        int rc;
-        if (nb == NULL)
-            return -1;
-        rc = pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb));
-        Py_DECREF(nb);
-        return rc;
+        return emit_name_c(v, b, name_fn, name_cache);
     }
     if ((PyObject *)cls == S.Ref) {
         PyObject *num = PyTuple_GET_ITEM(v, 0);
@@ -1320,20 +1341,13 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
         if (pbuf_put(b, "<<", 2) < 0)
             return -1;
         while (PyDict_Next(v, &pos, &key, &val)) {
-            PyObject *nb;
             if (pbuf_put(b, " ", 1) < 0)
                 return -1;
-            nb = PyObject_CallFunctionObjArgs(name_fn, key, NULL);
-            if (nb == NULL)
+            if (emit_name_c(key, b, name_fn, name_cache) < 0)
                 return -1;
-            if (pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb)) < 0) {
-                Py_DECREF(nb);
-                return -1;
-            }
-            Py_DECREF(nb);
             if (pbuf_put(b, " ", 1) < 0)
                 return -1;
-            if (produce_into_c(val, b, name_fn, depth + 1) < 0)
+            if (produce_into_c(val, b, name_fn, name_cache, depth + 1) < 0)
                 return -1;
         }
         return pbuf_put(b, " >>", 3);
@@ -1346,7 +1360,7 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
             if (i && pbuf_put(b, " ", 1) < 0)
                 return -1;
             if (produce_into_c(PyList_GET_ITEM(v, i), b, name_fn,
-                               depth + 1) < 0)
+                               name_cache, depth + 1) < 0)
                 return -1;
         }
         return pbuf_put(b, "]", 1);
@@ -1377,7 +1391,7 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
         int rc;
         if (dict == NULL)
             return -1;
-        rc = produce_into_c(dict, b, name_fn, depth + 1);
+        rc = produce_into_c(dict, b, name_fn, name_cache, depth + 1);
         Py_DECREF(dict);
         if (rc < 0)
             return -1;
@@ -1400,7 +1414,7 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn, int depth)
 static PyObject *
 ctok_produce(PyObject *self, PyObject *args)
 {
-    PyObject *v, *name_fn, *res;
+    PyObject *v, *name_fn, *res, *name_cache = NULL;
     pbuf_t b = {NULL, 0, 0};
 
     (void)self;
@@ -1408,9 +1422,11 @@ ctok_produce(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
         return NULL;
     }
-    if (!PyArg_ParseTuple(args, "OO", &v, &name_fn))
+    if (!PyArg_ParseTuple(args, "OO|O", &v, &name_fn, &name_cache))
         return NULL;
-    if (produce_into_c(v, &b, name_fn, 0) < 0) {
+    if (name_cache != NULL && !PyDict_CheckExact(name_cache))
+        name_cache = NULL;
+    if (produce_into_c(v, &b, name_fn, name_cache, 0) < 0) {
         PyMem_Free(b.buf);
         return NULL;
     }
@@ -1584,6 +1600,134 @@ ctok_lzw_decode(PyObject *self, PyObject *args)
     PyMem_Free(out);
     return res;
 #undef OUT_RESERVE
+}
+
+/* ---- LZW encode (filters.lzw_encode twin) --------------------------
+ * Byte-identical to the Python generator-side encoder: leading clear,
+ * early-change width bumps (the width grows when next_code REACHES
+ * 2^len, i.e. before the code that the lagging decoder would need
+ * wider), table full at 12 bits → clear + restart, trailing EOD,
+ * left-shift zero padding of the final partial byte
+ * (acc << (8-nbits)) — exactly the Python emit/flush pair.
+ * The string table is the classic (prefix_code, byte) → code map,
+ * here an open-addressing hash so a clear is one memset. */
+static PyObject *
+ctok_lzw_encode(PyObject *self, PyObject *args)
+{
+    PyObject *data;
+    const unsigned char *d;
+    Py_ssize_t n, i;
+    unsigned char *out = NULL;
+    Py_ssize_t out_len = 0, out_cap = 0;
+#define LZWE_HASH_SIZE 16384 /* > 2·3838 live entries, power of two */
+    int32_t *hkey = NULL;
+    int16_t *hval = NULL;
+    int next_code = 258, code_len = 9;
+    unsigned long acc = 0;
+    int nbits = 0;
+    int w_code = -1;
+    PyObject *res;
+
+    (void)self;
+    if (!PyArg_ParseTuple(args, "S", &data))
+        return NULL;
+    d = (const unsigned char *)PyBytes_AS_STRING(data);
+    n = PyBytes_GET_SIZE(data);
+
+    hkey = (int32_t *)PyMem_Malloc(LZWE_HASH_SIZE * sizeof(int32_t));
+    hval = (int16_t *)PyMem_Malloc(LZWE_HASH_SIZE * sizeof(int16_t));
+    if (hkey == NULL || hval == NULL) {
+        PyMem_Free(hkey);
+        PyMem_Free(hval);
+        return PyErr_NoMemory();
+    }
+    memset(hkey, 0xFF, LZWE_HASH_SIZE * sizeof(int32_t)); /* -1 empty */
+
+#define ENC_RESERVE(extra)                                                \
+    do {                                                                  \
+        if (out_len + (extra) > out_cap) {                                \
+            Py_ssize_t ncap = out_cap ? out_cap * 2 : 256;                \
+            unsigned char *nb;                                            \
+            while (ncap < out_len + (extra))                              \
+                ncap *= 2;                                                \
+            nb = (unsigned char *)PyMem_Realloc(out, ncap);               \
+            if (nb == NULL) {                                             \
+                PyMem_Free(out);                                          \
+                PyMem_Free(hkey);                                         \
+                PyMem_Free(hval);                                         \
+                return PyErr_NoMemory();                                  \
+            }                                                             \
+            out = nb;                                                     \
+            out_cap = ncap;                                               \
+        }                                                                 \
+    } while (0)
+
+#define ENC_EMIT(code)                                                    \
+    do {                                                                  \
+        acc = (acc << code_len) | (unsigned long)(code);                  \
+        nbits += code_len;                                                \
+        while (nbits >= 8) {                                              \
+            nbits -= 8;                                                   \
+            ENC_RESERVE(1);                                               \
+            out[out_len++] = (unsigned char)((acc >> nbits) & 0xFF);      \
+        }                                                                 \
+    } while (0)
+
+    ENC_EMIT(256); /* leading clear */
+    for (i = 0; i < n; i++) {
+        int c = d[i];
+        if (w_code < 0) {
+            w_code = c; /* single byte: its own code */
+            continue;
+        }
+        {
+            uint32_t key = ((uint32_t)w_code << 8) | (uint32_t)c;
+            uint32_t idx = (key * 2654435761u) & (LZWE_HASH_SIZE - 1);
+            int found = -1;
+            while (hkey[idx] != -1) {
+                if ((uint32_t)hkey[idx] == key) {
+                    found = hval[idx];
+                    break;
+                }
+                idx = (idx + 1) & (LZWE_HASH_SIZE - 1);
+            }
+            if (found >= 0) {
+                w_code = found;
+                continue;
+            }
+            ENC_EMIT(w_code);
+            hkey[idx] = (int32_t)key;
+            hval[idx] = (int16_t)next_code;
+            next_code++;
+            if (next_code >= (1 << code_len)) {
+                if (code_len < 12) {
+                    code_len++;
+                } else { /* table full → clear + restart */
+                    ENC_EMIT(256);
+                    memset(hkey, 0xFF,
+                           LZWE_HASH_SIZE * sizeof(int32_t));
+                    next_code = 258;
+                    code_len = 9;
+                }
+            }
+            w_code = c;
+        }
+    }
+    if (w_code >= 0)
+        ENC_EMIT(w_code);
+    ENC_EMIT(257); /* EOD */
+    if (nbits) {
+        ENC_RESERVE(1);
+        out[out_len++] = (unsigned char)((acc << (8 - nbits)) & 0xFF);
+    }
+    res = PyBytes_FromStringAndSize((const char *)out, out_len);
+    PyMem_Free(out);
+    PyMem_Free(hkey);
+    PyMem_Free(hval);
+    return res;
+#undef ENC_EMIT
+#undef ENC_RESERVE
+#undef LZWE_HASH_SIZE
 }
 
 /* ---- classic xref table fast path (xref._parse_classic_table) ------
@@ -2607,9 +2751,11 @@ static PyMethodDef ctok_methods[] = {
     {"table_advance", ctok_table_advance, METH_VARARGS,
      "table_advance(raw, int64_table_256) -> advance sum"},
     {"produce", ctok_produce, METH_VARARGS,
-     "produce(value, name_fn) -> serialized bytes (COS syntax)"},
+     "produce(value, name_fn[, name_cache]) -> serialized bytes"},
     {"lzw_decode", ctok_lzw_decode, METH_VARARGS,
      "lzw_decode(data) -> decoded bytes (PDF early-change LZW)"},
+    {"lzw_encode", ctok_lzw_encode, METH_VARARGS,
+     "lzw_encode(data) -> encoded bytes (PDF early-change LZW)"},
     {"parse_xref_table", ctok_parse_xref_table, METH_VARARGS,
      "parse_xref_table(data, pos) -> ([(num, gen, off), ...], endpos) "
      "| None(anomaly -> Python path)"},

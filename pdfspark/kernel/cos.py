@@ -880,7 +880,9 @@ def produce(v: COSValue) -> bytes:
     fn = _CTOK_PRODUCE
     if fn is not None:
         try:
-            return fn(v, _produce_name_key)
+            # the shared name cache goes along so the C side resolves
+            # repeated names with a dict hit instead of a Python call
+            return fn(v, _produce_name_key, _PRODUCE_NAME_CACHE)
         except (TypeError, RecursionError):
             pass
     return _produce_py_top(v)

@@ -55,7 +55,12 @@ except Exception:  # pragma: no cover - env without gcc/libcrypto
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (symmetric — one function for both ways)."""
+    """RC4 stream cipher (symmetric — one function for both ways).
+    C fast path (plain-C KSA+PRGA in _chash — no per-call cipher
+    context churn; parity-tested); then the `cryptography` wrapper;
+    then pure Python."""
+    if _CHASH is not None and len(key) >= 1:
+        return _CHASH.rc4(key, data)
     if _HAVE_CRYPTOGRAPHY and 5 <= len(key) <= 256:
         # OpenSSL rejects keys under 40 bits; PDF keys are 5-16 bytes,
         # so this branch covers every spec-conformant file
@@ -77,6 +82,16 @@ def rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _aes_cbc(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    if (
+        _CHASH is not None
+        and hasattr(_CHASH, "aes_cbc")
+        and len(key) in (16, 32)
+        and len(iv) == 16
+        and len(data) % 16 == 0
+    ):
+        # C fast path: module-init-fetched EVP ciphers, no per-call
+        # provider dispatch (parity-tested vs the wrapper below)
+        return _CHASH.aes_cbc(key, iv, data, decrypt)
     if not _HAVE_CRYPTOGRAPHY:
         raise EParseError("AES crypt filter requires the `cryptography` package")
     c = _Cipher(_algos.AES(key), _modes.CBC(iv))

@@ -147,18 +147,19 @@ def predictor_encode_up(data: bytes, columns: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _load_ctok_lzw():
+def _load_ctok_lzw(name: str):
     try:
         from .cos import _CTOK
 
         if _CTOK is not None:
-            return getattr(_CTOK, "lzw_decode", None)
+            return getattr(_CTOK, name, None)
     except Exception:  # pragma: no cover - env without gcc
         pass
     return None
 
 
-_CTOK_LZW = _load_ctok_lzw()
+_CTOK_LZW = _load_ctok_lzw("lzw_decode")
+_CTOK_LZW_ENC = _load_ctok_lzw("lzw_encode")
 
 
 def lzw_decode(data: bytes) -> bytes:
@@ -208,7 +209,14 @@ def _lzw_decode_py(data: bytes) -> bytes:
 
 def lzw_encode(data: bytes) -> bytes:
     """Generator-side LZW (early-change) so the decode path is testable
-    on round trips."""
+    on round trips. C fast path when the extension is available
+    (differential parity in test_ctok_parity)."""
+    if _CTOK_LZW_ENC is not None and data.__class__ is bytes:
+        return _CTOK_LZW_ENC(data)
+    return _lzw_encode_py(data)
+
+
+def _lzw_encode_py(data: bytes) -> bytes:
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
     code_len = 9

@@ -201,6 +201,80 @@ def test_chash_parity():
         assert crypt._CHASH.hash_2b(pwd, salt, udata) == py_hash_2b(pwd, salt, udata)
 
 
+def test_chash_rc4_aes_parity():
+    """r5: _chash.rc4 (plain-C KSA+PRGA) and _chash.aes_cbc
+    (prefetched EVP) vs the `cryptography` wrapper and the pure-Python
+    RC4 — byte-identical over random keys/lengths both directions."""
+    from pdfspark.kernel import crypt
+
+    if crypt._CHASH is None or not hasattr(crypt._CHASH, "rc4"):
+        pytest.skip("C crypt fast paths not available in this env")
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    def rc4_py(key, data):  # the crypt.rc4 fallback body, verbatim
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % len(key)]) % 256
+            s[i], s[j] = s[j], s[i]
+        out = bytearray(len(data))
+        i = j = 0
+        for k, c in enumerate(data):
+            i = (i + 1) % 256
+            j = (j + s[i]) % 256
+            s[i], s[j] = s[j], s[i]
+            out[k] = c ^ s[(s[i] + s[j]) % 256]
+        return bytes(out)
+
+    rng = random.Random(0xC4)
+    for _ in range(60):
+        k = bytes(rng.randrange(256) for _ in range(rng.choice([5, 8, 16, 32])))
+        d = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        ref = Cipher(ARC4(k), mode=None).encryptor().update(d)
+        assert crypt._CHASH.rc4(k, d) == ref == rc4_py(k, d)
+    for _ in range(30):  # arbitrary PDF key lengths (e.g. 10-byte RC4)
+        k = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+        d = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        assert crypt._CHASH.rc4(k, d) == rc4_py(k, d)
+    for _ in range(40):
+        k = bytes(rng.randrange(256) for _ in range(rng.choice([16, 32])))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        d = bytes(rng.randrange(256) for _ in range(16 * rng.randrange(0, 20)))
+        for dec in (False, True):
+            c = Cipher(algorithms.AES(k), modes.CBC(iv))
+            op = c.decryptor() if dec else c.encryptor()
+            ref = op.update(d) + op.finalize()
+            assert crypt._CHASH.aes_cbc(k, iv, d, dec) == ref
+
+
+def test_ctok_lzw_encode_parity():
+    """r5: _ctok.lzw_encode vs the pure-Python encoder — byte-identical
+    across repeat-heavy, random, and table-overflow (12-bit clear)
+    corpora; all outputs roundtrip through lzw_decode."""
+    from pdfspark.kernel import filters
+
+    if filters._CTOK_LZW_ENC is None:
+        pytest.skip("C lzw_encode not available in this env")
+    rng = random.Random(0x17)
+    cases = [
+        b"", b"a", b"ab" * 4000,
+        bytes(rng.randrange(256) for _ in range(20000)),
+        b"the quick brown fox " * 500,
+        bytes([1, 2, 3]) * 30000,  # drives the table past 12 bits
+    ]
+    for _ in range(80):
+        n = rng.randrange(0, 3000)
+        alpha = rng.randrange(2, 30)
+        cases.append(bytes(rng.randrange(alpha) for _ in range(n)))
+    for c in cases:
+        enc_c = filters._CTOK_LZW_ENC(c)
+        assert enc_c == filters._lzw_encode_py(c)
+        assert filters.lzw_decode(enc_c) == c
+
+
 def _spans_bits(spans):
     """Span tuples with floats replaced by their IEEE bit patterns —
     the geometry oracle hashes values, so C-vs-Python parity must be
