@@ -31,7 +31,10 @@ import hashlib
 import math
 from typing import Optional, Sequence
 
-from .kernel.cos import CDict, CStream, CString, Name, Ref, produce, produce_literal_string
+from .kernel.cos import (
+    CDict, CStream, CString, Name, Ref, produce, produce_literal_string,
+    serialize_objs,
+)
 from .kernel.encodings import WINANSI_CHAR_TO_BYTE
 from .kernel.filters import (
     a85_encode,
@@ -814,6 +817,28 @@ def _media_wav_bytes(media_ref: str) -> bytes:
     )
 
 
+# Hot Name spellings + constant dict shapes, hoisted: build_object_graph
+# runs once per document and the per-call Name()/setitem churn was a
+# measurable slice of generation.  Templates carry placeholder values
+# for the per-doc keys (overwrite preserves position → identical bytes).
+_N_NAME = Name("Name")
+_N_LENGTH = Name("Length")
+_N_TYPE = Name("Type")
+_N_PAGE = Name("Page")
+_N_CONTENTS = Name("Contents")
+
+_IMG_DICT_TEMPLATE = CDict()
+_IMG_DICT_TEMPLATE[_N_TYPE] = Name("XObject")
+_IMG_DICT_TEMPLATE[Name("Subtype")] = Name("Image")
+_IMG_DICT_TEMPLATE[_N_NAME] = Name("x")
+_IMG_DICT_TEMPLATE[Name("Width")] = 8
+_IMG_DICT_TEMPLATE[Name("Height")] = 8
+_IMG_DICT_TEMPLATE[Name("ColorSpace")] = Name("DeviceRGB")
+_IMG_DICT_TEMPLATE[Name("BitsPerComponent")] = 8
+_IMG_DICT_TEMPLATE[Name("Filter")] = Name("DCTDecode")
+_IMG_DICT_TEMPLATE[_N_LENGTH] = 0
+
+
 def build_object_graph(
     doc_id: str,
     spans: Sequence[tuple],
@@ -875,22 +900,18 @@ def build_object_graph(
         f2_num = g.reserve()
 
     # image XObjects: one per distinct media_ref, /Name carries the ref
-    # (pass-through DCT bytes — Filter_DoNothing semantics, F7)
+    # (pass-through DCT bytes — Filter_DoNothing semantics, F7).
+    # CDict(template) is a C-level copy; overwriting the placeholder
+    # keys keeps their insertion position, so the emitted key order is
+    # identical to building entry-by-entry.
     image_objs: dict[str, int] = {}
     image_names: dict[str, str] = {}
     for idx, (kind, _t, mref, _o) in enumerate(spans):
         if kind == "media" and mref not in image_objs:
             stub = _media_stub_bytes(mref)
-            d = CDict()
-            d[Name("Type")] = Name("XObject")
-            d[Name("Subtype")] = Name("Image")
-            d[Name("Name")] = Name(mref)
-            d[Name("Width")] = 8
-            d[Name("Height")] = 8
-            d[Name("ColorSpace")] = Name("DeviceRGB")
-            d[Name("BitsPerComponent")] = 8
-            d[Name("Filter")] = Name("DCTDecode")
-            d[Name("Length")] = len(stub)
+            d = CDict(_IMG_DICT_TEMPLATE)
+            d[_N_NAME] = Name(mref)
+            d[_N_LENGTH] = len(stub)
             image_objs[mref] = g.add(CStream(d, stub))
             image_names[mref] = f"Im{len(image_names)}"
 
@@ -1088,11 +1109,11 @@ def build_object_graph(
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
         page = CDict()
-        page[Name("Type")] = Name("Page")
+        page[_N_TYPE] = _N_PAGE
         # MediaBox/Resources are INHERITED from the pages root (ISO
         # 32000-1 §7.7.3.4) — exercises the M5 inheritance walk the
         # reference skips (PDFPage.java:84-86)
-        page[Name("Contents")] = Ref(cnum, 0)
+        page[_N_CONTENTS] = Ref(cnum, 0)
         if navigation:
             # one /Link annotation with a /URI action per page
             # (ISO 32000-1 §12.5.6.5 + §12.6.4.7) — the link-graph
@@ -1406,16 +1427,16 @@ def _assemble_classic(
     handler = _build_encryption(g, doc_id, encryption)
     out = bytearray()
     out += b"%PDF-" + version + eol + b"%\xe2\xe3\xcf\xd3" + eol
-    offsets: dict[int, int] = {}
     nums = sorted(g.objs)
+    items = []
     for n in nums:
-        offsets[n] = len(out)
         body = g.objs[n]
         if handler is not None and n != g.encrypt_num:
             body = _crypt_transform(body, n, 0, handler)
-        out += str(n).encode() + b" 0 obj" + eol
-        out += produce(body)
-        out += eol + b"endobj" + eol
+        items.append((n, body))
+    blob, offs = serialize_objs(items, eol, len(out))
+    out += blob
+    offsets: dict[int, int] = dict(zip(nums, offs))
 
     hybrid_stm_offset = None
     hybrid_omit: set[int] = set()

@@ -1411,6 +1411,84 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn,
     return -1;
 }
 
+/* ---- bulk indirect-object body serializer (codec assemblers) -------
+ * serialize_objs([(num, obj), ...], eol, base, name_fn[, name_cache])
+ *   -> (bytes, [offset, ...])
+ * One C pass emitting "N 0 obj<eol><obj><eol>endobj<eol>" per item
+ * into a single buffer, recording base+position per object — the
+ * classic/incremental assemblers' per-object Python loop (str(n),
+ * produce(), bytearray concat) fused away.  Byte-identical by
+ * construction: the body bytes come from the same produce_into_c the
+ * single-object path uses (differential parity in test_ctok_parity). */
+static PyObject *
+ctok_serialize_objs(PyObject *self, PyObject *args)
+{
+    PyObject *items, *name_fn, *name_cache = NULL, *eol_obj;
+    Py_ssize_t base = 0;
+    pbuf_t b = {NULL, 0, 0};
+    PyObject *offsets = NULL, *body_bytes = NULL, *res = NULL;
+    const char *eol;
+    Py_ssize_t eol_len, n, i;
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "O!SnO|O", &PyList_Type, &items, &eol_obj,
+                          &base, &name_fn, &name_cache))
+        return NULL;
+    if (name_cache != NULL && !PyDict_CheckExact(name_cache))
+        name_cache = NULL;
+    eol = PyBytes_AS_STRING(eol_obj);
+    eol_len = PyBytes_GET_SIZE(eol_obj);
+    n = PyList_GET_SIZE(items);
+    offsets = PyList_New(n);
+    if (offsets == NULL)
+        return NULL;
+    for (i = 0; i < n; i++) {
+        PyObject *pair = PyList_GET_ITEM(items, i);
+        PyObject *num, *obj, *off;
+        char head[32];
+        int hn;
+        if (!PyTuple_Check(pair) || PyTuple_GET_SIZE(pair) != 2) {
+            PyErr_SetString(PyExc_TypeError,
+                            "serialize_objs: items must be (num, obj)");
+            goto fail;
+        }
+        num = PyTuple_GET_ITEM(pair, 0);
+        obj = PyTuple_GET_ITEM(pair, 1);
+        off = PyLong_FromSsize_t(base + b.len);
+        if (off == NULL)
+            goto fail;
+        PyList_SET_ITEM(offsets, i, off);
+        hn = snprintf(head, sizeof(head), "%lld 0 obj",
+                      (long long)PyLong_AsLongLong(num));
+        if (PyErr_Occurred())
+            goto fail;
+        if (pbuf_put(&b, head, hn) < 0 || pbuf_put(&b, eol, eol_len) < 0)
+            goto fail;
+        if (produce_into_c(obj, &b, name_fn, name_cache, 0) < 0)
+            goto fail;
+        if (pbuf_put(&b, eol, eol_len) < 0 ||
+            pbuf_put(&b, "endobj", 6) < 0 ||
+            pbuf_put(&b, eol, eol_len) < 0)
+            goto fail;
+    }
+    body_bytes = PyBytes_FromStringAndSize((const char *)b.buf, b.len);
+    if (body_bytes == NULL)
+        goto fail;
+    res = PyTuple_Pack(2, body_bytes, offsets);
+    Py_DECREF(body_bytes);
+    Py_DECREF(offsets);
+    PyMem_Free(b.buf);
+    return res;
+fail:
+    Py_XDECREF(offsets);
+    PyMem_Free(b.buf);
+    return NULL;
+}
+
 static PyObject *
 ctok_produce(PyObject *self, PyObject *args)
 {
@@ -2752,6 +2830,9 @@ static PyMethodDef ctok_methods[] = {
      "table_advance(raw, int64_table_256) -> advance sum"},
     {"produce", ctok_produce, METH_VARARGS,
      "produce(value, name_fn[, name_cache]) -> serialized bytes"},
+    {"serialize_objs", ctok_serialize_objs, METH_VARARGS,
+     "serialize_objs(items, eol, base, name_fn[, cache]) ->"
+     " (bytes, offsets)"},
     {"lzw_decode", ctok_lzw_decode, METH_VARARGS,
      "lzw_decode(data) -> decoded bytes (PDF early-change LZW)"},
     {"lzw_encode", ctok_lzw_encode, METH_VARARGS,

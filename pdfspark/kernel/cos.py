@@ -67,7 +67,11 @@ class Ref(NamedTuple):
 
 
 class Name(str):
-    """PDF name; value excludes the leading '/'."""
+    """PDF name; value excludes the leading '/'.  NB: deliberately no
+    interning __new__ — a Python-level __new__ costs more per call
+    (~160ns vs the C str path's ~130ns, measured) than identity
+    sharing ever recovers; hot call sites hoist module-level constants
+    instead (codec._N_TYPE et al.)."""
 
     __slots__ = ()
 
@@ -684,6 +688,9 @@ _CTOK = _load_ctok()
 
 # C serializer hook (produce() reads this at call time)
 _CTOK_PRODUCE = getattr(_CTOK, "produce", None) if _CTOK is not None else None
+_CTOK_SERIALIZE_OBJS = (
+    getattr(_CTOK, "serialize_objs", None) if _CTOK is not None else None
+)
 
 if _CTOK is not None:
     _ctok_parse = _CTOK.parse_object
@@ -728,6 +735,10 @@ def produce_name(name: str) -> bytes:
     cached = _PRODUCE_NAME_CACHE.get(name)
     if cached is not None:
         return cached
+    if name.isalnum() and name.isascii():
+        # no byte can need a #xx escape — one-shot encode, and don't
+        # pollute the bounded cache with one-time names (media refs)
+        return b"/" + name.encode("ascii")
     out = bytearray(b"/")
     for b in name.encode("latin-1"):
         if b < 0x21 or b == 0x23 or is_delim(b):
@@ -886,4 +897,29 @@ def produce(v: COSValue) -> bytes:
         except (TypeError, RecursionError):
             pass
     return _produce_py_top(v)
+
+
+def serialize_objs(
+    items: list, eol: bytes, base: int
+) -> tuple[bytes, list[int]]:
+    """Emit ``N 0 obj<eol><produce(obj)><eol>endobj<eol>`` for every
+    (num, obj) pair into one buffer, returning (bytes, offsets) with
+    offsets[i] = base + position of item i — the assemblers' body
+    loop, fused into one C call when the extension is available
+    (byte-identical; differential parity in test_ctok_parity)."""
+    fn = _CTOK_SERIALIZE_OBJS
+    if fn is not None:
+        try:
+            return fn(items, eol, base, _produce_name_key,
+                      _PRODUCE_NAME_CACHE)
+        except (TypeError, RecursionError):
+            pass
+    out = bytearray()
+    offsets: list[int] = []
+    for num, obj in items:
+        offsets.append(base + len(out))
+        out += str(num).encode() + b" 0 obj" + eol
+        out += produce(obj)
+        out += eol + b"endobj" + eol
+    return bytes(out), offsets
 

@@ -42,7 +42,11 @@ def flate_decode(data: bytes) -> bytes:
             raise EParseError(f"FlateDecode failed: {e}") from e
 
 
-def flate_encode(data: bytes, level: int = 6) -> bytes:
+def flate_encode(data: bytes, level: int = 1) -> bytes:
+    """Generator-side deflate. Level 1: the synthetic payloads are
+    decode-verified, never size-compared, and level 6 spent ~12% of
+    the whole generation pass inside zlib for a few % smaller
+    payloads; level 1 is still fully deterministic."""
     return zlib.compress(data, level)
 
 

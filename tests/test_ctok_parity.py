@@ -275,6 +275,38 @@ def test_ctok_lzw_encode_parity():
         assert filters.lzw_decode(enc_c) == c
 
 
+def test_ctok_serialize_objs_parity():
+    """r5: _ctok.serialize_objs (fused body emission) vs the Python
+    per-object loop — whole-payload BYTE equality across every
+    structural variant (the assembler output is the parity surface)."""
+    import hashlib as _hl
+
+    from pdfspark.codec import build_pdf, synth_spans_py, variant_for
+    from pdfspark.kernel import cos
+
+    if cos._CTOK_SERIALIZE_OBJS is None:
+        pytest.skip("C serialize_objs not available in this env")
+
+    def corpus():
+        out = []
+        for i in range(40):
+            txt = _hl.md5(f"so{i}".encode()).hexdigest() * (2 + i % 9)
+            spans = synth_spans_py(str(i), txt)
+            for mode in ("mixed", "objstream", "incremental",
+                         "encrypted", "cjk:embedded", "filters_rotate"):
+                out.append(build_pdf(str(i), spans, variant_for(i, mode)))
+        return out
+
+    with_c = corpus()
+    fn = cos._CTOK_SERIALIZE_OBJS
+    cos._CTOK_SERIALIZE_OBJS = None
+    try:
+        without_c = corpus()
+    finally:
+        cos._CTOK_SERIALIZE_OBJS = fn
+    assert with_c == without_c
+
+
 def _spans_bits(spans):
     """Span tuples with floats replaced by their IEEE bit patterns —
     the geometry oracle hashes values, so C-vs-Python parity must be
