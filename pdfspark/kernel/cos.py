@@ -736,16 +736,20 @@ def produce_name(name: str) -> bytes:
     if cached is not None:
         return cached
     if name.isalnum() and name.isascii():
-        # no byte can need a #xx escape — one-shot encode, and don't
-        # pollute the bounded cache with one-time names (media refs)
-        return b"/" + name.encode("ascii")
-    out = bytearray(b"/")
-    for b in name.encode("latin-1"):
-        if b < 0x21 or b == 0x23 or is_delim(b):
-            out += f"#{b:02x}".encode("ascii")
-        else:
-            out.append(b)
-    res = bytes(out)
+        # no byte can need a #xx escape — one-shot encode.  MUST still
+        # cache: the hot constants (Type/Page/Length/…) are all alnum,
+        # and an uncached fast path re-encodes them on every call AND
+        # starves the C-side produce name cache (measured 28% of
+        # generation before this was caught).
+        res = b"/" + name.encode("ascii")
+    else:
+        out = bytearray(b"/")
+        for b in name.encode("latin-1"):
+            if b < 0x21 or b == 0x23 or is_delim(b):
+                out += f"#{b:02x}".encode("ascii")
+            else:
+                out.append(b)
+        res = bytes(out)
     if len(_PRODUCE_NAME_CACHE) < 4096:
         _PRODUCE_NAME_CACHE[name] = res
     return res

@@ -129,11 +129,14 @@ COMMENTARY = {
     ),
     "chunk_boilerplate": (
         "Chunking is ONE linear regexp pass (no O(len²) substring "
-        "loop). Two shuffles, both on the high-cardinality chunk key: "
-        "the distinct + frequency aggregation (map-side combinable) "
-        "and the join back; the per-doc rollup reuses the doc_id "
-        "partitioning. No skew hazard: chunk values are near-unique "
-        "except the boilerplate being counted."
+        "loop). The r5 skew-proof shape: the frequency aggregation "
+        "shuffles on chunk (map-side combinable — a hot key collapses "
+        "to one row per map task), is FILTERED to the small "
+        "boiler-key set, and that set is explicitly BROADCAST; the "
+        "accounting join is a BroadcastHashJoin, so a chunk shared by "
+        "10^9 docs never becomes a shuffle-join hot key. One Exchange "
+        "on doc_id for the per-doc rollup. The plan-shape pytest "
+        "pins BroadcastHashJoin / zero SortMergeJoin."
     ),
     "ann_ivf_topk": (
         "Training is driver-side on a pushed-down sample (filter + "
