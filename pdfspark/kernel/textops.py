@@ -1285,12 +1285,16 @@ def _interpret_content_c(
     if _depth > 16:
         raise EParseError("XObject recursion too deep")
     font_cache: dict = doc_font_cache if doc_font_cache is not None else {}
-    # name→resolved memos: the /Resources lookup chain runs once per
-    # distinct name per content stream, not once per Tf/Do operator
-    # (resources and resolver are fixed for this stream, so the
-    # resolution is pure in the name)
-    local_fonts: dict = {}
-    local_xobjs: dict = {}
+    # name→resolved memos at DOCUMENT scope, keyed by the identity of
+    # the /Resources dict: pages usually INHERIT one shared resources
+    # object, so the lookup chain (Resources→Font→<name>→deref) runs
+    # once per document instead of once per content stream.  Identity
+    # keys are safe here: every candidate dict is pinned alive by the
+    # parser's object cache for the document's lifetime.  A per-stream
+    # dict remains the fallback when resources is None.
+    res_key = id(resources) if resources is not None else None
+    local_fonts: dict = font_cache.setdefault(("fonts", res_key), {})
+    local_xobjs: dict = font_cache.setdefault(("xobjs", res_key), {})
 
     def get_font_cb(name) -> Font:
         f = local_fonts.get(name)
