@@ -129,6 +129,15 @@ def _q_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlines_rows(spark, sf_dir)
 
 
+def _q_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AcroForm interactive-form extraction (r5): §12.7 /Fields DFS
+    with /Kids nesting, dotted full names and inherited /FT — every
+    output column closed-form in doc_id."""
+    from pdfspark.engine import form_fields_rows
+
+    return form_fields_rows(spark, sf_dir)
+
+
 def _q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import links_rows
 
@@ -192,8 +201,9 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5 — the r4 verdict's #1 ask), relational+curate (rotated out in
 # r4, byte-identical to their r03-green code, refreshed here), the
 # four ops queries changed in r5 (chunk_boilerplate broadcast plan,
-# IVF geometry, media JPEG rotation), plus 7 refresh picks.  The 16
-# rotated out are all r4-green and untouched in r5.
+# IVF geometry, media JPEG rotation), three queries NEW in r5
+# (pdf_form_fields, rep_signals, pack_sequences), plus 4 refresh
+# picks.  The 19 rotated out are all r4-green and untouched in r5.
 _DRIVER_WINDOW = [
     # --- streaming: first driver rows ever (r4 verdict ask #1) ------
     "pdf_stream_extract",
@@ -205,6 +215,10 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "ann_ivf_cells",
     "media_decode_real",
+    # --- NEW in r5: first driver rows ------------------------------
+    "pdf_form_fields",
+    "rep_signals",
+    "pack_sequences",
     # --- PDF pipelines (codec.py C generation tier lands in r5) ----
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
@@ -242,10 +256,8 @@ _DRIVER_WINDOW = [
     "top_documents",
     "corpus_curate",
     "benchmark_contamination",
-    # --- refresh picks (green r4, unchanged) -----------------------
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
+    # --- refresh picks (green r4, unchanged; three rotated out to
+    # make room for the new r5 queries above) -----------------------
     "token_count",
     "lang_id",
     "media_meta",
@@ -276,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_attachments": _q_attachments,
         "pdf_outlines": _q_outlines,
         "pdf_links": _q_links,
+        "pdf_form_fields": _q_form_fields,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -347,6 +360,32 @@ SELECT doc_id, CAST(p AS INT) AS page_idx,
        'https://example.org/' || CAST(doc_id AS VARCHAR) || '/'
          || CAST(p AS VARCHAR) AS uri
 FROM (SELECT doc_id, unnest(range(n_pages)) AS p FROM pc)
+"""
+    # AcroForm fields: n = 1 + (md5(doc_id)[13:14 hex] % 5) terminal
+    # fields; when n >= 2 fields 0-1 nest under 'grp' (inherited Tx);
+    # others rotate Tx/Btn/Ch by k%3; values closed-form in
+    # md5(doc_id:fld:k); DFS position == k
+    h_frm = _hex_to_int("md5(CAST(doc_id AS VARCHAR))", 13, 2)
+    form_fields_sql = f"""
+WITH n AS (SELECT doc_id, 1 + ({h_frm}) % 5 AS n_fld FROM documents),
+k AS (SELECT doc_id, n_fld, unnest(range(n_fld)) AS k FROM n),
+t AS (
+  SELECT doc_id, k,
+         CASE WHEN n_fld >= 2 AND k < 2 THEN 'grp.f' || CAST(k AS VARCHAR)
+              ELSE 'f' || CAST(k AS VARCHAR) END AS name,
+         CASE WHEN n_fld >= 2 AND k < 2 THEN 'Tx'
+              WHEN k % 3 = 0 THEN 'Tx'
+              WHEN k % 3 = 1 THEN 'Btn'
+              ELSE 'Ch' END AS ftype,
+         md5(CAST(doc_id AS VARCHAR) || ':fld:' || CAST(k AS VARCHAR)) AS h
+  FROM k
+)
+SELECT doc_id, CAST(k AS INT) AS pos, name, ftype,
+       CASE ftype
+         WHEN 'Tx' THEN 'v' || CAST(k AS VARCHAR) || '-' || substr(h, 1, 8)
+         WHEN 'Btn' THEN CASE WHEN k % 2 = 0 THEN 'Yes' ELSE 'Off' END
+         ELSE 'c' || substr(h, 1, 4) END AS value
+FROM t
 """
     attachments_sql = f"""
 WITH n AS (SELECT doc_id, 1 + ({h_att}) % 3 AS n_att FROM documents),
@@ -454,6 +493,7 @@ FROM wk
         # same SQL oracle (bound below after ops oracles register)
         "pdf_outlines": outlines_sql,
         "pdf_links": links_sql,
+        "pdf_form_fields": form_fields_sql,
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

@@ -853,6 +853,7 @@ def build_object_graph(
     attachments: bool = False,
     navigation: bool = False,
     type3: bool = False,
+    acroform: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -1256,6 +1257,62 @@ def build_object_graph(
         names_dict = CDict()
         names_dict[Name("EmbeddedFiles")] = Ref(g.add(root), 0)
         catalog[Name("Names")] = names_dict
+    if acroform:
+        # /AcroForm interactive-form dictionary (ISO 32000-1 §12.7):
+        # 1-5 deterministic terminal fields; when ≥2 the first two
+        # nest under a non-terminal parent ("grp") that CARRIES the
+        # inheritable /FT — kids omit it, so extraction must walk the
+        # §12.7.3.1 inheritance chain and build dotted full names.
+        # Field types rotate Tx/Btn/Ch; every value is closed-form in
+        # (doc_id, k) so the oracle recomputes the whole table in SQL.
+        n_fld = 1 + int(hashlib.md5(doc_id.encode()).hexdigest()[12:14], 16) % 5
+        nested = n_fld >= 2
+
+        def _leaf_field(k: int, inherit_ft: bool) -> CDict:
+            fld = CDict()
+            fld[Name("T")] = CString.from_text(f"f{k}")
+            if nested and k < 2:
+                ftype = "Tx"  # inherited from the parent
+            else:
+                ftype = ("Tx", "Btn", "Ch")[k % 3]
+            if not inherit_ft:
+                fld[Name("FT")] = Name(ftype)
+            h8 = hashlib.md5(f"{doc_id}:fld:{k}".encode()).hexdigest()
+            if ftype == "Tx":
+                fld[Name("V")] = CString.from_text(f"v{k}-{h8[:8]}")
+            elif ftype == "Btn":
+                fld[Name("V")] = Name("Yes" if k % 2 == 0 else "Off")
+            else:  # Ch
+                fld[Name("V")] = CString.from_text(f"c{h8[:4]}")
+                fld[Name("Opt")] = [CString.from_text(f"c{h8[:4]}")]
+            # merged widget keys (§12.5.6.19) for spec shape
+            fld[Name("Subtype")] = Name("Widget")
+            fld[Name("Rect")] = [10, 10 + 20 * k, 200, 26 + 20 * k]
+            return fld
+
+        field_refs: list = []
+        if nested:
+            parent = CDict()
+            parent[Name("T")] = CString.from_text("grp")
+            parent[Name("FT")] = Name("Tx")  # inherited by both kids
+            parent_num = g.reserve()
+            kid_refs = []
+            for k in (0, 1):
+                kid = _leaf_field(k, inherit_ft=True)
+                kid[Name("Parent")] = Ref(parent_num, 0)
+                kid_refs.append(Ref(g.add(kid), 0))
+            parent[Name("Kids")] = kid_refs
+            g.objs[parent_num] = parent
+            field_refs.append(Ref(parent_num, 0))
+            rest = range(2, n_fld)
+        else:
+            rest = range(0, n_fld)
+        for k in rest:
+            field_refs.append(Ref(g.add(_leaf_field(k, False)), 0))
+        af = CDict()
+        af[Name("Fields")] = field_refs
+        af[Name("NeedAppearances")] = True
+        catalog[Name("AcroForm")] = af
     if xml_metadata is not None:
         # M8: /Metadata XMP stream (PDFDocCatalog.getXMLMetadata :137-145)
         md = CDict()
@@ -1780,6 +1837,11 @@ def build_pdf(
         # /Outlines bookmark tree + one /Link URI annotation per page
         layout = "classic"
         navigation = True
+    acroform = False
+    if variant == "acroform":
+        # /AcroForm with 1-4 fields, nested /Kids + inherited /FT
+        layout = "classic"
+        acroform = True
     type3 = False
     if variant == "type3":
         # AGL-encodable text renders through a /Subtype /Type3
@@ -1807,7 +1869,7 @@ def build_pdf(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
         forms=forms, attachments=attachments, navigation=navigation,
-        type3=type3,
+        type3=type3, acroform=acroform,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

@@ -552,6 +552,45 @@ def outlines_rows(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def form_fields_rows(spark, sf_dir: str) -> DataFrame:
+    """AcroForm field extraction (driver query `pdf_form_fields`, r5):
+    the generator plants 1-4 typed fields (/FT rotating Tx/Btn/Ch),
+    nesting the first two under a non-terminal parent whose
+    inheritable /FT the kids omit — the kernel's §12.7 DFS rebuilds
+    dotted full names and the inheritance chain, emitting (pos, name,
+    ftype, value) per terminal field, all closed-form in doc_id."""
+    docs = load_documents(spark, sf_dir)
+    payloads = generate_payloads(synth_spans_df(docs), "acroform")
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import parse_document
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for (pos, name, ftype, value) in parse_document(
+                        bytes(payload)
+                    ).form_fields():
+                        rows.append(
+                            {
+                                "doc_id": did, "pos": pos, "name": name,
+                                "ftype": ftype, "value": value,
+                            }
+                        )
+                except Exception:
+                    continue  # PERMISSIVE per-doc policy (§2.8)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "name", "ftype", "value"]
+            )
+
+    return payloads.mapInPandas(
+        ker,
+        schema="doc_id bigint, pos int, name string, ftype string,"
+        " value string",
+    )
+
+
 def links_rows(spark, sf_dir: str) -> DataFrame:
     """Link-graph extraction (driver query `pdf_links`): one /Link
     annotation with a /URI action per page; the kernel walks page

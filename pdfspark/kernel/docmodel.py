@@ -391,6 +391,59 @@ class Document:
         walk(root.get_dict("First", None, res), 0)
         return out
 
+    def form_fields(self) -> list[tuple]:
+        """AcroForm field extraction (ISO 32000-1 §12.7): DFS over
+        /AcroForm → /Fields → /Kids, emitting one row per TERMINAL
+        field as (pos, full_name, ftype, value).  Full names join the
+        partial /T chain with '.' (§12.7.3.2); /FT and /V inherit down
+        the chain (§12.7.3.1 — the generator's nested group carries
+        /FT on the parent only, so this walk is load-bearing).  Values
+        normalize to text: strings decode, name values (checkbox
+        states) stringify.  Cycle- and depth-guarded, PERMISSIVE on
+        malformed nodes."""
+        res = self.parser._resolve
+        af = self.catalog.get_dict("AcroForm", None, res)
+        out: list[tuple] = []
+        if af is None:
+            return out
+        fields = af.get_array("Fields", None, res)
+        if not fields:
+            return out
+        seen: set[int] = set()
+
+        def walk(node, prefix: str, ftype, value, depth: int) -> None:
+            nd = af.deref(node, res) if not isinstance(node, CDict) else node
+            if not isinstance(nd, CDict):
+                return
+            if id(nd) in seen or depth > 32 or len(seen) > 10000:
+                return  # cycle / runaway guard
+            seen.add(id(nd))
+            t = nd.get_str("T", "", res)
+            full = f"{prefix}.{t}" if prefix and t else (t or prefix)
+            ft = nd.get_name("FT", None, res) or ftype
+            v = nd.get("V", None)
+            if v is not None:
+                v = nd.deref(v, res)
+            if v is None:
+                v = value
+            kids = nd.get_array("Kids", None, res)
+            if kids:
+                for kid in kids:
+                    walk(kid, full, ft, v, depth + 1)
+                return
+            # terminal field
+            if isinstance(v, CString):
+                sval = v.value
+            elif v is not None and not isinstance(v, (CDict, list)):
+                sval = str(v)
+            else:
+                sval = None
+            out.append((len(out), full, str(ft) if ft else None, sval))
+
+        for f in fields:
+            walk(f, "", None, None, 0)
+        return out
+
     def link_uris(self) -> list[tuple]:
         """(page_idx, uri) for every /Subtype /Link page annotation
         whose action is /S /URI — the link-graph projection a web-scale

@@ -217,6 +217,168 @@ FROM (
 """
 
 
+# --- repetition signals (FineWeb/Gopher "rep" quality family) --------------
+
+
+def rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (r5) — the FineWeb/Gopher
+    duplicate-content family: fraction of 80-char chunks that are
+    within-doc duplicates, and the share of the most frequent word
+    BIGRAM in all bigrams (integer-scaled ×1000, floor).  All
+    JVM-side: one regexp chunking pass + explode, one bigram
+    transform + explode; shuffles key on doc_id / (doc_id, value) —
+    high-cardinality, even at 10^12 docs."""
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '(?s).{1,80}', 0)")
+        ).alias("chunk"),
+    )
+    cstat = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk").alias("nd_chunks"),
+    )
+    w = F.split("text", " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> concat(split(text, ' ')[i], ' ',"
+                    " split(text, ' ')[i + 1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    bstat = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_bg"), F.sum("count").alias("tot_bg"))
+    )
+    return (
+        cstat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST((n_chunks - nd_chunks) * 1000 DIV n_chunks AS BIGINT)"
+            ).alias("dup_chunk_x1000"),
+            F.coalesce(
+                F.expr("CAST(max_bg * 1000 DIV tot_bg AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            ).alias("top_bigram_x1000"),
+        )
+    )
+
+
+REP_SIGNALS_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         substr(text, CAST(i * 80 + 1 AS INT), 80) AS chunk
+  FROM (SELECT doc_id, text,
+               unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+        FROM documents)
+),
+cstat AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         count(DISTINCT chunk) AS nd_chunks
+  FROM c GROUP BY doc_id
+),
+wext AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wext)
+),
+bgc AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+bstat AS (
+  SELECT doc_id, max(cnt) AS max_bg, sum(cnt) AS tot_bg
+  FROM bgc GROUP BY doc_id
+)
+SELECT cstat.doc_id,
+       CAST((n_chunks - nd_chunks) * 1000 // n_chunks AS BIGINT)
+         AS dup_chunk_x1000,
+       CAST(coalesce(max_bg * 1000 // tot_bg, 0) AS BIGINT)
+         AS top_bigram_x1000
+FROM cstat LEFT JOIN bstat ON bstat.doc_id = cstat.doc_id
+"""
+
+
+# --- training-sequence packing ---------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 64  # shard-parallel packing unit
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing accounting (r5): the
+    concat-then-chunk recipe LM pipelines use — docs are concatenated
+    in order and split into PACK_BUDGET-token sequences; a doc belongs
+    to the bin its first token lands in.  Packing is sequential by
+    nature, so it SHARDS (doc_id % PACK_SHARDS): each shard packs
+    independently via a window cumulative sum — shards are the
+    parallel unit at 10^12 docs (the one window sort is per-shard,
+    never global).  Emits per-(shard, bin) docs/tokens/fill."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        toks.withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn(
+            "bin",
+            F.expr(f"CAST(coalesce(cum, 0) DIV {PACK_BUDGET} AS BIGINT)"),
+        )
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("shard").cast("bigint"),
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"CAST(n_tokens * 1000 DIV {PACK_BUDGET} AS BIGINT)")
+            .alias("fill_x1000"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT shard, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {PACK_BUDGET} AS bin
+  FROM t
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tok) * 1000 // {PACK_BUDGET} AS BIGINT) AS fill_x1000
+FROM b GROUP BY shard, bin
+"""
+
+
 # --- BM25 relevance ranking -------------------------------------------------
 
 BM25_TERMS = ("spark", "join", "stream", "vector")
@@ -526,6 +688,8 @@ def queries():
         "corpus_sample": corpus_sample,
         "text_windows": text_windows,
         "gopher_quality_flags": gopher_quality_flags,
+        "rep_signals": rep_signals,
+        "pack_sequences": pack_sequences,
     }
 
 
@@ -540,4 +704,6 @@ def oracles():
         "corpus_sample": _sample_sql(),
         "text_windows": _windows_sql(),
         "gopher_quality_flags": _gopher_sql(),
+        "rep_signals": REP_SIGNALS_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
     }

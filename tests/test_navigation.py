@@ -56,3 +56,52 @@ def test_plain_docs_have_no_navigation():
     spans = synth_spans_py("pl0", "y" * 90)
     doc = parse_document(build_pdf("pl0", spans, "classic"))
     assert doc.outlines() == [] and doc.link_uris() == []
+
+
+def test_form_fields_roundtrip_and_inheritance():
+    """AcroForm extraction (r5): dotted full names through the /Kids
+    group, /FT inherited from the non-terminal parent, typed values
+    (Tx string / Btn name / Ch choice) — matches the generator's
+    closed-form contract; plain docs report no fields."""
+    import hashlib
+
+    for did in ("0", "1", "12"):
+        txt = hashlib.md5(did.encode()).hexdigest() * 4
+        doc = parse_document(build_pdf(did, synth_spans_py(did, txt), "acroform"))
+        rows = doc.form_fields()
+        n = 1 + int(hashlib.md5(did.encode()).hexdigest()[12:14], 16) % 5
+        assert len(rows) == n
+        for pos, name, ftype, value in rows:
+            k = rows.index((pos, name, ftype, value))
+            assert pos == k
+            h8 = hashlib.md5(f"{did}:fld:{k}".encode()).hexdigest()
+            if n >= 2 and k < 2:
+                assert name == f"grp.f{k}" and ftype == "Tx"
+                assert value == f"v{k}-{h8[:8]}"
+            elif k % 3 == 0:
+                assert (name, ftype, value) == (f"f{k}", "Tx", f"v{k}-{h8[:8]}")
+            elif k % 3 == 1:
+                assert (name, ftype) == (f"f{k}", "Btn")
+                assert value == ("Yes" if k % 2 == 0 else "Off")
+            else:
+                assert (name, ftype, value) == (f"f{k}", "Ch", f"c{h8[:4]}")
+    assert parse_document(build_pdf("p1", synth_spans_py("p1", "z" * 90), "classic")).form_fields() == []
+
+
+def test_form_fields_kids_cycle_is_guarded():
+    """A /Kids cycle in the field tree terminates via the id-based
+    visited set instead of recursing forever."""
+    from pdfspark import codec as C
+
+    spans = synth_spans_py("fc0", "x" * 60)
+    g, cat, info = C.build_object_graph("fc0", spans)
+    a_num, b_num = g.reserve(), g.reserve()
+    a = CDict(); a[Name("T")] = C.CString.from_text("a")
+    a[Name("Kids")] = [Ref(b_num, 0)]
+    b = CDict(); b[Name("T")] = C.CString.from_text("b")
+    b[Name("Kids")] = [Ref(a_num, 0)]  # cycle
+    g.objs[a_num], g.objs[b_num] = a, b
+    af = CDict(); af[Name("Fields")] = [Ref(a_num, 0)]
+    g.objs[cat][Name("AcroForm")] = af
+    payload = C._assemble_classic(g, cat, info, "fc0")
+    assert parse_document(payload).form_fields() == []

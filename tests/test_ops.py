@@ -749,3 +749,52 @@ def test_tiff_decode_and_jpeg_header():
     assert (m["fmt"], m["width"], m["height"], m["n_components"]) == (
         "jpeg", 640, 480, 3,
     )
+
+
+def test_rep_signals_planted(spark, tmp_path):
+    """A doc of one repeated 80-char chunk maxes dup_chunk fraction;
+    a doc of one repeated word maxes the top-bigram share; unique
+    text reports low values (integer-exact floors)."""
+    from pdfspark.ops import textstats as ts
+
+    rep_chunk = ("z" * 80) * 4          # 4 identical chunks
+    rep_word = "spam " * 39 + "spam"     # 40 identical words
+    uniq = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, rep_chunk), (1, rep_word), (2, uniq)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "rep_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r for r in ts.rep_signals(spark, path).collect()}
+    assert got[0].dup_chunk_x1000 == 750   # (4-1)/4
+    assert got[1].top_bigram_x1000 == 1000  # all 39 bigrams identical
+    assert got[2].dup_chunk_x1000 == 0
+    assert got[2].top_bigram_x1000 == 1000 * 1 // 39
+
+
+def test_pack_sequences_planted(spark, tmp_path):
+    """Shard-local concat-then-chunk packing: cumulative token offsets
+    place each doc in bin floor(prev_tokens / budget); per-bin token
+    and doc accounting is integer-exact."""
+    from pdfspark.ops import textstats as ts
+
+    # all docs in shard 0 (doc_id % 64 == 0), 1000 tokens each; bin =
+    # floor(cum_before/2048): offsets 0,1000,2000 -> bin 0 (3 docs),
+    # 3000,4000 -> bin 1, 5000 -> bin 2
+    rows = [(i * 64, "tok " * 999 + "tok") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "pack_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {
+        (r.shard, r.bin): r for r in ts.pack_sequences(spark, path).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (0, 2)}
+    for b, nd in ((0, 3), (1, 2), (2, 1)):
+        assert got[(0, b)].n_docs == nd
+        assert got[(0, b)].n_tokens == nd * 1000
+        assert got[(0, b)].fill_x1000 == nd * 1000 * 1000 // 2048
+    # plan shape: the window sort is PER-SHARD (partitioned), never a
+    # single global partition
+    plan = ts.pack_sequences(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
