@@ -219,6 +219,8 @@ _DRIVER_WINDOW = [
     "pdf_form_fields",
     "rep_signals",
     "pack_sequences",
+    "unigram_rarity",
+    "dedup_incremental",
     # --- PDF pipelines (codec.py C generation tier lands in r5) ----
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
@@ -256,10 +258,8 @@ _DRIVER_WINDOW = [
     "top_documents",
     "corpus_curate",
     "benchmark_contamination",
-    # --- refresh picks (green r4, unchanged; three rotated out to
+    # --- refresh picks (green r4, unchanged; five rotated out to
     # make room for the new r5 queries above) -----------------------
-    "token_count",
-    "lang_id",
     "media_meta",
     "html_main_text",
 ]

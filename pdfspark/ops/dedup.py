@@ -753,6 +753,55 @@ GROUP BY c.doc_id
 """
 
 
+# --- incremental (cross-snapshot) dedup -------------------------------------
+
+SNAP_MOD = 2  # "previous snapshot" = docs with doc_id % SNAP_MOD == 0
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (r5): the re-crawl shape — a
+    new crawl re-fetches everything, and ingest must mark documents
+    whose normalized-content fingerprint already exists in the prior
+    snapshot (here: the doc_id % 2 == 0 half stands in for the prior
+    crawl's fingerprint table).  The decision runs ON FINGERPRINTS —
+    a 16-hex join key, never the text — so at 10^12 docs the known-set
+    side is a slim (fp) table a real pipeline would bucket by fp or
+    broadcast-threshold; the join key is uniform by construction (md5).
+    Emits (doc_id, fp16, is_known) for the full new crawl."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fps = docs.select(
+        "doc_id", F.substring(F.md5(norm), 1, 16).alias("fp16")
+    )
+    known = (
+        fps.where(F.col("doc_id") % SNAP_MOD == 0)
+        .select("fp16")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    return fps.join(known, "fp16", "left").select(
+        "doc_id",
+        "fp16",
+        F.coalesce(F.col("known"), F.lit(0)).cast("int").alias("is_known"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH fps AS (
+  SELECT doc_id,
+         substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+           AS fp16
+  FROM documents
+),
+known AS (
+  SELECT DISTINCT fp16 FROM fps WHERE doc_id % {SNAP_MOD} = 0
+)
+SELECT f.doc_id, f.fp16,
+       CAST(CASE WHEN k.fp16 IS NULL THEN 0 ELSE 1 END AS INT) AS is_known
+FROM fps f LEFT JOIN known k ON k.fp16 = f.fp16
+"""
+
+
 def queries():
     return {
         "dedup_exact": dedup_exact,
@@ -762,6 +811,7 @@ def queries():
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
         "chunk_boilerplate": chunk_boilerplate,
+        "dedup_incremental": dedup_incremental,
     }
 
 
@@ -774,4 +824,5 @@ def oracles():
         "dedup_simhash": _simhash_oracle_sql(),
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
+        "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     }

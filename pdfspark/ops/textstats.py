@@ -306,6 +306,62 @@ FROM cstat LEFT JOIN bstat ON bstat.doc_id = cstat.doc_id
 """
 
 
+# --- unigram-rarity quality score (perplexity proxy) -----------------------
+
+RARITY_CAP = 1_000_000  # saturate total//cnt so the ×1000 sum stays < 2^63
+# even at 10^13 corpus tokens (rare-word saturation, documented)
+
+
+def unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality proxy (r5): mean per-token RARITY, where
+    rarity(w) = min(total_tokens // corpus_count(w), RARITY_CAP) — the
+    all-integer stand-in for unigram −log p(w) (a float log would not
+    hash bit-identically across engines).  Common-word-heavy docs
+    score low, unusual-vocabulary docs high.  Plan: one token explode,
+    corpus-frequency groupBy on the word (map-side combinable), the
+    1-row total broadcast-crossed, a frequency join back on the word
+    (high-cardinality, even), and a per-doc agg — at 10^12 docs the
+    frequency table is the classic shared side a real pipeline would
+    bucket or broadcast-threshold."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"least(total DIV cnt, {RARITY_CAP}L)"
+            ).alias("rarity"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(sum(rarity) * 1000 DIV count(*) AS BIGINT)").alias(
+            "mean_rarity_x1000"
+        ),
+    )
+
+
+UNIGRAM_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt) AS total FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(least(total // cnt, {RARITY_CAP})) * 1000 // count(*)
+            AS BIGINT) AS mean_rarity_x1000
+FROM toks JOIN freq USING (w), tot
+GROUP BY doc_id
+"""
+
+
 # --- training-sequence packing ---------------------------------------------
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
@@ -690,6 +746,7 @@ def queries():
         "gopher_quality_flags": gopher_quality_flags,
         "rep_signals": rep_signals,
         "pack_sequences": pack_sequences,
+        "unigram_rarity": unigram_rarity,
     }
 
 
@@ -706,4 +763,5 @@ def oracles():
         "gopher_quality_flags": _gopher_sql(),
         "rep_signals": REP_SIGNALS_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
+        "unigram_rarity": UNIGRAM_RARITY_SQL,
     }

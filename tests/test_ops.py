@@ -798,3 +798,43 @@ def test_pack_sequences_planted(spark, tmp_path):
     # single global partition
     plan = ts.pack_sequences(spark, path)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
+
+
+def test_unigram_rarity_planted(spark, tmp_path):
+    """Integer-exact rarity: with a 6-token corpus of {common×5,
+    rare×1}, rarity(common) = 6//5 = 1 and rarity(rare) = 6//1 = 6 —
+    per-doc means follow by floor arithmetic."""
+    from pdfspark.ops import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(0, "c c c c"), (1, "c rare")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "rar_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r for r in ts.unigram_rarity(spark, path).collect()}
+    assert got[0].n_tokens == 4
+    assert got[0].mean_rarity_x1000 == 1000  # all rarity-1 tokens
+    # doc 1: (1 + 6) * 1000 // 2
+    assert got[1].mean_rarity_x1000 == 3500
+
+
+def test_dedup_incremental_planted(spark, tmp_path):
+    """Re-crawl semantics: a doc whose normalized text matches a
+    prior-snapshot (even doc_id) doc is marked known via the
+    FINGERPRINT join, not the id — including odd-id re-fetches of
+    even-id content; genuinely new content stays unknown."""
+    from pdfspark.ops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Shared   Content"),   # prior snapshot (even)
+            (2, "other even text"),    # prior snapshot
+            (1, "shared content"),     # odd re-fetch, normalizes equal to 0
+            (3, "brand new content"),  # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inc_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {r.doc_id: r.is_known for r in dd.dedup_incremental(spark, path).collect()}
+    assert got == {0: 1, 2: 1, 1: 1, 3: 0}
