@@ -231,6 +231,7 @@ _DRIVER_WINDOW = [
     "pdf_roundtrip_cjk_embedded",
     "pdf_roundtrip_forms",
     "pdf_roundtrip_type3",
+    "pdf_roundtrip_pubsec",
     "pdf_salvage",
     "pdf_salvage_encrypted",
     "pdf_span_geometry",
@@ -258,9 +259,8 @@ _DRIVER_WINDOW = [
     "top_documents",
     "corpus_curate",
     "benchmark_contamination",
-    # --- refresh picks (green r4, unchanged; five rotated out to
+    # --- refresh picks (green r4, unchanged; six rotated out to
     # make room for the new r5 queries above) -----------------------
-    "media_meta",
     "html_main_text",
 ]
 
@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_roundtrip_type3": _q_roundtrip("type3"),
+        "pdf_roundtrip_pubsec": _q_roundtrip("pubsec"),
         "pdf_salvage": _q_salvage,
         "pdf_salvage_encrypted": _q_salvage_encrypted,
         "pdf_span_geometry": _q_geometry,
@@ -426,6 +427,10 @@ FROM k
         # Type3 glyph-procedure fonts: byte codes decode through the
         # /Differences → AGL table; extraction must be lossless
         "pdf_roundtrip_type3": _SPANS_ORACLE_SQL,
+        # certificate-based (public-key) encryption, §7.6.5: CMS
+        # recipient envelope → SHA-1 file key → AESV2 object crypt;
+        # decryption is lossless → same spans-identity oracle
+        "pdf_roundtrip_pubsec": _SPANS_ORACLE_SQL,
         # §C.2 reconstruction: startxref-less payloads must salvage to
         # the identical span sequence
         "pdf_salvage": _SPANS_ORACLE_SQL,

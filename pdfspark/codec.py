@@ -1393,7 +1393,39 @@ def _build_encryption(g: _Graph, doc_id: str, encryption: Optional[str]):
     never packed into an object stream — resolving it must not itself
     require decryption (ISO 32000-1 §7.5.8.2)."""
     handler = None
-    if encryption in ("aes256", "aes256r5"):
+    if encryption == "pubsec":
+        # certificate-based handler (ISO 32000-1 §7.6.5): the 20-byte
+        # file-key seed (deterministic in doc_id) is CMS-enveloped for
+        # the fixture recipient certificate; extraction opens it with
+        # the matching private key.  The envelope itself is the one
+        # non-deterministic byte range in any generated payload (CMS
+        # randomness) — the correctness contract is decrypted-spans
+        # identity, which is unaffected.
+        from .kernel.crypt import build_pubsec_handler
+
+        seed = hashlib.md5(doc_id.encode()).digest() + hashlib.md5(
+            b"seed2:" + doc_id.encode()
+        ).digest()[:4]
+        handler = build_pubsec_handler(seed)
+        enc = CDict()
+        enc[Name("Filter")] = Name("Adobe.PubSec")
+        enc[Name("SubFilter")] = Name("adbe.pkcs7.s5")
+        enc[Name("V")] = 4
+        enc[Name("Length")] = 128
+        dcf = CDict()
+        dcf[Name("Type")] = Name("CryptFilter")
+        dcf[Name("CFM")] = Name("AESV2")
+        dcf[Name("Length")] = 16
+        dcf[Name("Recipients")] = [
+            CString(b, force_hex=True) for b in handler.recipients
+        ]
+        cf = CDict()
+        cf[Name("DefaultCryptFilter")] = dcf
+        enc[Name("CF")] = cf
+        enc[Name("StmF")] = Name("DefaultCryptFilter")
+        enc[Name("StrF")] = Name("DefaultCryptFilter")
+        g.encrypt_num = g.add(enc)
+    elif encryption in ("aes256", "aes256r5"):
         # AES-256 (V5, ISO 32000-2): file-key cipher, /Perms block;
         # "aes256r5" emits the withdrawn interim R5 layout (single
         # SHA-256 hash) real corpora still contain
@@ -1848,6 +1880,11 @@ def build_pdf(
         # glyph-procedure font decoded via /Differences
         layout = "classic"
         type3 = True
+    if variant == "pubsec":
+        # certificate-based encryption (§7.6.5), both layouts rotated
+        h = int(hashlib.md5(doc_id.encode()).hexdigest()[:4], 16)
+        encryption = "pubsec"
+        layout = ("classic", "objstream")[h % 2]
     if variant == "encrypted":
         # empty-user-password docs, cipher AND layout rotated per doc:
         # the extraction pipeline must decrypt RC4 (V2/R3), AES-128

@@ -406,6 +406,115 @@ def compute_perms(p: int, encrypt_metadata: bool, file_key: bytes, seed: bytes) 
     return _aes_ecb(file_key, blk, decrypt=False)
 
 
+class PubSecSecurityHandler(StandardSecurityHandler):
+    """Public-key (certificate-based) security handler — ISO 32000-1
+    §7.6.5: /Filter /Adobe.PubSec, /SubFilter adbe.pkcs7.s5.  Each
+    /Recipients entry is a CMS EnvelopedData blob holding the 20-byte
+    file-key seed ‖ 4-byte permissions, enveloped for one recipient
+    certificate.  §7.6.5.3 Algorithm 3: the file key is the first n
+    bytes of SHA-1(seed ‖ every recipient blob ‖ [FFFFFFFF when
+    /EncryptMetadata false]); object-level encryption then follows the
+    SAME crypt-filter algorithms as the standard handler (Algorithm 1
+    per-object keys for V2/AESV2 — inherited unchanged)."""
+
+    def __init__(
+        self,
+        *,
+        recipients: list[bytes],
+        stm_cfm: str = "AESV2",
+        str_cfm: str = "AESV2",
+        length_bits: int = 128,
+        encrypt_metadata: bool = True,
+    ):
+        super().__init__(
+            v=4,
+            r=4,
+            o=b"",
+            u=b"",
+            p=-4,
+            file_id0=b"",
+            length_bits=length_bits,
+            encrypt_metadata=encrypt_metadata,
+            stm_cfm=stm_cfm,
+            str_cfm=str_cfm,
+        )
+        self.recipients = recipients
+
+    def _derive_file_key(self, seed: bytes) -> bytes:
+        h = hashlib.sha1(seed)
+        for blob in self.recipients:
+            h.update(blob)
+        if not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        return h.digest()[: self.n]
+
+    def authenticate(self, user_pwd: bytes = b"") -> bool:
+        """Passwords don't apply; authenticate with the fixture
+        recipient identity (a real deployment injects its own
+        cert/key pair via :meth:`authenticate_identity`)."""
+        from .pubsec import fixture_identity
+
+        try:
+            cert, key = fixture_identity()
+        except Exception:
+            return False
+        return self.authenticate_identity(cert, key)
+
+    def authenticate_identity(self, cert, private_key) -> bool:
+        """Try to open any recipient envelope with (cert, key); on
+        success derive and store the file key."""
+        from cryptography.hazmat.primitives.serialization import pkcs7
+
+        for blob in self.recipients:
+            try:
+                # NB decrypt accepts no Binary option (encrypt-side
+                # only); the raw content comes back as stored
+                content = pkcs7.pkcs7_decrypt_der(blob, cert, private_key, [])
+            except Exception:
+                continue
+            if len(content) < 20:
+                continue
+            self.key = self._derive_file_key(content[:20])
+            self._okey_cache.clear()
+            return True
+        return False
+
+
+def build_pubsec_handler(seed: bytes, cert=None) -> PubSecSecurityHandler:
+    """Generator entry: envelope ``seed(20) ‖ perms(4)`` for the
+    recipient certificate (fixture by default) and return an
+    authenticated handler.  NB the CMS envelope is the ONE place the
+    generator is non-deterministic (PKCS#1 v1.5 padding and the
+    content-encryption key are random by construction) — harmless
+    because the correctness contract is round-trip identity of the
+    DECRYPTED spans, not payload bytes."""
+    from cryptography.hazmat.primitives.serialization import pkcs7
+    from cryptography.hazmat.primitives.ciphers import algorithms
+
+    if cert is None:
+        from .pubsec import fixture_identity
+
+        cert, _ = fixture_identity()
+    perms = struct.pack("<i", -4)
+    blob = (
+        pkcs7.PKCS7EnvelopeBuilder()
+        .set_data(seed[:20] + perms)
+        .add_recipient(cert)
+        # Binary: the seed is raw bytes — without it the builder
+        # canonicalizes 0x0A/0x0D line endings and corrupts the seed
+        .encrypt(serialization_encoding_der(), [pkcs7.PKCS7Options.Binary])
+    )
+    h = PubSecSecurityHandler(recipients=[blob])
+    h.key = h._derive_file_key(seed[:20])
+    return h
+
+
+def serialization_encoding_der():
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    return Encoding.DER
+
+
 def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler:
     """/Encrypt CDict → handler (parser side). Raises EParseError on
     non-/Standard filters or unsupported revisions."""
@@ -414,8 +523,39 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
 
     if not isinstance(enc, CDict):
         raise EParseError("/Encrypt is not a dictionary")
-    if enc.get_name("Filter") != "Standard":
-        raise EParseError(f"unsupported security handler {enc.get_name('Filter')!r}")
+    filt = enc.get_name("Filter")
+    if filt == "Adobe.PubSec":
+        sub = enc.get_name("SubFilter", "")
+        if sub not in ("adbe.pkcs7.s3", "adbe.pkcs7.s4", "adbe.pkcs7.s5"):
+            raise EParseError(f"unsupported PubSec subfilter {sub!r}")
+        # /Recipients lives in the crypt filter dict for V4 (s5);
+        # earlier subfilters carry it at the top level
+        recips = None
+        cfm = "V2"
+        cf = enc.get("CF")
+        if isinstance(cf, CDict):
+            for fname in cf:
+                f = cf[fname]
+                if isinstance(f, CDict) and f.get("Recipients") is not None:
+                    recips = f.get("Recipients")
+                    cfm = f.get_name("CFM", "V2")
+                    break
+        if recips is None:
+            recips = enc.get("Recipients")
+        if isinstance(recips, CString):
+            recips = [recips]
+        blobs = [r.raw for r in (recips or []) if isinstance(r, CString)]
+        if not blobs:
+            raise EParseError("PubSec /Encrypt without /Recipients")
+        return PubSecSecurityHandler(
+            recipients=blobs,
+            stm_cfm=cfm,
+            str_cfm=cfm,
+            length_bits=enc.get_int("Length", 128),
+            encrypt_metadata=enc.get_bool("EncryptMetadata", True),
+        )
+    if filt != "Standard":
+        raise EParseError(f"unsupported security handler {filt!r}")
 
     def _s(key: str) -> bytes:
         v = enc.get(key)

@@ -218,3 +218,68 @@ def test_aes256_r5_wrong_password_rejected():
     # owner role authenticates too
     h.key = None
     assert h.authenticate(b"owner-x")
+
+
+def test_pubsec_roundtrip_both_layouts():
+    """Certificate-based encryption (r5, ISO 32000-1 §7.6.5): the CMS
+    recipient envelope opens with the fixture identity, the SHA-1
+    seed+recipients file key decrypts AESV2 objects, and extraction is
+    lossless in BOTH the classic and the object-stream layout."""
+    import hashlib
+
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import extract_spans
+
+    seen_layouts = set()
+    for i in range(8):
+        did = f"ps{i}"
+        txt = hashlib.md5(did.encode()).hexdigest() * 3
+        spans = synth_spans_py(did, txt)
+        payload = build_pdf(did, spans, "pubsec")
+        seen_layouts.add(b"/ObjStm" in payload)
+        status, err, got = extract_spans(payload)
+        assert status == "ok", err
+        assert got == spans
+    assert seen_layouts == {True, False}  # both layouts exercised
+
+
+def test_pubsec_wrong_identity_rejected():
+    """A different RSA identity must NOT open the envelope; the doc
+    stays in the M10 error bucket (password/identity required)."""
+    import hashlib
+
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography import x509
+    from cryptography.x509.oid import NameOID
+    import datetime
+
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.xref import Parser
+
+    did = "psx"
+    txt = hashlib.md5(did.encode()).hexdigest() * 3
+    payload = build_pdf(did, synth_spans_py(did, txt), "pubsec")
+    pr = Parser(payload)
+    pr.parse()
+    assert pr.unlock(b"")  # fixture identity succeeds
+
+    pr2 = Parser(payload)
+    pr2.parse()
+    from pdfspark.kernel.crypt import handler_from_dict
+
+    enc = pr2.get_object(pr2.encrypt_ref.num, pr2.encrypt_ref.gen)
+    h = handler_from_dict(enc, b"")
+    wrong_key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "intruder")])
+    wrong_cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(wrong_key.public_key())
+        .serial_number(1)
+        .not_valid_before(datetime.datetime(2020, 1, 1))
+        .not_valid_after(datetime.datetime(2120, 1, 1))
+        .sign(wrong_key, hashes.SHA256())
+    )
+    assert not h.authenticate_identity(wrong_cert, wrong_key)
+    assert h.key is None
