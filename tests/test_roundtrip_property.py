@@ -161,7 +161,7 @@ def test_roundtrip_arbitrary_text_hypothesis(items):
 
 # --- round-2 surfaces under the same seeded-random regime -------------------
 
-R2_VARIANTS = ["encrypted", "cjk"]
+R2_VARIANTS = ["encrypted", "cjk", "pubsec", "acroform"]
 
 
 @pytest.mark.parametrize("variant", R2_VARIANTS)
