@@ -201,9 +201,10 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5 — the r4 verdict's #1 ask), relational+curate (rotated out in
 # r4, byte-identical to their r03-green code, refreshed here), the
 # four ops queries changed in r5 (chunk_boilerplate broadcast plan,
-# IVF geometry, media JPEG rotation), three queries NEW in r5
-# (pdf_form_fields, rep_signals, pack_sequences), plus 4 refresh
-# picks.  The 19 rotated out are all r4-green and untouched in r5.
+# IVF geometry, media JPEG rotation), six queries NEW in r5
+# (pdf_roundtrip_pubsec, pdf_form_fields, rep_signals,
+# pack_sequences, unigram_rarity, dedup_incremental), plus 1 refresh
+# pick.  The 22 rotated out are all r4-green and untouched in r5.
 _DRIVER_WINDOW = [
     # --- streaming: first driver rows ever (r4 verdict ask #1) ------
     "pdf_stream_extract",
@@ -362,7 +363,7 @@ SELECT doc_id, CAST(p AS INT) AS page_idx,
          || CAST(p AS VARCHAR) AS uri
 FROM (SELECT doc_id, unnest(range(n_pages)) AS p FROM pc)
 """
-    # AcroForm fields: n = 1 + (md5(doc_id)[13:14 hex] % 5) terminal
+    # AcroForm fields: n = 1 + (md5(doc_id)[13:14 hex] % 5) = 1-5 terminal
     # fields; when n >= 2 fields 0-1 nest under 'grp' (inherited Tx);
     # others rotate Tx/Btn/Ch by k%3; values closed-form in
     # md5(doc_id:fld:k); DFS position == k

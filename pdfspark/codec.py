@@ -1871,7 +1871,7 @@ def build_pdf(
         navigation = True
     acroform = False
     if variant == "acroform":
-        # /AcroForm with 1-4 fields, nested /Kids + inherited /FT
+        # /AcroForm with 1-5 fields, nested /Kids + inherited /FT
         layout = "classic"
         acroform = True
     type3 = False

@@ -554,7 +554,7 @@ def outlines_rows(spark, sf_dir: str) -> DataFrame:
 
 def form_fields_rows(spark, sf_dir: str) -> DataFrame:
     """AcroForm field extraction (driver query `pdf_form_fields`, r5):
-    the generator plants 1-4 typed fields (/FT rotating Tx/Btn/Ch),
+    the generator plants 1-5 typed fields (/FT rotating Tx/Btn/Ch),
     nesting the first two under a non-terminal parent whose
     inheritable /FT the kids omit — the kernel's §12.7 DFS rebuilds
     dotted full names and the inheritance chain, emitting (pos, name,

@@ -59,7 +59,9 @@ def rc4(key: bytes, data: bytes) -> bytes:
     C fast path (plain-C KSA+PRGA in _chash — no per-call cipher
     context churn; parity-tested); then the `cryptography` wrapper;
     then pure Python."""
-    if _CHASH is not None and len(key) >= 1:
+    if _CHASH is not None and 1 <= len(key) <= 256:
+        # the C path enforces klen <= 256; longer (nonstandard) keys
+        # stay on the pure-Python fallback, which handles any length
         return _CHASH.rc4(key, data)
     if _HAVE_CRYPTOGRAPHY and 5 <= len(key) <= 256:
         # OpenSSL rejects keys under 40 bits; PDF keys are 5-16 bytes,

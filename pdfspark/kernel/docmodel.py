@@ -428,9 +428,18 @@ class Document:
                 v = value
             kids = nd.get_array("Kids", None, res)
             if kids:
-                for kid in kids:
-                    walk(kid, full, ft, v, depth + 1)
-                return
+                # §12.7.3.2: kids WITHOUT /T are widget ANNOTATIONS of
+                # a terminal field (one per page it renders on), not
+                # child fields — recurse only when some kid is a real
+                # child field, else emit this node once as terminal
+                kid_dicts = [nd.deref(k, res) for k in kids]
+                if any(
+                    isinstance(kd, CDict) and kd.get_str("T", "", res)
+                    for kd in kid_dicts
+                ):
+                    for kid in kids:
+                        walk(kid, full, ft, v, depth + 1)
+                    return
             # terminal field
             if isinstance(v, CString):
                 sval = v.value

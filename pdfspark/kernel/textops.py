@@ -1290,8 +1290,9 @@ def _interpret_content_c(
     # object, so the lookup chain (Resources→Font→<name>→deref) runs
     # once per document instead of once per content stream.  Identity
     # keys are safe here: every candidate dict is pinned alive by the
-    # parser's object cache for the document's lifetime.  A per-stream
-    # dict remains the fallback when resources is None.
+    # parser's object cache for the document's lifetime.  NB streams
+    # with resources=None share ONE doc-scope memo under key None —
+    # correct while resolution depends only on (resources, name).
     res_key = id(resources) if resources is not None else None
     local_fonts: dict = font_cache.setdefault(("fonts", res_key), {})
     local_xobjs: dict = font_cache.setdefault(("xobjs", res_key), {})

@@ -120,10 +120,14 @@ def decode_image_real(payload: bytes) -> dict:
         # JPEG (r5): REAL baseline pixel decode — marker walk, DQT/DHT
         # tables, canonical Huffman entropy decode, dequant, IDCT,
         # fixed-point YCbCr→RGB.  Non-baseline frames (progressive,
-        # subsampled, arithmetic) fall back to header-only dims.
+        # subsampled, arithmetic) AND structurally broken ones
+        # (missing tables, truncated segments — KeyError/IndexError/
+        # struct.error territory) fall back to header-only dims, so
+        # one malformed file can never take down a permissive batch.
         try:
             return _jpeg_decode(payload)
-        except NotImplementedError:
+        except (NotImplementedError, KeyError, IndexError, ValueError,
+                struct.error):
             return _jpeg_header_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
@@ -592,6 +596,8 @@ def _jpeg_decode(payload: bytes) -> dict:
     if frame is None or scan is None:
         raise NotImplementedError("JPEG without baseline SOF + SOS")
     w, h, comps = frame
+    if w == 0 or h == 0:
+        raise NotImplementedError("degenerate JPEG geometry")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
     sel, data_off = scan

@@ -202,7 +202,14 @@ def stage_events_ordered(
     import tempfile
     import time
 
-    tag = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:8]
+    # the cache key includes the source file's (mtime, size) so a
+    # regenerated events.parquet at the same path invalidates the
+    # staged copies instead of silently serving a stale snapshot
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{n_files}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
     landing = os.path.join(
         tempfile.gettempdir(), f"pdfspark_stream_ord_{tag}"
     )

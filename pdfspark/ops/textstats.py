@@ -239,16 +239,19 @@ def rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.countDistinct("chunk").alias("nd_chunks"),
     )
-    w = F.split("text", " ")
+    # project the split ONCE — Catalyst does not CSE the repeated
+    # split(text,' ') calls a single inline expression would carry
+    # (three re-tokenizations per row otherwise)
     bigrams = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select(
         "doc_id",
         F.explode(
             F.when(
-                F.size(w) >= 2,
+                F.size("ws") >= 2,
                 F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 2),"
-                    " i -> concat(split(text, ' ')[i], ' ',"
-                    " split(text, ' ')[i + 1]))"
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
                 ),
             ).otherwise(F.array())
         ).alias("bg"),

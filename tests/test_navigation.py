@@ -105,3 +105,31 @@ def test_form_fields_kids_cycle_is_guarded():
     g.objs[cat][Name("AcroForm")] = af
     payload = C._assemble_classic(g, cat, info, "fc0")
     assert parse_document(payload).form_fields() == []
+
+
+def test_form_fields_multi_widget_kids_emit_once():
+    """§12.7.3.2: kids WITHOUT /T are widget annotations of a terminal
+    field (one per page it renders on) — the field must be emitted
+    exactly once, not once per widget."""
+    from pdfspark import codec as C
+
+    spans = synth_spans_py("mw0", "x" * 60)
+    g, cat, info = C.build_object_graph("mw0", spans)
+    w1, w2, f_num = g.reserve(), g.reserve(), g.reserve()
+    for wn in (w1, w2):
+        wd = CDict()
+        wd[Name("Subtype")] = Name("Widget")
+        wd[Name("Rect")] = [0, 0, 10, 10]
+        wd[Name("Parent")] = Ref(f_num, 0)
+        g.objs[wn] = wd
+    fld = CDict()
+    fld[Name("T")] = C.CString.from_text("one")
+    fld[Name("FT")] = Name("Tx")
+    fld[Name("V")] = C.CString.from_text("val")
+    fld[Name("Kids")] = [Ref(w1, 0), Ref(w2, 0)]
+    g.objs[f_num] = fld
+    af = CDict()
+    af[Name("Fields")] = [Ref(f_num, 0)]
+    g.objs[cat][Name("AcroForm")] = af
+    payload = C._assemble_classic(g, cat, info, "mw0")
+    assert parse_document(payload).form_fields() == [(0, "one", "Tx", "val")]

@@ -838,3 +838,30 @@ def test_dedup_incremental_planted(spark, tmp_path):
     docs.write.parquet(f"{path}/documents.parquet")
     got = {r.doc_id: r.is_known for r in dd.dedup_incremental(spark, path).collect()}
     assert got == {0: 1, 2: 1, 1: 1, 3: 0}
+
+
+def test_jpeg_malformed_falls_back_to_header_dims():
+    """A structurally broken baseline JPEG (missing DQT, truncated
+    scan) must degrade to header-only dims — never escape with
+    KeyError/IndexError and kill a permissive batch; degenerate 0×0
+    frames reject cleanly too."""
+    import struct
+
+    from pdfspark.codec import _media_jpeg_bytes
+
+    p = _media_jpeg_bytes("mjperr")
+    # strip the DQT segment: FFDB len 0x0043
+    i = p.index(b"\xff\xdb")
+    (seglen,) = struct.unpack_from(">H", p, i + 2)
+    no_dqt = p[:i] + p[i + 2 + seglen:]
+    m = multimodal.decode_image_real(no_dqt)
+    assert m["fmt"] == "jpeg" and "mean_r" not in m  # header fallback
+    # truncated entropy data
+    m2 = multimodal.decode_image_real(p[: len(p) - 4])
+    assert m2["fmt"] == "jpeg" and "mean_r" not in m2
+    # 0-height SOF
+    j = p.index(b"\xff\xc0")
+    zero_h = bytearray(p)
+    struct.pack_into(">H", zero_h, j + 5, 0)
+    m3 = multimodal.decode_image_real(bytes(zero_h))
+    assert "mean_r" not in m3
