@@ -13,6 +13,7 @@
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <limits.h>
 #include <openssl/evp.h>
 #include <string.h>
 
@@ -184,8 +185,19 @@ chash_aes_cbc(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_ValueError, "aes_cbc geometry");
         return NULL;
     }
+    if (n > INT_MAX - 32) {
+        /* EVP_*Update takes int lengths: a Py_ssize_t truncation
+         * would silently process a prefix and return uninitialized
+         * heap for the rest — refuse; the Python gate keeps such
+         * inputs on the `cryptography` fallback */
+        PyErr_SetString(PyExc_ValueError, "aes_cbc input too large");
+        return NULL;
+    }
     ciph = klen == 16 ? g_aes : g_aes256;
-    res = PyBytes_FromStringAndSize(NULL, n);
+    /* +16: the documented EVP_*Update contract wants inl + block_size
+     * of output headroom even when NO_PADDING makes the actual write
+     * exactly inl today; resized back down after the length check */
+    res = PyBytes_FromStringAndSize(NULL, n + 16);
     if (res == NULL)
         return NULL;
     ctx = EVP_CIPHER_CTX_new();
@@ -212,11 +224,13 @@ chash_aes_cbc(PyObject *self, PyObject *args)
                  ctx, (unsigned char *)PyBytes_AS_STRING(res) + outl,
                  &tmpl);
     EVP_CIPHER_CTX_free(ctx);
-    if (!ok || outl + tmpl != (int)n) {
+    if (!ok || (Py_ssize_t)outl + (Py_ssize_t)tmpl != n) {
         Py_DECREF(res);
         PyErr_SetString(PyExc_RuntimeError, "EVP AES-CBC failed");
         return NULL;
     }
+    if (_PyBytes_Resize(&res, n) < 0) /* drop the +16 headroom */
+        return NULL;
     return res;
 }
 

@@ -1233,6 +1233,12 @@ emit_name_c(PyObject *key, pbuf_t *b, PyObject *name_fn,
     nb = PyObject_CallFunctionObjArgs(name_fn, key, NULL);
     if (nb == NULL)
         return -1;
+    if (!PyBytes_Check(nb)) { /* arbitrary callable: never trust it */
+        Py_DECREF(nb);
+        PyErr_SetString(PyExc_TypeError,
+                        "produce name_fn must return bytes");
+        return -1;
+    }
     rc = pbuf_put(b, PyBytes_AS_STRING(nb), PyBytes_GET_SIZE(nb));
     Py_DECREF(nb);
     return rc;
@@ -1427,6 +1433,7 @@ ctok_serialize_objs(PyObject *self, PyObject *args)
     Py_ssize_t base = 0;
     pbuf_t b = {NULL, 0, 0};
     PyObject *offsets = NULL, *body_bytes = NULL, *res = NULL;
+    PyObject *snap = NULL;
     const char *eol;
     Py_ssize_t eol_len, n, i;
 
@@ -1442,12 +1449,21 @@ ctok_serialize_objs(PyObject *self, PyObject *args)
         name_cache = NULL;
     eol = PyBytes_AS_STRING(eol_obj);
     eol_len = PyBytes_GET_SIZE(eol_obj);
-    n = PyList_GET_SIZE(items);
-    offsets = PyList_New(n);
-    if (offsets == NULL)
+    /* snapshot: produce_into_c / name_fn re-enter arbitrary Python,
+     * which may mutate the caller's list — iterating borrowed refs
+     * over the original is a use-after-free (the snapshot holds
+     * strong refs to every pair; pairs are immutable tuples) */
+    snap = PySequence_List(items);
+    if (snap == NULL)
         return NULL;
+    n = PyList_GET_SIZE(snap);
+    offsets = PyList_New(n);
+    if (offsets == NULL) {
+        Py_DECREF(snap);
+        return NULL;
+    }
     for (i = 0; i < n; i++) {
-        PyObject *pair = PyList_GET_ITEM(items, i);
+        PyObject *pair = PyList_GET_ITEM(snap, i);
         PyObject *num, *obj, *off;
         char head[32];
         int hn;
@@ -1481,10 +1497,12 @@ ctok_serialize_objs(PyObject *self, PyObject *args)
     res = PyTuple_Pack(2, body_bytes, offsets);
     Py_DECREF(body_bytes);
     Py_DECREF(offsets);
+    Py_DECREF(snap);
     PyMem_Free(b.buf);
     return res;
 fail:
     Py_XDECREF(offsets);
+    Py_XDECREF(snap);
     PyMem_Free(b.buf);
     return NULL;
 }

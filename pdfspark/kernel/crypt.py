@@ -90,6 +90,8 @@ def _aes_cbc(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
         and len(key) in (16, 32)
         and len(iv) == 16
         and len(data) % 16 == 0
+        and len(data) < (1 << 31) - 32  # EVP int-length API bound;
+        # larger buffers stay on the `cryptography` streaming wrapper
     ):
         # C fast path: module-init-fetched EVP ciphers, no per-call
         # provider dispatch (parity-tested vs the wrapper below)

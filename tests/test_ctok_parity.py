@@ -275,6 +275,37 @@ def test_ctok_lzw_encode_parity():
         assert filters.lzw_decode(enc_c) == c
 
 
+def test_ctok_hostile_callback_safety():
+    """r5 hardening: the C produce/serialize_objs surfaces must stay
+    memory-safe under hostile callbacks — a name_fn that mutates the
+    caller's items list mid-iteration (use-after-free without the
+    snapshot) and one that returns non-bytes (heap overread without
+    the type check) both previously crashed the interpreter."""
+    import gc
+
+    from pdfspark.kernel import cos
+    from pdfspark.kernel.cos import Name
+
+    if cos._CTOK_SERIALIZE_OBJS is None:
+        pytest.skip("C serializer not available in this env")
+
+    items = [(i, Name(f"X{i}")) for i in range(50)]
+    fired = []
+
+    def mutating(k):
+        if not fired:
+            fired.append(1)
+            items.clear()
+        return cos._produce_name_key(k)
+
+    out, offs = cos._CTOK_SERIALIZE_OBJS(items, b"\n", 0, mutating, {})
+    gc.collect()
+    assert len(offs) == 50 and out.count(b"endobj") == 50
+
+    with pytest.raises(TypeError):
+        cos._CTOK_PRODUCE(Name("Foo"), lambda k: "/Foo", {})
+
+
 def test_ctok_serialize_objs_parity():
     """r5: _ctok.serialize_objs (fused body emission) vs the Python
     per-object loop — whole-payload BYTE equality across every
