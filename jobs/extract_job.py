@@ -23,20 +23,36 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--variant", default="mixed")
+    ap.add_argument(
+        "--replicate", type=int, default=1,
+        help="deterministic in-plan corpus scale-up (scaling/stress runs)",
+    )
     args = ap.parse_args()
+
+    import time
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("pdfspark-extract").getOrCreate()
     from pdfspark.scale import completed_buckets, run_checkpointed
 
+    t0 = time.monotonic()
     n = run_checkpointed(
-        spark, args.sf_dir, args.out, n_buckets=args.buckets, variant=args.variant
+        spark, args.sf_dir, args.out, n_buckets=args.buckets,
+        variant=args.variant, replicate=args.replicate,
     )
+    compute_wall = round(time.monotonic() - t0, 3)
     done = completed_buckets(spark, f"{args.out}/lineage")
     print(
         json.dumps(
-            {"processed_this_run": n, "buckets_done": len(done), "out": args.out}
+            {
+                "processed_this_run": n,
+                "buckets_done": len(done),
+                "out": args.out,
+                # post-session compute wall (excludes JVM startup) —
+                # the number scaling comparisons should use
+                "compute_wall_s": compute_wall,
+            }
         )
     )
     spark.stop()

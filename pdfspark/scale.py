@@ -189,6 +189,7 @@ def run_checkpointed(
     buckets_per_commit: int = 4,
     fail_after: Optional[int] = None,
     fail_before_commit: bool = False,
+    replicate: int = 1,
 ) -> int:
     """Extraction over bucket(doc_id) groups with per-group commit.
 
@@ -204,7 +205,10 @@ def run_checkpointed(
     data-written/lineage-pending window to exercise exactly that
     non-atomic gap.
     """
-    from .engine import extract, generate_payloads, load_documents, synth_spans_df
+    from .engine import (
+        extract, generate_payloads, load_documents, replicate_docs,
+        synth_spans_df,
+    )
 
     lineage_dir = os.path.join(out_dir, "lineage")
     data_dir = os.path.join(out_dir, "spans")
@@ -229,7 +233,12 @@ def run_checkpointed(
     for i in range(0, len(pending), buckets_per_commit):
         group = pending[i : i + buckets_per_commit]
         t0 = time.monotonic()
-        docs = load_documents(spark, sf_dir).withColumn(
+        docs = load_documents(spark, sf_dir)
+        if replicate > 1:
+            # deterministic in-plan corpus scale-up (scaling/stress
+            # runs at the deployment surface — no data files written)
+            docs = replicate_docs(docs, replicate)
+        docs = docs.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
         docs = docs.where(F.col("bucket").isin([int(b) for b in group]))

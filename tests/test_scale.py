@@ -196,3 +196,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_docs")
         spark.sql("DROP TABLE IF EXISTS tb_dim")
+
+
+def test_checkpointed_replicate_scales_rows(spark, tmp_path):
+    """--replicate K (r5, the deployment-surface scaling knob):
+    in-plan corpus replication doubles the extracted span rows
+    deterministically and keeps resume semantics (second run is a
+    no-op)."""
+    from pdfspark.scale import run_checkpointed
+
+    out1 = str(tmp_path / "base")
+    out2 = str(tmp_path / "repl")
+    run_checkpointed(spark, SF_SMOKE, out1, n_buckets=4)
+    run_checkpointed(spark, SF_SMOKE, out2, n_buckets=4, replicate=2)
+    base = spark.read.parquet(f"{out1}/spans").count()
+    repl = spark.read.parquet(f"{out2}/spans").count()
+    assert repl == 2 * base
+    assert run_checkpointed(spark, SF_SMOKE, out2, n_buckets=4, replicate=2) == 0
