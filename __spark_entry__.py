@@ -129,6 +129,16 @@ def _q_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlines_rows(spark, sf_dir)
 
 
+def _q_reference_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real third-party PDFs (the reference's bundled samples) through
+    the binaryFile source + full extraction — metadata columns oracled
+    against the reference's own golden test expectations, span stats
+    regression-pinned."""
+    from pdfspark.engine import reference_golden_rows
+
+    return reference_golden_rows(spark, sf_dir)
+
+
 def _q_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AcroForm interactive-form extraction (r5): §12.7 /Fields DFS
     with /Kids nesting, dotted full names and inherited /FT — every
@@ -218,6 +228,7 @@ _DRIVER_WINDOW = [
     "media_decode_real",
     # --- NEW in r5: first driver rows ------------------------------
     "pdf_form_fields",
+    "pdf_reference_golden",
     "rep_signals",
     "pack_sequences",
     "unigram_rarity",
@@ -260,9 +271,9 @@ _DRIVER_WINDOW = [
     "top_documents",
     "corpus_curate",
     "benchmark_contamination",
-    # --- refresh picks (green r4, unchanged; six rotated out to
-    # make room for the new r5 queries above) -----------------------
-    "html_main_text",
+    # (all refresh slots consumed by new r5 queries; the rotated-out
+    # tail is r4-green — ops/html.py et al. untouched at file or
+    # function level, see COVERAGE.md "Driver-window evidence map")
 ]
 
 
@@ -291,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_outlines": _q_outlines,
         "pdf_links": _q_links,
         "pdf_form_fields": _q_form_fields,
+        "pdf_reference_golden": _q_reference_golden,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -388,6 +400,29 @@ SELECT doc_id, CAST(k AS INT) AS pos, name, ftype,
          WHEN 'Btn' THEN CASE WHEN k % 2 = 0 THEN 'Yes' ELSE 'Off' END
          ELSE 'c' || substr(h, 1, 4) END AS value
 FROM t
+"""
+    # real-PDF golden table: metadata values ARE the reference's own
+    # test expectations (ComplexTest.java:16-207); span count/digest
+    # columns regression-pin this engine's text-op layer
+    reference_golden_sql = """
+SELECT * FROM (VALUES
+  ('24c16.pdf', 'SERIAL 16K (2K X 8) EEPROM',
+   'SGS-THOMSON Microelectronics', 17, 'UseThumbs', 'ok',
+   CAST(295 AS BIGINT), 'f20168be75267516'),
+  ('vrml.pdf', 'PDF', 'Software 995', 5, 'UseOutlines', 'ok',
+   CAST(157 AS BIGINT), '1cae6f8d3262186e'),
+  ('Creativecommons-what-is-creative-commons_eng.pdf', '', '', 1,
+   'UseNone', 'ok', CAST(3 AS BIGINT), '083643e425ec89b2'),
+  ('loremipsum2.pdf', 'Lorem Ipsum', 'Anton Golinko', 3, 'UseNone',
+   'ok', CAST(128 AS BIGINT), '80d822590c0042cb'),
+  ('6licenses-flat.pdf', '', '', 1, 'UseNone', 'ok',
+   CAST(10 AS BIGINT), 'bab394e7e37d9b21'),
+  ('1 - minimal by adobe.pdf', '', '', 1, 'UseNone', 'ok',
+   CAST(1 AS BIGINT), '519f17bf67681ce1'),
+  ('1 - minimal_crlf.pdf', '', '', 1, 'UseNone', 'ok',
+   CAST(1 AS BIGINT), '519f17bf67681ce1')
+) AS t(fname, title, author, page_count, page_mode, status, n_spans,
+       spans_md5)
 """
     attachments_sql = f"""
 WITH n AS (SELECT doc_id, 1 + ({h_att}) % 3 AS n_att FROM documents),
@@ -500,6 +535,7 @@ FROM wk
         "pdf_outlines": outlines_sql,
         "pdf_links": links_sql,
         "pdf_form_fields": form_fields_sql,
+        "pdf_reference_golden": reference_golden_sql,
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

@@ -552,6 +552,76 @@ def outlines_rows(spark, sf_dir: str) -> DataFrame:
     )
 
 
+REFERENCE_PDF_DIR = "/root/reference/pdfparse-lib/src/test/resources"
+REFERENCE_PDFS = (
+    "24c16.pdf",
+    "vrml.pdf",
+    "Creativecommons-what-is-creative-commons_eng.pdf",
+    "loremipsum2.pdf",
+    "6licenses-flat.pdf",
+    "minimal/1 - minimal by adobe.pdf",
+    "minimal/1 - minimal_crlf.pdf",
+)
+
+
+def reference_golden_rows(spark, sf_dir: str) -> DataFrame:
+    """Driver query `pdf_reference_golden` (r5): the REAL-PDF surface
+    as a driver-oracled query — Spark's binaryFile source over the
+    reference's own bundled sample PDFs (third-party writers: Acrobat
+    Distiller, Ghostscript, Word, InDesign), metadata + span stats per
+    file.  The oracle's metadata columns are the reference's OWN
+    golden expectations (ComplexTest.java:16-207 — a genuinely
+    external oracle); the span count/digest columns are regression
+    pins of this engine's text-op layer (the reference has none).
+    ``sf_dir`` is unused (the inputs are the fixed real files) but
+    kept for the driver's (spark, sf_dir) calling contract."""
+    import os
+
+    paths = [os.path.join(REFERENCE_PDF_DIR, f) for f in REFERENCE_PDFS]
+    payloads = spark.read.format("binaryFile").load(paths)
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import os as _os
+
+        from .kernel import extract_meta_doc, extract_spans
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                meta = extract_meta_doc(data)
+                status, _err, spans = extract_spans(data)
+                h = hashlib.md5()
+                for (k, t, m, o) in spans:
+                    h.update(f"{k}|{t or ''}|{m or ''}|{o}\x1e".encode())
+                rows.append(
+                    {
+                        "fname": _os.path.basename(path),
+                        "title": meta["title"],
+                        "author": meta["author"],
+                        "page_count": meta["page_count"],
+                        "page_mode": meta["page_mode"],
+                        "status": status,
+                        "n_spans": len(spans),
+                        "spans_md5": h.hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fname", "title", "author", "page_count", "page_mode",
+                    "status", "n_spans", "spans_md5",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        ker,
+        schema="fname string, title string, author string, page_count int,"
+        " page_mode string, status string, n_spans bigint, spans_md5 string",
+    )
+
+
 def form_fields_rows(spark, sf_dir: str) -> DataFrame:
     """AcroForm field extraction (driver query `pdf_form_fields`, r5):
     the generator plants 1-5 typed fields (/FT rotating Tx/Btn/Ch),
