@@ -211,10 +211,11 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5 — the r4 verdict's #1 ask), relational+curate (rotated out in
 # r4, byte-identical to their r03-green code, refreshed here), the
 # four ops queries changed in r5 (chunk_boilerplate broadcast plan,
-# IVF geometry, media JPEG rotation), six queries NEW in r5
-# (pdf_roundtrip_pubsec, pdf_form_fields, rep_signals,
-# pack_sequences, unigram_rarity, dedup_incremental), plus 1 refresh
-# pick.  The 22 rotated out are all r4-green and untouched in r5.
+# IVF geometry, media JPEG rotation) and seven queries NEW in r5
+# (pdf_roundtrip_pubsec, pdf_form_fields, pdf_reference_golden,
+# rep_signals, pack_sequences, unigram_rarity, dedup_incremental).
+# 73 queries registered; the 23 rotated out are all r4-green and
+# function-level untouched in r5 (COVERAGE.md evidence map).
 _DRIVER_WINDOW = [
     # --- streaming: first driver rows ever (r4 verdict ask #1) ------
     "pdf_stream_extract",

@@ -590,7 +590,13 @@ def reference_golden_rows(spark, sf_dir: str) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                meta = extract_meta_doc(data)
+                try:  # §2.8 per-file fault policy for the meta pass
+                    meta = extract_meta_doc(data)
+                except Exception:
+                    meta = {
+                        "title": "", "author": "", "page_count": 0,
+                        "page_mode": "",
+                    }
                 status, _err, spans = extract_spans(data)
                 h = hashlib.md5()
                 for (k, t, m, o) in spans:

@@ -2,11 +2,14 @@
 ISO 32000-1 §7.6.5 (/Filter /Adobe.PubSec, /SubFilter adbe.pkcs7.s5).
 
 The recipient identity is a TEST FIXTURE generated lazily on first
-use and cached per host (~/.cache/pdfspark, atomic rename — the same
-pattern the C-extension cache uses), so no private key ever lives in
-the repository.  Every Spark worker on a host shares the cached
-identity, which is all the single-host test/driver topology needs;
-a real multi-host deployment injects its own certificates via
+use and cached per host under ~/.cache/pdfspark with LINK-IF-ABSENT
+semantics (deliberately NOT the C-extension cache's last-writer-wins
+rename: racing workers must converge on whichever identity landed
+FIRST, or payloads enveloped by one worker would not open for
+another), so no private key ever lives in the repository.  Every
+Spark worker on a host shares the cached identity, which is all the
+single-host test/driver topology needs; a real multi-host deployment
+injects its own certificates via
 ``PubSecSecurityHandler.authenticate_identity``.
 """
 
@@ -67,17 +70,26 @@ def fixture_identity():
         pem = _generate_pem()
         os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_CACHE))
-        with os.fdopen(fd, "wb") as f:
-            f.write(pem)
         try:
-            # link-if-absent: unlike rename, link() FAILS when the
-            # target exists, so racing workers converge on whichever
-            # identity landed first instead of silently overwriting
-            os.link(tmp, _CACHE)
-        except FileExistsError:
-            pass
+            with os.fdopen(fd, "wb") as f:
+                f.write(pem)
+            try:
+                # link-if-absent: unlike rename, link() FAILS when the
+                # target exists, so racing workers converge on
+                # whichever identity landed first, never overwriting
+                os.link(tmp, _CACHE)
+            except FileExistsError:
+                pass
+            except OSError:
+                # filesystem without hard links (FUSE/overlay/VFAT):
+                # degrade to replace — the overwrite race returns, but
+                # the fixture stays usable on such hosts
+                if not os.path.exists(_CACHE):
+                    os.replace(tmp, _CACHE)
+                    tmp = None
         finally:
-            os.unlink(tmp)
+            if tmp is not None and os.path.exists(tmp):
+                os.unlink(tmp)
         with open(_CACHE, "rb") as f:
             pem = f.read()  # the link winner is the truth
     cert = x509.load_pem_x509_certificate(pem)

@@ -212,6 +212,30 @@ def run_checkpointed(
 
     lineage_dir = os.path.join(out_dir, "lineage")
     data_dir = os.path.join(out_dir, "spans")
+    # resume-config guard: a rerun with different corpus-shaping
+    # parameters would silently mix scales/variants in the output
+    # (completed buckets skip, new buckets run at the new settings) —
+    # pin the shape on first run, refuse mismatched resumes
+    cfg = {"replicate": int(replicate), "variant": variant,
+           "n_buckets": int(n_buckets)}
+    cfg_path = os.path.join(out_dir, "_job_config.json")
+    if os.path.exists(cfg_path):
+        import json as _json
+
+        with open(cfg_path) as f:
+            prev_cfg = _json.load(f)
+        if prev_cfg != cfg:
+            raise ValueError(
+                f"resume config mismatch: out_dir was written with "
+                f"{prev_cfg}, this run requests {cfg} — use a fresh "
+                f"--out or repeat the original parameters"
+            )
+    else:
+        import json as _json
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(cfg_path, "w") as f:
+            _json.dump(cfg, f)
     done = completed_buckets(spark, lineage_dir)
     attempts = bucket_attempts(spark, lineage_dir)
     pending = [b for b in range(n_buckets) if b not in done]

@@ -213,3 +213,21 @@ def test_checkpointed_replicate_scales_rows(spark, tmp_path):
     repl = spark.read.parquet(f"{out2}/spans").count()
     assert repl == 2 * base
     assert run_checkpointed(spark, SF_SMOKE, out2, n_buckets=4, replicate=2) == 0
+
+
+def test_checkpointed_resume_config_guard(spark, tmp_path):
+    """A resume with different corpus-shaping parameters must be
+    REFUSED (it would silently mix scales/variants across buckets);
+    identical parameters resume as a no-op."""
+    import pytest as _pytest
+
+    from pdfspark.scale import run_checkpointed
+
+    out = str(tmp_path / "guarded")
+    run_checkpointed(spark, SF_SMOKE, out, n_buckets=2, replicate=2)
+    assert run_checkpointed(spark, SF_SMOKE, out, n_buckets=2, replicate=2) == 0
+    with _pytest.raises(ValueError, match="resume config mismatch"):
+        run_checkpointed(spark, SF_SMOKE, out, n_buckets=2, replicate=4)
+    with _pytest.raises(ValueError, match="resume config mismatch"):
+        run_checkpointed(spark, SF_SMOKE, out, n_buckets=2, variant="classic",
+                         replicate=2)
