@@ -1342,33 +1342,59 @@ produce_into_c(PyObject *v, pbuf_t *b, PyObject *name_fn,
         return rc;
     }
     if ((PyObject *)cls == S.CDict) {
-        PyObject *key, *val;
-        Py_ssize_t pos = 0;
-        if (pbuf_put(b, "<<", 2) < 0)
+        /* snapshot: emit_name_c/produce_into_c re-enter Python
+         * (name_fn, nested callbacks) which may mutate the dict being
+         * serialized — PyDict_Next over a mutating dict is UB.
+         * PyDict_Items owns strong refs to every (key, val) pair. */
+        PyObject *items = PyDict_Items(v);
+        Py_ssize_t i, n;
+        if (items == NULL)
             return -1;
-        while (PyDict_Next(v, &pos, &key, &val)) {
-            if (pbuf_put(b, " ", 1) < 0)
-                return -1;
-            if (emit_name_c(key, b, name_fn, name_cache) < 0)
-                return -1;
-            if (pbuf_put(b, " ", 1) < 0)
-                return -1;
-            if (produce_into_c(val, b, name_fn, name_cache, depth + 1) < 0)
-                return -1;
+        n = PyList_GET_SIZE(items);
+        if (pbuf_put(b, "<<", 2) < 0) {
+            Py_DECREF(items);
+            return -1;
         }
+        for (i = 0; i < n; i++) {
+            PyObject *pair = PyList_GET_ITEM(items, i);
+            if (pbuf_put(b, " ", 1) < 0 ||
+                emit_name_c(PyTuple_GET_ITEM(pair, 0), b, name_fn,
+                            name_cache) < 0 ||
+                pbuf_put(b, " ", 1) < 0 ||
+                produce_into_c(PyTuple_GET_ITEM(pair, 1), b, name_fn,
+                               name_cache, depth + 1) < 0) {
+                Py_DECREF(items);
+                return -1;
+            }
+        }
+        Py_DECREF(items);
         return pbuf_put(b, " >>", 3);
     }
     if (cls == &PyList_Type) {
-        Py_ssize_t i, n = PyList_GET_SIZE(v);
-        if (pbuf_put(b, "[", 1) < 0)
+        /* same re-entrancy hazard as the dict branch: snapshot before
+         * iterating so a callback shrinking the list cannot leave a
+         * stale n / dangling borrowed item */
+        PyObject *snap = PySequence_List(v);
+        Py_ssize_t i, n;
+        if (snap == NULL)
             return -1;
-        for (i = 0; i < n; i++) {
-            if (i && pbuf_put(b, " ", 1) < 0)
-                return -1;
-            if (produce_into_c(PyList_GET_ITEM(v, i), b, name_fn,
-                               name_cache, depth + 1) < 0)
-                return -1;
+        n = PyList_GET_SIZE(snap);
+        if (pbuf_put(b, "[", 1) < 0) {
+            Py_DECREF(snap);
+            return -1;
         }
+        for (i = 0; i < n; i++) {
+            if (i && pbuf_put(b, " ", 1) < 0) {
+                Py_DECREF(snap);
+                return -1;
+            }
+            if (produce_into_c(PyList_GET_ITEM(snap, i), b, name_fn,
+                               name_cache, depth + 1) < 0) {
+                Py_DECREF(snap);
+                return -1;
+            }
+        }
+        Py_DECREF(snap);
         return pbuf_put(b, "]", 1);
     }
     if (cls == &PyFloat_Type) {

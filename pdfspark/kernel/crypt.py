@@ -536,6 +536,7 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
         # earlier subfilters carry it at the top level
         recips = None
         cfm = "V2"
+        cf_len = None
         cf = enc.get("CF")
         if isinstance(cf, CDict):
             for fname in cf:
@@ -543,6 +544,7 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
                 if isinstance(f, CDict) and f.get("Recipients") is not None:
                     recips = f.get("Recipients")
                     cfm = f.get_name("CFM", "V2")
+                    cf_len = f.get_int("Length", 0) or None
                     break
         if recips is None:
             recips = enc.get("Recipients")
@@ -551,11 +553,25 @@ def handler_from_dict(enc: "object", file_id0: bytes) -> StandardSecurityHandler
         blobs = [r.raw for r in (recips or []) if isinstance(r, CString)]
         if not blobs:
             raise EParseError("PubSec /Encrypt without /Recipients")
+        # key length: the V4 crypt-filter dict's /Length takes
+        # precedence over the top-level one; real writers disagree on
+        # units there (ISO 32000-1 says bits, Acrobat wrote bytes) —
+        # values < 40 can only be bytes
+        length_bits = cf_len if cf_len is not None else enc.get_int("Length", 128)
+        if length_bits < 40:
+            length_bits *= 8
+        # §7.6.5.3 derives the key from a SHA-1 digest: anything past
+        # 160 bits cannot be supplied — fail here, not deep inside AES
+        if length_bits > 160:
+            raise EParseError(
+                f"PubSec key length {length_bits} bits exceeds the "
+                f"160-bit SHA-1 derivation (adbe.pkcs7.s5)"
+            )
         return PubSecSecurityHandler(
             recipients=blobs,
             stm_cfm=cfm,
             str_cfm=cfm,
-            length_bits=enc.get_int("Length", 128),
+            length_bits=length_bits,
             encrypt_metadata=enc.get_bool("EncryptMetadata", True),
         )
     if filt != "Standard":

@@ -82,11 +82,18 @@ def fixture_identity():
                 pass
             except OSError:
                 # filesystem without hard links (FUSE/overlay/VFAT):
-                # degrade to replace — the overwrite race returns, but
-                # the fixture stays usable on such hosts
-                if not os.path.exists(_CACHE):
-                    os.replace(tmp, _CACHE)
-                    tmp = None
+                # O_CREAT|O_EXCL is the portable link-if-absent
+                # primitive — exactly one racing worker creates the
+                # file; the rest fall through and read the winner
+                try:
+                    efd = os.open(
+                        _CACHE, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
+                    )
+                except FileExistsError:
+                    pass
+                else:
+                    with os.fdopen(efd, "wb") as ef:
+                        ef.write(pem)
         finally:
             if tmp is not None and os.path.exists(tmp):
                 os.unlink(tmp)

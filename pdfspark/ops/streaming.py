@@ -250,10 +250,18 @@ def stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, so the sink holds exactly the closed-window subset
     (pinned empirically: 986/986 window match at sf0.001)."""
     import os
+    import shutil
     import tempfile
+    import time as _time
 
     landing = stage_events_ordered(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="pdfspark-append-")
+    # deterministic workdir keyed by the landing snapshot: repeated
+    # invocations replace the previous run's sink+checkpoint instead of
+    # leaking one mkdtemp per call
+    base = os.path.join(
+        tempfile.gettempdir(), "pdfspark-append-" + os.path.basename(landing)
+    )
+    shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "out")
     ck = os.path.join(base, "ck")
     src = (
@@ -270,6 +278,18 @@ def stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    # processAllAvailable guarantees the DATA batches committed, but the
+    # eviction of windows up to the final watermark happens in the
+    # trailing NO-DATA micro-batch, which commits asynchronously — wait
+    # until a zero-input batch has run after the last data batch so the
+    # closed-window oracle boundary is deterministic at every SF
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        rp = q.recentProgress
+        if rp and rp[-1]["numInputRows"] == 0:
+            break
+        q.processAllAvailable()
+        _time.sleep(0.2)
     q.stop()
     return spark.read.parquet(out)
 

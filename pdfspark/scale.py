@@ -27,6 +27,7 @@ commit granularity. On a real cluster set
 from __future__ import annotations
 
 import os
+import tempfile
 import time
 from typing import Optional
 
@@ -217,25 +218,35 @@ def run_checkpointed(
     # (completed buckets skip, new buckets run at the new settings) —
     # pin the shape on first run, refuse mismatched resumes
     cfg = {"replicate": int(replicate), "variant": variant,
-           "n_buckets": int(n_buckets)}
+           "n_buckets": int(n_buckets),
+           # corpus identity: resuming against a different --sf-dir
+           # would mix corpora across buckets just as silently as a
+           # variant mismatch — pin the realpath too
+           "sf_dir": os.path.realpath(sf_dir)}
     cfg_path = os.path.join(out_dir, "_job_config.json")
     if os.path.exists(cfg_path):
         import json as _json
 
         with open(cfg_path) as f:
             prev_cfg = _json.load(f)
-        if prev_cfg != cfg:
+        # pre-r6 sidecars lack sf_dir: compare only the keys they pinned
+        chk = {k: v for k, v in cfg.items() if k in prev_cfg}
+        if prev_cfg != chk:
             raise ValueError(
                 f"resume config mismatch: out_dir was written with "
-                f"{prev_cfg}, this run requests {cfg} — use a fresh "
+                f"{prev_cfg}, this run requests {chk} — use a fresh "
                 f"--out or repeat the original parameters"
             )
     else:
         import json as _json
 
         os.makedirs(out_dir, exist_ok=True)
-        with open(cfg_path, "w") as f:
+        # temp-file + rename: a crash mid-write must not leave a
+        # truncated sidecar that poisons every future resume
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".jobcfg")
+        with os.fdopen(fd, "w") as f:
             _json.dump(cfg, f)
+        os.replace(tmp, cfg_path)
     done = completed_buckets(spark, lineage_dir)
     attempts = bucket_attempts(spark, lineage_dir)
     pending = [b for b in range(n_buckets) if b not in done]

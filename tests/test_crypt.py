@@ -283,3 +283,40 @@ def test_pubsec_wrong_identity_rejected():
     )
     assert not h.authenticate_identity(wrong_cert, wrong_key)
     assert h.key is None
+
+
+def test_pubsec_crypt_filter_length_units():
+    """r6 (ADVICE): the V4 crypt-filter dict's /Length takes precedence
+    over the top-level /Length, byte-unit values (<40) are normalized
+    to bits, and a declared length past SHA-1's 160-bit supply raises
+    a clean EParseError instead of failing deep inside AES."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.cos import CDict
+    from pdfspark.kernel.crypt import handler_from_dict
+    from pdfspark.kernel.errors import EParseError
+    from pdfspark.kernel.xref import Parser
+
+    did = "psl"
+    txt = hashlib.md5(did.encode()).hexdigest() * 3
+    payload = build_pdf(did, synth_spans_py(did, txt), "pubsec")
+    pr = Parser(payload)
+    pr.parse()
+    enc = pr.get_object(pr.encrypt_ref.num, pr.encrypt_ref.gen)
+    cf = next(f for f in enc["CF"].values() if isinstance(f, CDict))
+
+    # bytes-unit /Length in the crypt filter dict (Acrobat quirk)
+    cf["Length"] = 16
+    assert handler_from_dict(enc, b"").n == 16  # 16 bytes == 128 bits
+
+    # bits-unit value passes through
+    cf["Length"] = 128
+    assert handler_from_dict(enc, b"").n == 16
+
+    # > 160 bits cannot come out of the SHA-1 derivation
+    cf["Length"] = 256
+    with _pytest.raises(EParseError, match="160-bit"):
+        handler_from_dict(enc, b"")

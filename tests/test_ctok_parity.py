@@ -305,6 +305,37 @@ def test_ctok_hostile_callback_safety():
     with pytest.raises(TypeError):
         cos._CTOK_PRODUCE(Name("Foo"), lambda k: "/Foo", {})
 
+    # r6 hardening: a callback mutating the CONTAINER currently being
+    # serialized (dict or list) — PyDict_Next / PyList_GET_ITEM over a
+    # mutating container was the remaining UB path
+    from pdfspark.kernel.cos import CDict
+
+    d = CDict({f"K{i}": i for i in range(50)})
+    fired_d = []
+
+    def dict_mutating(k):
+        if not fired_d:
+            fired_d.append(1)
+            d.clear()
+        return cos._produce_name_key(k)
+
+    out = cos._CTOK_PRODUCE(d, dict_mutating, {})
+    gc.collect()
+    assert out.count(b"/K") == 50  # snapshot serialized every entry
+
+    lst = [CDict({"A": 1}) for _ in range(50)]
+    fired_l = []
+
+    def list_mutating(k):
+        if not fired_l:
+            fired_l.append(1)
+            lst.clear()
+        return cos._produce_name_key(k)
+
+    out = cos._CTOK_PRODUCE(lst, list_mutating, {})
+    gc.collect()
+    assert out.count(b"/A") == 50
+
 
 def test_ctok_serialize_objs_parity():
     """r5: _ctok.serialize_objs (fused body emission) vs the Python

@@ -231,3 +231,33 @@ def test_checkpointed_resume_config_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="resume config mismatch"):
         run_checkpointed(spark, SF_SMOKE, out, n_buckets=2, variant="classic",
                          replicate=2)
+
+
+def test_checkpointed_resume_guard_pins_sf_dir(spark, tmp_path):
+    """r6 (ADVICE): resuming against a DIFFERENT --sf-dir must be
+    refused too — mixed corpora across buckets is the same silent
+    failure as a variant mismatch. Also: the sidecar must be valid
+    JSON (written via temp+rename, never truncated)."""
+    import json
+
+    import pytest as _pytest
+
+    from pdfspark.scale import run_checkpointed
+
+    out = str(tmp_path / "sfguard")
+    run_checkpointed(spark, SF_SMOKE, out, n_buckets=2)
+    with open(f"{out}/_job_config.json") as f:
+        cfg = json.load(f)
+    assert cfg["sf_dir"] == os.path.realpath(SF_SMOKE)
+    other = tmp_path / "othersf"
+    other.mkdir()
+    os.symlink(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        other / "documents.parquet",
+    )
+    with _pytest.raises(ValueError, match="resume config mismatch"):
+        run_checkpointed(spark, str(other), out, n_buckets=2)
+    # pre-r6 sidecar (no sf_dir) still resumes on matching legacy keys
+    with open(f"{out}/_job_config.json", "w") as f:
+        json.dump({k: cfg[k] for k in ("replicate", "variant", "n_buckets")}, f)
+    assert run_checkpointed(spark, SF_SMOKE, out, n_buckets=2) == 0
