@@ -139,6 +139,16 @@ def _q_reference_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reference_golden_rows(spark, sf_dir)
 
 
+def _q_malformed_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's malformed corpus (must-throw contract,
+    FileHandlingTest.java:32-56) driven through binaryFile: each file
+    lands in the §2.8 error bucket; Spark's documented zero-byte-file
+    drop surfaces as an explicit 'dropped_by_source' row."""
+    from pdfspark.engine import reference_malformed_rows
+
+    return reference_malformed_rows(spark, sf_dir)
+
+
 def _q_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AcroForm interactive-form extraction (r5): §12.7 /Fields DFS
     with /Kids nesting, dotted full names and inherited /FT — every
@@ -304,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_links": _q_links,
         "pdf_form_fields": _q_form_fields,
         "pdf_reference_golden": _q_reference_golden,
+        "pdf_malformed_golden": _q_malformed_golden,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -425,6 +436,19 @@ SELECT * FROM (VALUES
 ) AS t(fname, title, author, page_count, page_mode, status, n_spans,
        spans_md5)
 """
+    # malformed golden table: the reference's must-throw corpus —
+    # every parseable file errors with EParseError and zero spans; the
+    # zero-byte file is dropped by Spark's binaryFile source, a
+    # documented divergence asserted as its own row
+    malformed_golden_sql = """
+SELECT * FROM (VALUES
+  ('noise.pdf', 'error', 'EParseError', CAST(0 AS BIGINT)),
+  ('only_header.pdf', 'error', 'EParseError', CAST(0 AS BIGINT)),
+  ('only_header_eof.pdf', 'error', 'EParseError', CAST(0 AS BIGINT)),
+  ('zerosizedfile.pdf', 'dropped_by_source', 'zero_byte_file',
+   CAST(0 AS BIGINT))
+) AS t(fname, status, err_class, n_spans)
+"""
     attachments_sql = f"""
 WITH n AS (SELECT doc_id, 1 + ({h_att}) % 3 AS n_att FROM documents),
 k AS (SELECT doc_id, unnest(range(n_att)) AS k FROM n)
@@ -537,6 +561,7 @@ FROM wk
         "pdf_links": links_sql,
         "pdf_form_fields": form_fields_sql,
         "pdf_reference_golden": reference_golden_sql,
+        "pdf_malformed_golden": malformed_golden_sql,
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

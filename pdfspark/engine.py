@@ -19,6 +19,7 @@ boundary (SURVEY §1.3, §3 'boundaries').
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Sequence
 
 import pandas as pd
@@ -626,6 +627,76 @@ def reference_golden_rows(spark, sf_dir: str) -> DataFrame:
         schema="fname string, title string, author string, page_count int,"
         " page_mode string, status string, n_spans bigint, spans_md5 string",
     )
+
+
+MALFORMED_PDF_DIR = os.path.join(REFERENCE_PDF_DIR, "malformed_pdfs")
+MALFORMED_PDFS = (
+    "noise.pdf",
+    "only_header.pdf",
+    "only_header_eof.pdf",
+    "zerosizedfile.pdf",
+)
+
+
+def reference_malformed_rows(spark, sf_dir: str) -> DataFrame:
+    """Driver query `pdf_malformed_golden` (r6): the reference's own
+    malformed corpus (FileHandlingTest.java:32-56 — noise /
+    header-only / header+startxref-EOF / zero-length) driven
+    end-to-end through the binaryFile source.  The reference's
+    contract is must-throw (every file raises EParseError); here each
+    must land in the §2.8 error bucket with zero spans, and the error
+    CLASS is part of the oracled row.
+
+    DOCUMENTED DIVERGENCE, asserted explicitly: Spark's binaryFile
+    source silently DROPS zero-byte files (zerosizedfile.pdf never
+    reaches the kernel), so the expected-file list is anti-joined
+    against the scan and missing files surface as
+    status='dropped_by_source' rows — the divergence is itself an
+    oracled fact, not a silent hole.  ``sf_dir`` unused (fixed real
+    files; driver calling contract)."""
+    payloads = spark.read.format("binaryFile").load(
+        os.path.join(MALFORMED_PDF_DIR, "*.pdf")
+    )
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from .kernel import extract_spans
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                status, err, spans = extract_spans(bytes(content))
+                rows.append(
+                    {
+                        "fname": _os.path.basename(path),
+                        "status": status,
+                        "err_class": (err or "").split(":")[0],
+                        "n_spans": len(spans),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["fname", "status", "err_class", "n_spans"]
+            )
+
+    got = payloads.mapInPandas(
+        ker,
+        schema="fname string, status string, err_class string,"
+        " n_spans bigint",
+    )
+    expected = spark.createDataFrame(
+        [(f,) for f in MALFORMED_PDFS], "fname string"
+    )
+    dropped = (
+        expected.join(got, "fname", "left_anti")
+        .select(
+            "fname",
+            F.lit("dropped_by_source").alias("status"),
+            F.lit("zero_byte_file").alias("err_class"),
+            F.lit(0).cast("bigint").alias("n_spans"),
+        )
+    )
+    return got.unionByName(dropped)
 
 
 def form_fields_rows(spark, sf_dir: str) -> DataFrame:

@@ -191,3 +191,38 @@ def test_golden_text_snapshots(fname):
     texts = [t for (k, t, m, o) in spans if k == "text" and t and t.strip()]
     for i, expected_prefix in enumerate(GOLDEN_TEXT[fname]):
         assert texts[i].startswith(expected_prefix), (fname, i, texts[i][:120])
+
+
+def test_malformed_corpus_must_throw():
+    """FileHandlingTest.java:32-56: every malformed_pdfs/ file must
+    raise (land in the error bucket) with zero spans — the reference's
+    own must-throw contract, serially (the driver row
+    pdf_malformed_golden covers the binaryFile path end-to-end)."""
+    import os
+
+    from pdfspark.engine import MALFORMED_PDF_DIR, MALFORMED_PDFS
+
+    for fname in MALFORMED_PDFS:
+        data = open(os.path.join(MALFORMED_PDF_DIR, fname), "rb").read()
+        status, err, spans = extract_spans(data)
+        assert status == "error", (fname, status)
+        assert err.startswith("EParseError"), (fname, err)
+        assert spans == []
+
+
+def test_malformed_golden_rows_divergence(spark):
+    """The pdf_malformed_golden query surfaces Spark's zero-byte-file
+    drop as an explicit 'dropped_by_source' row instead of silently
+    losing the file."""
+    from pdfspark.engine import reference_malformed_rows
+
+    rows = {r.fname: r for r in reference_malformed_rows(spark, "").collect()}
+    assert set(rows) == {
+        "noise.pdf", "only_header.pdf", "only_header_eof.pdf",
+        "zerosizedfile.pdf",
+    }
+    assert rows["zerosizedfile.pdf"].status == "dropped_by_source"
+    assert all(
+        r.status == "error" and r.err_class == "EParseError"
+        for f, r in rows.items() if f != "zerosizedfile.pdf"
+    )
