@@ -791,6 +791,70 @@ def _media_jpeg_bytes(media_ref: str) -> bytes:
     return _jpeg_bytes(w, ht, lambda j, i: color)
 
 
+def _media_avi_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) AVI video, deterministic in media_ref — the
+    video leg of the multimodal triad (r6, closing the last decode
+    stub).  RIFF 'AVI ' container with a full hdrl (avih + strl
+    strh/strf) and a movi LIST of 2 + digest[8] % 6 solid-color
+    frames.  The codec rotates on digest[9]: even → uncompressed DIB
+    ('00db' chunks, raw bottom-up BGR rows with 4-byte stride padding
+    — the BMP pixel layout), odd → MJPEG ('00dc' chunks that ARE
+    baseline JPEGs from _jpeg_bytes).  Frame k's solid color is the
+    base color (digest bytes 2-4) shifted +k mod 256 per channel, so
+    every per-frame channel mean stays closed-form SQL over
+    md5(media_ref)."""
+    import struct
+
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    n_frames = 2 + h[8] % 6
+    mjpg = h[9] % 2 == 1
+
+    frames = []
+    for k in range(n_frames):
+        r, g, b = (h[2] + k) % 256, (h[3] + k) % 256, (h[4] + k) % 256
+        if mjpg:
+            frames.append((b"00dc", _jpeg_bytes(w, ht, lambda j, i: (r, g, b))))
+        else:
+            stride = (w * 3 + 3) & ~3
+            row = bytes((b, g, r)) * w + b"\x00" * (stride - w * 3)
+            frames.append((b"00db", row * ht))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_frame = max(len(fb) for _, fb in frames)
+    avih = struct.pack(
+        "<10I4x4x4x4x", 40000, max_frame * 25, 0, 0x10, n_frames, 0, 1,
+        max_frame, w, ht,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG" if mjpg else b"DIB ", 0, 0, 0, 0,
+        1, 25, 0, n_frames, max_frame, 0xFFFFFFFF, 0, 0, 0, w, ht,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, ht, 1, 24,
+        struct.unpack("<I", b"MJPG")[0] if mjpg else 0,
+        max_frame, 2835, 2835, 0, 0,
+    )
+    body = (
+        b"AVI "
+        + lst(b"hdrl",
+              chunk(b"avih", avih)
+              + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", b"".join(chunk(cc, fb) for cc, fb in frames))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _media_wav_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) PCM-16 mono WAV, deterministic in
     media_ref: sample rate, length and amplitude from digest bytes

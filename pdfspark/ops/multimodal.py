@@ -10,10 +10,12 @@ fixed-point YCbCr→RGB — pure numpy, no codec library), PGM/PPM, PCM
 WAV — with struct parsing and numpy pixel/sample statistics; the
 `media_decode_real` (BMP/PNG/GIF/TIFF/JPEG rotation) and
 `media_audio_meta` (WAV) driver queries run that path end-to-end
-against closed-form oracles. Non-baseline JPEG (progressive,
-subsampled) falls back to header-only dims; VIDEO frame decode is
-the one remaining NotImplementedError: that
-decode genuinely needs libraries absent from this container, and
+against closed-form oracles. r6 closes the last stub: AVI video
+(uncompressed DIB and MJPEG frames) decodes to real per-frame
+pixels via `_avi_decode` — the multimodal triad (image/audio/video)
+is fully real. Non-baseline JPEG (progressive, subsampled) falls
+back to header-only dims; codecs beyond DIB/MJPEG (H.264…)
+genuinely need libraries absent from this container, and
 ``_fake_decode`` (deterministic metadata from the payload's embedded
 digest) stands in for them — swapping it for PIL/ffmpeg on a real
 cluster is the documented one-function change. Everything Spark-side
@@ -47,11 +49,12 @@ def decode_image_real(payload: bytes) -> dict:
     GIF (pure GIF-LZW), TIFF (baseline none/LZW + predictor),
     baseline JPEG (SOF0/SOF1 4:4:4 — full entropy decode + IDCT in
     pure numpy; non-baseline frames fall back to SOF header dims),
-    PGM/PPM (P5/P6 binary), WAV (PCM) — struct + numpy + zlib only.
-    Returns typed metadata + integer channel/sample statistics.
-    VIDEO pixel decode still raises NotImplementedError — that
-    genuinely needs libraries absent from this container; on a
-    production cluster it is the documented one-function ffmpeg
+    PGM/PPM (P5/P6 binary), WAV (PCM), AVI video (uncompressed DIB +
+    MJPEG frames, r6) — struct + numpy + zlib only.  Returns typed
+    metadata + integer channel/sample statistics (per-frame for
+    video).  Codecs beyond these (H.264…) raise NotImplementedError —
+    they genuinely need libraries absent from this container; on a
+    production cluster that is the documented one-function ffmpeg
     swap."""
     import struct
 
@@ -129,6 +132,8 @@ def decode_image_real(payload: bytes) -> dict:
         except (NotImplementedError, KeyError, IndexError, ValueError,
                 struct.error):
             return _jpeg_header_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         fmt_info = None
@@ -707,6 +712,73 @@ def _jpeg_header_decode(payload: bytes) -> dict:
     )
 
 
+def _avi_decode(payload: bytes) -> dict:
+    """REAL video decode (r6 — the last stub closed): RIFF/AVI chunk
+    walk (hdrl strf BITMAPINFOHEADER for geometry + codec, movi frame
+    chunks), then per-frame PIXEL decode — '00db' uncompressed DIB
+    (bottom-up BGR rows, 4-byte stride, the BMP layout, via numpy) or
+    '00dc' MJPEG (each frame is a baseline JPEG through _jpeg_decode:
+    Huffman + IDCT + fixed-point YCbCr).  Returns container metadata
+    plus per-frame integer channel means; no codec library involved."""
+    import struct
+
+    import numpy as np
+
+    w = h = None
+    bpp = 24
+    compression = 0
+    chunks: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, bpp, compression
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            sz, = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, min(body + sz, end))
+            elif cid == b"strf" and sz >= 40:
+                _, bw, bh = struct.unpack_from("<Iii", payload, body)
+                _, bits = struct.unpack_from("<HH", payload, body + 12)
+                comp, = struct.unpack_from("<I", payload, body + 16)
+                w, h, bpp, compression = bw, abs(bh), bits, comp
+            elif cid in (b"00db", b"00dc"):
+                chunks.append((cid, payload[body : body + sz]))
+            pos = body + sz + (sz & 1)
+
+    walk(12, len(payload))
+    if w is None or not chunks:
+        raise NotImplementedError("AVI without strf header or frames")
+    mjpg = compression == struct.unpack("<I", b"MJPG")[0]
+    if not mjpg and (compression != 0 or bpp != 24):
+        raise NotImplementedError("AVI codec beyond DIB 24-bit / MJPEG")
+    frames = []
+    stride = (w * 3 + 3) & ~3
+    n = w * h
+    for idx, (cid, data) in enumerate(chunks):
+        if cid == b"00dc":
+            m = _jpeg_decode(data)
+            frames.append((idx, m["mean_r"], m["mean_g"], m["mean_b"]))
+        else:
+            if len(data) < stride * h:
+                raise NotImplementedError("DIB frame shorter than geometry")
+            px = np.frombuffer(
+                data, dtype=np.uint8, count=stride * h
+            ).reshape(h, stride)[:, : w * 3]
+            bgr = px[::-1].reshape(h, w, 3).astype(np.int64)
+            frames.append(
+                (idx,
+                 int(bgr[:, :, 2].sum() // n),
+                 int(bgr[:, :, 1].sum() // n),
+                 int(bgr[:, :, 0].sum() // n))
+            )
+    return {
+        "fmt": "avi", "codec": "mjpg" if mjpg else "dib",
+        "width": w, "height": h, "n_bytes": len(payload),
+        "n_frames": len(frames), "frames": frames,
+    }
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic decode stand-in: dimensions from the embedded
     digest bytes (payload[4:8]); format from the magic."""
@@ -922,6 +994,123 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_VIDEO_SCHEMA = (
+    "doc_id bigint, media_ref string, codec string, frame_idx int, "
+    "width int, height int, mean_r int, mean_g int, mean_b int"
+)
+
+
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `media_video_frames` (r6): the VIDEO leg of the
+    multimodal triad, now with real pixel decode — every media span
+    gets a deterministic AVI container (codec rotating uncompressed
+    DIB / MJPEG on the digest) and runs through `_avi_decode`: RIFF
+    chunk walk + per-frame numpy DIB or baseline-JPEG pixel decode.
+    One row per frame with integer channel means; the closed-form
+    oracle re-derives geometry, frame count, codec and the per-frame
+    shifted color (MJPEG: its YCbCr fixed-point roundtrip) from
+    md5(media_ref)."""
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec import _media_avi_bytes
+
+        for pdf in batches:
+            rows = []
+            for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
+                m = decode_image_real(_media_avi_bytes(mref))
+                for (fi, mr, mg, mb) in m["frames"]:
+                    rows.append(
+                        {
+                            "doc_id": did, "media_ref": mref,
+                            "codec": m["codec"], "frame_idx": fi,
+                            "width": m["width"], "height": m["height"],
+                            "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "codec", "frame_idx",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media_spans(spark, sf_dir).mapInPandas(
+        ker, schema=MEDIA_VIDEO_SCHEMA
+    )
+
+
+def _media_video_sql() -> str:
+    w = f"(1 + ({_hex_to_int('md5(media_ref)', 1, 2)}) % 8)"
+    h = f"(1 + ({_hex_to_int('md5(media_ref)', 3, 2)}) % 8)"
+    r = _hex_to_int("md5(media_ref)", 5, 2)
+    g = _hex_to_int("md5(media_ref)", 7, 2)
+    b = _hex_to_int("md5(media_ref)", 9, 2)
+    n_frames = f"(2 + ({_hex_to_int('md5(media_ref)', 17, 2)}) % 6)"
+    codec = (
+        f"CASE ({_hex_to_int('md5(media_ref)', 19, 2)}) % 2 "
+        "WHEN 1 THEN 'mjpg' ELSE 'dib' END"
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, unnest(range(CAST(ceil(length(text)/80.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id,
+         'm' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 16)
+           AS media_ref
+  FROM c WHERE i % 3 = 2
+),
+vid AS (
+  SELECT doc_id, media_ref, {codec} AS codec,
+         CAST({w} AS BIGINT) AS w, CAST({h} AS BIGINT) AS h,
+         CAST({r} AS BIGINT) AS r0, CAST({g} AS BIGINT) AS g0,
+         CAST({b} AS BIGINT) AS b0, {n_frames} AS n_frames
+  FROM media
+),
+-- frame k's solid color: base shifted +k mod 256 per channel
+frames AS (
+  SELECT doc_id, media_ref, codec, w, h,
+         unnest(range(n_frames)) AS frame_idx,
+         (r0 + unnest(range(n_frames))) % 256 AS r,
+         (g0 + unnest(range(n_frames))) % 256 AS g,
+         (b0 + unnest(range(n_frames))) % 256 AS b
+  FROM vid
+),
+-- MJPEG's one lossy step: the same 16.16 fixed-point YCbCr roundtrip
+-- as the still-JPEG oracle (codec._jpeg_ycc/_jpeg_rgb)
+ycc AS (
+  SELECT *,
+         (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+         least(255, (8421376 - 11059*r - 21712*g + 32768*b + 32768)
+                    // 65536) AS cb,
+         least(255, (8421376 + 32768*r - 27439*g - 5329*b + 32768)
+                    // 65536) AS cr
+  FROM frames
+),
+rt AS (
+  SELECT *,
+         greatest(0, least(255,
+           (65536*y + 91881*cr - 11760768 + 32768 + 16777216) // 65536
+             - 256)) AS r2,
+         greatest(0, least(255,
+           (65536*y - 22554*cb - 46802*cr + 8877568 + 32768 + 16777216)
+             // 65536 - 256)) AS g2,
+         greatest(0, least(255,
+           (65536*y + 116130*cb - 14864640 + 32768 + 16777216) // 65536
+             - 256)) AS b2
+  FROM ycc
+)
+SELECT doc_id, media_ref, codec, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN codec = 'mjpg' THEN r2 ELSE r END AS INT) AS mean_r,
+       CAST(CASE WHEN codec = 'mjpg' THEN g2 ELSE g END AS INT) AS mean_g,
+       CAST(CASE WHEN codec = 'mjpg' THEN b2 ELSE b END AS INT) AS mean_b
+FROM rt
+"""
+
+
 MEDIA_AUDIO_SCHEMA = (
     "doc_id bigint, media_ref string, fmt string, sample_rate int, "
     "n_channels int, n_samples int, peak int"
@@ -1085,6 +1274,7 @@ def queries():
         "media_frames": media_frames,
         "media_decode_real": media_decode_real,
         "media_audio_meta": media_audio_meta,
+        "media_video_frames": media_video_frames,
     }
 
 
@@ -1094,4 +1284,5 @@ def oracles():
         "media_frames": _media_frames_sql(),
         "media_decode_real": _media_decode_sql(),
         "media_audio_meta": _media_audio_sql(),
+        "media_video_frames": _media_video_sql(),
     }

@@ -865,3 +865,40 @@ def test_jpeg_malformed_falls_back_to_header_dims():
     struct.pack_into(">H", zero_h, j + 5, 0)
     m3 = multimodal.decode_image_real(bytes(zero_h))
     assert "mean_r" not in m3
+
+
+def test_avi_video_decode_real():
+    """r6: AVI container roundtrip — both codecs (uncompressed DIB and
+    MJPEG) decode to the generator's per-frame shifted colors; MJPEG
+    means are the fixed-point YCbCr roundtrip of those colors."""
+    import hashlib
+
+    from pdfspark.codec import _jpeg_rgb, _jpeg_ycc, _media_avi_bytes
+
+    seen = set()
+    for i in range(24):
+        mref = f"vid{i:08x}"
+        h = hashlib.md5(mref.encode()).digest()
+        m = multimodal.decode_image_real(_media_avi_bytes(mref))
+        seen.add(m["codec"])
+        assert m["fmt"] == "avi"
+        assert m["width"] == 1 + h[0] % 8 and m["height"] == 1 + h[1] % 8
+        assert m["n_frames"] == 2 + h[8] % 6 == len(m["frames"])
+        for (k, r, g, b) in m["frames"]:
+            base = ((h[2] + k) % 256, (h[3] + k) % 256, (h[4] + k) % 256)
+            exp = _jpeg_rgb(*_jpeg_ycc(*base)) if m["codec"] == "mjpg" else base
+            assert (r, g, b) == exp, (mref, k, m["codec"])
+    assert seen == {"dib", "mjpg"}
+
+
+def test_avi_decode_rejects_unknown_codec():
+    import struct
+
+    from pdfspark.codec import _media_avi_bytes
+
+    payload = bytearray(_media_avi_bytes("vid00000000"))  # dib variant
+    i = payload.find(b"strf")
+    # corrupt biCompression to an unsupported fourcc
+    struct.pack_into("<I", payload, i + 8 + 16, struct.unpack("<I", b"H264")[0])
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(bytes(payload))
