@@ -35,7 +35,12 @@ from .kernel.cos import (
     CDict, CStream, CString, Name, Ref, produce, produce_literal_string,
     serialize_objs,
 )
+from .kernel.cos import _CTOK as _CTOK_MOD
 from .kernel.encodings import WINANSI_CHAR_TO_BYTE
+
+_CTOK_EMIT_CONTENT = getattr(_CTOK_MOD, "emit_content", None)
+_CTOK_EMIT_XREF = getattr(_CTOK_MOD, "emit_xref_table", None)
+_CTOK_EMIT_XREF_ROWS = getattr(_CTOK_MOD, "emit_xref_rows", None)
 from .kernel.filters import (
     a85_encode,
     ahx_encode,
@@ -286,7 +291,53 @@ def _show_bytes_embedded(text: str, code_of: dict[str, bytes]) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+_WINANSI_TAB: Optional[bytes] = None
+
+
+def _winansi_tab() -> bytes:
+    """Codepoint→WinAnsi-byte table for the C emitter: index = ord(ch),
+    0 = unmapped (the <0x80 / 0xA0-0xFF passthrough ranges are handled
+    inline C-side, matching _winansi_encode's precedence)."""
+    global _WINANSI_TAB
+    if _WINANSI_TAB is None:
+        size = max(ord(ch) for ch in WINANSI_CHAR_TO_BYTE) + 1
+        tab = bytearray(size)
+        for ch, byte in WINANSI_CHAR_TO_BYTE.items():
+            tab[ord(ch)] = byte
+        _WINANSI_TAB = bytes(tab)
+    return _WINANSI_TAB
+
+
 def _content_for(
+    spans: Sequence[tuple],
+    image_names: dict[str, str],
+    cjk: bool = False,
+    embedded_code_of: Optional[dict[str, bytes]] = None,
+    form_sink=None,
+    type3: bool = False,
+) -> tuple[bytes, bool]:
+    if (
+        _CTOK_EMIT_CONTENT is not None
+        and not cjk
+        and embedded_code_of is None
+        and form_sink is None
+        and not type3
+    ):
+        # C fast path (structural corpus): byte-parity with the loop
+        # below is fuzz-pinned; None = punt (e.g. lone surrogates)
+        res = _CTOK_EMIT_CONTENT(
+            spans if isinstance(spans, list) else list(spans),
+            image_names, _winansi_tab(),
+        )
+        if res is not None:
+            return res
+    return _content_for_py(
+        spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
+        form_sink=form_sink, type3=type3,
+    )
+
+
+def _content_for_py(
     spans: Sequence[tuple],
     image_names: dict[str, str],
     cjk: bool = False,
@@ -400,6 +451,10 @@ _FILTER_ENCODERS = {
 }
 
 
+_N_FILTER_EC = Name("Filter")
+_N_LENGTH_EC = Name("Length")
+
+
 def _encode_content(body: bytes, filters: Sequence[str]) -> CStream:
     """Apply encoders in order; /Filter array lists DECODE order =
     reverse of encode order (StreamDecoder.java:180-204 chain)."""
@@ -410,10 +465,10 @@ def _encode_content(body: bytes, filters: Sequence[str]) -> CStream:
         names.insert(0, name)
     d = CDict()
     if len(names) == 1:
-        d[Name("Filter")] = names[0]
+        d[_N_FILTER_EC] = names[0]
     elif names:
-        d[Name("Filter")] = list(names)
-    d[Name("Length")] = len(body)
+        d[_N_FILTER_EC] = list(names)
+    d[_N_LENGTH_EC] = len(body)
     return CStream(d, body)
 
 
@@ -902,6 +957,81 @@ _IMG_DICT_TEMPLATE[Name("BitsPerComponent")] = 8
 _IMG_DICT_TEMPLATE[Name("Filter")] = Name("DCTDecode")
 _IMG_DICT_TEMPLATE[_N_LENGTH] = 0
 
+# hot per-document Name constants (a Name() call is a str-subclass
+# construction — hoisting kills ~40 of them per generated doc)
+_N_PARENT = Name("Parent")
+_N_KIDS = Name("Kids")
+_N_COUNT = Name("Count")
+_N_PAGES = Name("Pages")
+_N_SIZE = Name("Size")
+_N_ROOT = Name("Root")
+_N_INFO = Name("Info")
+_N_ID = Name("ID")
+_N_PREV = Name("Prev")
+_N_FILTER = Name("Filter")
+_N_FONT = Name("Font")
+_N_XOBJECT = Name("XObject")
+_N_RESOURCES = Name("Resources")
+_N_MEDIABOX = Name("MediaBox")
+
+# /F1 + FontDescriptor: fully constant objects at FIXED numbers (4, 5
+# by build_object_graph's reserve order) shared across all documents.
+# Constant-width metrics so the extractor can project span WIDTHS
+# (glyph-advance sum): a 1-entry /Widths window + /MissingWidth
+# covering everything else — 500/1000 em → 0.5 × size per char,
+# SQL-expressible, and only TWO numbers to tokenize per document
+# (a full 95-entry array measurably slowed structural parse).
+_FDESC_CONST = CDict()
+_FDESC_CONST[_N_TYPE] = Name("FontDescriptor")
+_FDESC_CONST[Name("FontName")] = Name("Helvetica")
+_FDESC_CONST[Name("Flags")] = 32
+_FDESC_CONST[Name("MissingWidth")] = 500
+_F1_CONST = CDict()
+_F1_CONST[_N_TYPE] = _N_FONT
+_F1_CONST[Name("Subtype")] = Name("Type1")
+_F1_CONST[Name("BaseFont")] = Name("Helvetica")
+_F1_CONST[Name("Encoding")] = Name("WinAnsiEncoding")
+_F1_CONST[Name("FirstChar")] = 32
+_F1_CONST[Name("LastChar")] = 32
+_F1_CONST[Name("Widths")] = [500]
+_F1_CONST[Name("FontDescriptor")] = Ref(5, 0)
+
+# page skeleton: Type/Contents/Parent in final insertion order (the
+# copy keeps key positions, so emitted bytes are unchanged)
+_PAGE_TEMPLATE = CDict()
+_PAGE_TEMPLATE[_N_TYPE] = _N_PAGE
+_PAGE_TEMPLATE[_N_CONTENTS] = 0
+_PAGE_TEMPLATE[_N_PARENT] = 0
+
+_CATALOG_TEMPLATE = CDict()
+_CATALOG_TEMPLATE[_N_TYPE] = Name("Catalog")
+_CATALOG_TEMPLATE[_N_PAGES] = Ref(2, 0)  # pages root is always obj 2
+
+_REF_PAGES_ROOT = Ref(2, 0)
+_REF_F1 = Ref(4, 0)
+_N_F1 = Name("F1")
+
+_N_I_TITLE = Name("Title")
+_N_I_AUTHOR = Name("Author")
+_N_I_SUBJECT = Name("Subject")
+_N_I_KEYWORDS = Name("Keywords")
+_N_I_CREATOR = Name("Creator")
+_N_I_PRODUCER = Name("Producer")
+_N_I_CREATIONDATE = Name("CreationDate")
+_N_I_TRAPPED = Name("Trapped")
+_N_FALSE = Name("False")
+_CS_AUTHOR = CString(b"pdfspark-gen")
+_CS_SUBJECT = CString(b"synthetic")
+_CS_CREATOR = CString(b"pdfspark")
+_CS_PRODUCER = CString(b"pdfspark codec")
+_N_XREF = Name("XRef")
+_N_W = Name("W")
+_N_INDEX = Name("Index")
+_N_FLATE = Name("FlateDecode")
+_N_OBJSTM = Name("ObjStm")
+_N_N = Name("N")
+_N_FIRST = Name("First")
+
 
 def build_object_graph(
     doc_id: str,
@@ -921,10 +1051,13 @@ def build_object_graph(
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
-    catalog_num = g.reserve()
-    pages_root_num = g.reserve()
-    info_num = g.reserve()
-    f1_num = g.reserve()
+    catalog_num = g.reserve()       # 1
+    pages_root_num = g.reserve()    # 2
+    info_num = g.reserve()          # 3
+    f1_num = g.reserve()            # 4
+    fdesc_num = g.reserve()         # 5 — fixed so /F1 + its descriptor
+    # are fully constant objects, shared across documents (read-only:
+    # the serializer never mutates, and _crypt_transform deep-copies)
 
     embedded_code_of: Optional[dict[str, bytes]] = None
     embedded_cmap_bytes: Optional[bytes] = None
@@ -980,28 +1113,10 @@ def build_object_graph(
             image_objs[mref] = g.add(CStream(d, stub))
             image_names[mref] = f"Im{len(image_names)}"
 
-    # fonts
-    f1 = CDict()
-    f1[Name("Type")] = Name("Font")
-    f1[Name("Subtype")] = Name("Type1")
-    f1[Name("BaseFont")] = Name("Helvetica")
-    f1[Name("Encoding")] = Name("WinAnsiEncoding")
-    # constant-width metrics so the extractor can project span WIDTHS
-    # (glyph-advance sum): a 1-entry /Widths window + /MissingWidth
-    # covering everything else — 500/1000 em → 0.5 × size per char,
-    # SQL-expressible, and only TWO numbers to tokenize per document
-    # (a full 95-entry array measurably slowed structural parse)
-    fdesc = CDict()
-    fdesc[Name("Type")] = Name("FontDescriptor")
-    fdesc[Name("FontName")] = Name("Helvetica")
-    fdesc[Name("Flags")] = 32
-    fdesc[Name("MissingWidth")] = 500
-    fdesc_num = g.add(fdesc)
-    f1[Name("FirstChar")] = 32
-    f1[Name("LastChar")] = 32
-    f1[Name("Widths")] = [500]
-    f1[Name("FontDescriptor")] = Ref(fdesc_num, 0)
-    g.objs[f1_num] = f1
+    # fonts: /F1 + descriptor are the module-level constants (their
+    # object numbers are fixed by the reserve order above)
+    g.objs[f1_num] = _F1_CONST
+    g.objs[fdesc_num] = _FDESC_CONST
     if needs_cid:
         cmap = _encode_content(_TOUNICODE_IDENTITY, ["flate"])
         g.objs[f2_cmap_num] = cmap
@@ -1072,7 +1187,7 @@ def build_object_graph(
         f3_num = g.add(f3)
 
     font_res = CDict()
-    font_res[Name("F1")] = Ref(f1_num, 0)
+    font_res[_N_F1] = _REF_F1
     if needs_cid:
         font_res[Name("F2")] = Ref(f2_num, 0)
     if f3_num is not None:
@@ -1123,9 +1238,9 @@ def build_object_graph(
     for mref, onum in image_objs.items():
         xobj_res[Name(image_names[mref])] = Ref(onum, 0)
     resources = CDict()
-    resources[Name("Font")] = font_res
+    resources[_N_FONT] = font_res
     if image_objs:
-        resources[Name("XObject")] = xobj_res
+        resources[_N_XOBJECT] = xobj_res
     res_num = g.add(resources)
 
     # Form-XObject sink (variant `forms`): every even text span's
@@ -1173,11 +1288,11 @@ def build_object_graph(
         )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
-        page = CDict()
-        page[_N_TYPE] = _N_PAGE
         # MediaBox/Resources are INHERITED from the pages root (ISO
         # 32000-1 §7.7.3.4) — exercises the M5 inheritance walk the
-        # reference skips (PDFPage.java:84-86)
+        # reference skips (PDFPage.java:84-86); /Parent is filled in
+        # after the tree is built (the template pins its key position)
+        page = CDict(_PAGE_TEMPLATE)
         page[_N_CONTENTS] = Ref(cnum, 0)
         if navigation:
             # one /Link annotation with a /URI action per page
@@ -1209,10 +1324,10 @@ def build_object_graph(
             node_num = g.reserve()
             refs, cnt = build_tree(group, node_num)
             node = CDict()
-            node[Name("Type")] = Name("Pages")
-            node[Name("Parent")] = Ref(parent, 0)
-            node[Name("Kids")] = refs
-            node[Name("Count")] = cnt
+            node[_N_TYPE] = _N_PAGES
+            node[_N_PARENT] = Ref(parent, 0)
+            node[_N_KIDS] = refs
+            node[_N_COUNT] = cnt
             g.objs[node_num] = node
             kid_refs.append(Ref(node_num, 0))
             total += cnt
@@ -1220,18 +1335,17 @@ def build_object_graph(
 
     kid_refs, count = build_tree(page_nums, pages_root_num)
     pages_root = CDict()
-    pages_root[Name("Type")] = Name("Pages")
-    pages_root[Name("Kids")] = kid_refs
-    pages_root[Name("Count")] = count
-    pages_root[Name("MediaBox")] = [0, 0, 612, 792]
-    pages_root[Name("Resources")] = Ref(res_num, 0)
+    pages_root[_N_TYPE] = _N_PAGES
+    pages_root[_N_KIDS] = kid_refs
+    pages_root[_N_COUNT] = count
+    pages_root[_N_MEDIABOX] = [0, 0, 612, 792]
+    pages_root[_N_RESOURCES] = Ref(res_num, 0)
     g.objs[pages_root_num] = pages_root
+    root_ref = _REF_PAGES_ROOT
     for pn in page_nums:
-        g.objs[pn][Name("Parent")] = Ref(pages_root_num, 0)
+        g.objs[pn][_N_PARENT] = root_ref
 
-    catalog = CDict()
-    catalog[Name("Type")] = Name("Catalog")
-    catalog[Name("Pages")] = Ref(pages_root_num, 0)
+    catalog = CDict(_CATALOG_TEMPLATE)
     if navigation:
         # /Outlines tree (ISO 32000-1 §12.3.3): 1-3 top-level items,
         # every EVEN item carries two children — deterministic in
@@ -1389,21 +1503,35 @@ def build_object_graph(
     g.objs[catalog_num] = catalog
 
     info = CDict()
-    base_info = {
-        "Title": f"doc {doc_id}",
-        "Author": "pdfspark-gen",
-        "Subject": "synthetic",
-        "Keywords": f"spans={len(spans)}",
-        "Creator": "pdfspark",
-        "Producer": "pdfspark codec",
-        "CreationDate": _det_date(doc_id),
-    }
-    base_info.update(info_fields or {})
-    for k, v in base_info.items():
-        if v is None:
-            continue
-        info[Name(k)] = v if isinstance(v, (Name, int, float)) else CString.from_text(str(v))
-    info[Name("Trapped")] = Name("False")
+    if info_fields is None:
+        # hot path: the default info projection with hoisted keys and
+        # constant CStrings shared across documents
+        info[_N_I_TITLE] = CString.from_text(f"doc {doc_id}")
+        info[_N_I_AUTHOR] = _CS_AUTHOR
+        info[_N_I_SUBJECT] = _CS_SUBJECT
+        info[_N_I_KEYWORDS] = CString.from_text(f"spans={len(spans)}")
+        info[_N_I_CREATOR] = _CS_CREATOR
+        info[_N_I_PRODUCER] = _CS_PRODUCER
+        info[_N_I_CREATIONDATE] = CString.from_text(_det_date(doc_id))
+    else:
+        base_info = {
+            "Title": f"doc {doc_id}",
+            "Author": "pdfspark-gen",
+            "Subject": "synthetic",
+            "Keywords": f"spans={len(spans)}",
+            "Creator": "pdfspark",
+            "Producer": "pdfspark codec",
+            "CreationDate": _det_date(doc_id),
+        }
+        base_info.update(info_fields)
+        for k, v in base_info.items():
+            if v is None:
+                continue
+            info[Name(k)] = (
+                v if isinstance(v, (Name, int, float))
+                else CString.from_text(str(v))
+            )
+    info[_N_I_TRAPPED] = _N_FALSE
     g.objs[info_num] = info
     return g, catalog_num, info_num
 
@@ -1423,9 +1551,20 @@ def _det_date(doc_id: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_FILE_ID_MEMO: tuple = ("", None)
+
+
 def _file_id(doc_id: str) -> list:
+    # one-slot memo: generation is doc-at-a-time and every layout asks
+    # for the ID 1-3 times (classic trailer, xref stream, update
+    # trailer) — the CStrings are immutable, sharing is safe
+    global _FILE_ID_MEMO
+    if _FILE_ID_MEMO[0] == doc_id:
+        return _FILE_ID_MEMO[1]
     h = hashlib.md5(doc_id.encode()).digest()[:8]
-    return [CString(h, force_hex=True), CString(h, force_hex=True)]
+    fid = [CString(h, force_hex=True), CString(h, force_hex=True)]
+    _FILE_ID_MEMO = (doc_id, fid)
+    return fid
 
 
 def _crypt_transform(v, num: int, gen: int, handler):
@@ -1609,16 +1748,22 @@ def _assemble_classic(
     row_eol = b"\r\n" if eol == b"\r\n" else b" \n"
     out += b"xref" + eol
     out += b"0 1" + eol + b"0000000000 65535 f" + row_eol
-    for n in nums:
-        if n in hybrid_omit:
-            continue
-        out += f"{n} 1".encode() + eol
-        out += f"{offsets[n]:010d} 00000 n".encode() + row_eol
+    if _CTOK_EMIT_XREF is not None:
+        out += _CTOK_EMIT_XREF(
+            [(n, offsets[n], 0) for n in nums if n not in hybrid_omit],
+            eol, row_eol,
+        )
+    else:
+        for n in nums:
+            if n in hybrid_omit:
+                continue
+            out += f"{n} 1".encode() + eol
+            out += f"{offsets[n]:010d} 00000 n".encode() + row_eol
     trailer = CDict()
-    trailer[Name("Size")] = size
-    trailer[Name("Root")] = Ref(catalog_num, 0)
-    trailer[Name("Info")] = Ref(info_num, 0)
-    trailer[Name("ID")] = _file_id(doc_id)
+    trailer[_N_SIZE] = size
+    trailer[_N_ROOT] = Ref(catalog_num, 0)
+    trailer[_N_INFO] = Ref(info_num, 0)
+    trailer[_N_ID] = _file_id(doc_id)
     if handler is not None:
         trailer[Name("Encrypt")] = Ref(g.encrypt_num, 0)
     if hybrid and hybrid_stm_offset is not None:
@@ -1651,42 +1796,50 @@ def _xref_stream_bytes(
         entries[n] = (2, cont, idx)
     entries[obj_num] = (1, self_offset if self_offset is not None else 0, 0)
     max_num = max(max(entries), (size or 0) - 1)
-    rows = bytearray()
-    index: list[int] = []
     nums = sorted(entries)
-    run_start = None
-    prev = None
-    for n in nums:
-        if run_start is None:
-            run_start, prev = n, n
-        elif n == prev + 1:
-            prev = n
-        else:
-            index += [run_start, prev - run_start + 1]
-            run_start, prev = n, n
-    index += [run_start, prev - run_start + 1]
-    for n in nums:
-        t, a, b = entries[n]
-        rows += t.to_bytes(w1, "big") + a.to_bytes(w2, "big") + b.to_bytes(w3, "big")
+    if _CTOK_EMIT_XREF_ROWS is not None:
+        rows, index = _CTOK_EMIT_XREF_ROWS(
+            [(n,) + entries[n] for n in nums]
+        )
+    else:
+        rows = bytearray()
+        index = []
+        run_start = None
+        prev = None
+        for n in nums:
+            if run_start is None:
+                run_start, prev = n, n
+            elif n == prev + 1:
+                prev = n
+            else:
+                index += [run_start, prev - run_start + 1]
+                run_start, prev = n, n
+        index += [run_start, prev - run_start + 1]
+        for n in nums:
+            t, a, b = entries[n]
+            rows += (
+                t.to_bytes(w1, "big") + a.to_bytes(w2, "big")
+                + b.to_bytes(w3, "big")
+            )
     row_len = w1 + w2 + w3
     pred = predictor_encode_up(bytes(rows), row_len)
     body = flate_encode(pred)
     d = CDict()
-    d[Name("Type")] = Name("XRef")
-    d[Name("Size")] = max_num + 1
-    d[Name("W")] = [w1, w2, w3]
-    d[Name("Index")] = index
-    d[Name("Filter")] = Name("FlateDecode")
+    d[_N_TYPE] = _N_XREF
+    d[_N_SIZE] = max_num + 1
+    d[_N_W] = [w1, w2, w3]
+    d[_N_INDEX] = index
+    d[_N_FILTER] = _N_FLATE
     parms = CDict()
     parms[Name("Predictor")] = 12
     parms[Name("Columns")] = row_len
     d[Name("DecodeParms")] = parms
-    d[Name("Root")] = Ref(catalog_num, 0)
-    d[Name("Info")] = Ref(info_num, 0)
-    d[Name("ID")] = _file_id(doc_id)
+    d[_N_ROOT] = Ref(catalog_num, 0)
+    d[_N_INFO] = Ref(info_num, 0)
+    d[_N_ID] = _file_id(doc_id)
     if encrypt_num is not None:
         d[Name("Encrypt")] = Ref(encrypt_num, 0)
-    d[Name("Length")] = len(body)
+    d[_N_LENGTH] = len(body)
     out = bytearray()
     out += str(obj_num).encode() + b" 0 obj\n"
     out += produce(CStream(d, body))
@@ -1754,11 +1907,11 @@ def _assemble_objstream(
             # the parser decrypts first, then FlateDecodes (§7.6.2)
             comp = handler.encrypt(comp, cont_num, 0, False)
         d = CDict()
-        d[Name("Type")] = Name("ObjStm")
-        d[Name("N")] = len(members)
-        d[Name("First")] = first
-        d[Name("Filter")] = Name("FlateDecode")
-        d[Name("Length")] = len(comp)
+        d[_N_TYPE] = _N_OBJSTM
+        d[_N_N] = len(members)
+        d[_N_FIRST] = first
+        d[_N_FILTER] = _N_FLATE
+        d[_N_LENGTH] = len(comp)
         offsets[cont_num] = len(out)
         out += str(cont_num).encode() + b" 0 obj\n" + produce(CStream(d, comp)) + b"\nendobj\n"
         for idx, n in enumerate(members):
@@ -1781,6 +1934,26 @@ def _assemble_objstream(
     return bytes(out)
 
 
+_DECOY_CACHE: dict = {}
+
+
+def _decoy_stream() -> "CStream":
+    # constant content → flate once per process, not once per doc
+    if "a" not in _DECOY_CACHE:
+        _DECOY_CACHE["a"] = _encode_content(
+            b"BT /F1 12 Tf 10 700 Td (DECOY SUPERSEDED) Tj ET", ["flate"]
+        )
+    return _DECOY_CACHE["a"]
+
+
+def _decoy_b_stream() -> "CStream":
+    if "b" not in _DECOY_CACHE:
+        _DECOY_CACHE["b"] = _encode_content(
+            b"BT /F1 12 Tf 10 700 Td (GEN DECOY MUST LOSE) Tj ET", ["flate"]
+        )
+    return _DECOY_CACHE["b"]
+
+
 def _assemble_incremental(
     g: _Graph, catalog_num: int, info_num: int, doc_id: str, spans: Sequence[tuple]
 ) -> bytes:
@@ -1795,7 +1968,7 @@ def _assemble_incremental(
         return _assemble_classic(g, catalog_num, info_num, doc_id)
     a_num = content_nums[0]
     correct_a = g.objs[a_num]
-    decoy = _encode_content(b"BT /F1 12 Tf 10 700 Td (DECOY SUPERSEDED) Tj ET", ["flate"])
+    decoy = _decoy_stream()
     g.objs[a_num] = decoy
 
     b_num = content_nums[1] if len(content_nums) > 1 else None
@@ -1814,13 +1987,18 @@ def _assemble_incremental(
     base_xref_off = len(out)
     size = max(g.objs) + 1
     out += b"xref\n0 1\n0000000000 65535 f \n"
-    for n in sorted(g.objs):
-        out += f"{n} 1\n{offsets[n]:010d} {gens[n]:05d} n \n".encode()
+    if _CTOK_EMIT_XREF is not None:
+        out += _CTOK_EMIT_XREF(
+            [(n, offsets[n], gens[n]) for n in sorted(g.objs)], b"\n", b" \n"
+        )
+    else:
+        for n in sorted(g.objs):
+            out += f"{n} 1\n{offsets[n]:010d} {gens[n]:05d} n \n".encode()
     trailer = CDict()
-    trailer[Name("Size")] = size
-    trailer[Name("Root")] = Ref(catalog_num, 0)
-    trailer[Name("Info")] = Ref(info_num, 0)
-    trailer[Name("ID")] = _file_id(doc_id)
+    trailer[_N_SIZE] = size
+    trailer[_N_ROOT] = Ref(catalog_num, 0)
+    trailer[_N_INFO] = Ref(info_num, 0)
+    trailer[_N_ID] = _file_id(doc_id)
     out += b"trailer\n" + produce(trailer) + b"\nstartxref\n"
     out += str(base_xref_off).encode() + b"\n%%EOF\n"
 
@@ -1829,9 +2007,7 @@ def _assemble_incremental(
     upd_offsets[a_num] = len(out)
     out += f"{a_num} 0 obj\n".encode() + produce(correct_a) + b"\nendobj\n"
     if b_num is not None:
-        decoy_b = _encode_content(
-            b"BT /F1 12 Tf 10 700 Td (GEN DECOY MUST LOSE) Tj ET", ["flate"]
-        )
+        decoy_b = _decoy_b_stream()
         upd_offsets[b_num] = len(out)
         out += f"{b_num} 0 obj\n".encode() + produce(decoy_b) + b"\nendobj\n"
     upd_xref_off = len(out)
@@ -1839,11 +2015,11 @@ def _assemble_incremental(
     for n in sorted(upd_offsets):
         out += f"{n} 1\n{upd_offsets[n]:010d} 00000 n \n".encode()
     t2 = CDict()
-    t2[Name("Size")] = size
-    t2[Name("Root")] = Ref(catalog_num, 0)
-    t2[Name("Info")] = Ref(info_num, 0)
-    t2[Name("Prev")] = base_xref_off
-    t2[Name("ID")] = _file_id(doc_id)
+    t2[_N_SIZE] = size
+    t2[_N_ROOT] = Ref(catalog_num, 0)
+    t2[_N_INFO] = Ref(info_num, 0)
+    t2[_N_PREV] = base_xref_off
+    t2[_N_ID] = _file_id(doc_id)
     out += b"trailer\n" + produce(t2) + b"\nstartxref\n"
     out += str(upd_xref_off).encode() + b"\n%%EOF\n"
     return bytes(out)

@@ -2859,7 +2859,397 @@ ctok_configure(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* ---- generation-side content emitter (codec._content_for twin) -----
+ * The structural fast path only (no cjk / embedded CMap / forms /
+ * Type3): per span, WinAnsi-encode + literal-escape (or UTF-16BE hex
+ * for non-encodable text → the CID font), pick the show-operator form
+ * by ordinal, emit the whole page's blocks into one buffer.  Returns
+ * None when a code point can't be handled bit-identically (lone
+ * surrogates) so the Python twin takes over — byte parity is pinned
+ * by tests/test_ctok_parity.py fuzz. */
+
+/* encode str -> winansi bytes into out (caller-sized len(text));
+ * returns 1 ok, 0 not-encodable, -1 lone surrogate (fall back) */
+static int
+winansi_enc_c(PyObject *txt, const unsigned char *wtab, Py_ssize_t wlen,
+              unsigned char *out)
+{
+    Py_ssize_t n = PyUnicode_GET_LENGTH(txt), i;
+    int kind = PyUnicode_KIND(txt);
+    const void *data = PyUnicode_DATA(txt);
+    for (i = 0; i < n; i++) {
+        Py_UCS4 o = PyUnicode_READ(kind, data, i);
+        if (o < 0x80 || (o >= 0xA0 && o <= 0xFF))
+            out[i] = (unsigned char)o;
+        else if (o >= 0xD800 && o <= 0xDFFF)
+            return -1;
+        else if (o < (Py_UCS4)wlen && wtab[o])
+            out[i] = wtab[o];
+        else
+            return 0;
+    }
+    return 1;
+}
+
+/* emit "(...)" with \( \) \\ \n \r escapes (produce_literal_string) */
+static int
+emit_literal_c(pbuf_t *b, const unsigned char *d, Py_ssize_t n)
+{
+    Py_ssize_t i;
+    if (pbuf_reserve(b, 2 * n + 2) < 0)
+        return -1;
+    b->buf[b->len++] = '(';
+    for (i = 0; i < n; i++) {
+        unsigned char c = d[i];
+        if (c == 0x28 || c == 0x29 || c == 0x5C) {
+            b->buf[b->len++] = '\\';
+            b->buf[b->len++] = c;
+        } else if (c == 0x0A) {
+            b->buf[b->len++] = '\\';
+            b->buf[b->len++] = 'n';
+        } else if (c == 0x0D) {
+            b->buf[b->len++] = '\\';
+            b->buf[b->len++] = 'r';
+        } else
+            b->buf[b->len++] = c;
+    }
+    b->buf[b->len++] = ')';
+    return 0;
+}
+
+/* emit "<utf16behex>" for the CID font; -1 on surrogate (fallback) */
+static int
+emit_cidhex_c(pbuf_t *b, PyObject *txt)
+{
+    static const char hx[] = "0123456789abcdef";
+    Py_ssize_t n = PyUnicode_GET_LENGTH(txt), i;
+    int kind = PyUnicode_KIND(txt);
+    const void *data = PyUnicode_DATA(txt);
+    if (pbuf_reserve(b, 8 * n + 2) < 0)
+        return -2;
+    b->buf[b->len++] = '<';
+    for (i = 0; i < n; i++) {
+        Py_UCS4 o = PyUnicode_READ(kind, data, i);
+        unsigned int u[2];
+        int k, cnt;
+        if (o >= 0xD800 && o <= 0xDFFF)
+            return -1;
+        if (o >= 0x10000) {
+            o -= 0x10000;
+            u[0] = 0xD800 + (o >> 10);
+            u[1] = 0xDC00 + (o & 0x3FF);
+            cnt = 2;
+        } else {
+            u[0] = o;
+            cnt = 1;
+        }
+        for (k = 0; k < cnt; k++) {
+            b->buf[b->len++] = hx[(u[k] >> 12) & 15];
+            b->buf[b->len++] = hx[(u[k] >> 8) & 15];
+            b->buf[b->len++] = hx[(u[k] >> 4) & 15];
+            b->buf[b->len++] = hx[u[k] & 15];
+        }
+    }
+    b->buf[b->len++] = '>';
+    return 0;
+}
+
+static int
+pbuf_int_c(pbuf_t *b, long v)
+{
+    char tmp[24];
+    int n = snprintf(tmp, sizeof(tmp), "%ld", v);
+    return pbuf_put(b, tmp, n);
+}
+
+static PyObject *
+ctok_emit_content(PyObject *self, PyObject *args)
+{
+    PyObject *spans, *image_names, *wtab_obj;
+    const unsigned char *wtab;
+    Py_ssize_t wlen, nspans, idx;
+    pbuf_t b = {NULL, 0, 0};
+    unsigned char stackbuf[256];
+    unsigned char *enc = stackbuf;
+    Py_ssize_t enc_cap = (Py_ssize_t)sizeof(stackbuf);
+    int used_cid = 0;
+    long y = 720;
+    PyObject *out, *res;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!O!S", &PyList_Type, &spans,
+                          &PyDict_Type, &image_names, &wtab_obj))
+        return NULL;
+    wtab = (const unsigned char *)PyBytes_AS_STRING(wtab_obj);
+    wlen = PyBytes_GET_SIZE(wtab_obj);
+    nspans = PyList_GET_SIZE(spans);
+    for (idx = 0; idx < nspans; idx++) {
+        PyObject *sp = PyList_GET_ITEM(spans, idx);
+        PyObject *kind, *text, *mref;
+        if (!PyTuple_Check(sp) || PyTuple_GET_SIZE(sp) < 3)
+            goto fallback;
+        kind = PyTuple_GET_ITEM(sp, 0);
+        text = PyTuple_GET_ITEM(sp, 1);
+        mref = PyTuple_GET_ITEM(sp, 2);
+        if (!PyUnicode_Check(kind))
+            goto fallback;
+        if (idx && pbuf_put(&b, "\n", 1) < 0)
+            goto err;
+        if (PyUnicode_CompareWithASCIIString(kind, "media") == 0) {
+            PyObject *rname = PyDict_GetItem(image_names, mref);
+            Py_ssize_t rn;
+            const char *rs;
+            if (rname == NULL || !PyUnicode_Check(rname))
+                goto fallback;
+            rs = PyUnicode_AsUTF8AndSize(rname, &rn);
+            if (rs == NULL)
+                goto err;
+            if (pbuf_put(&b, "q 100 0 0 50 10 ", 16) < 0 ||
+                pbuf_int_c(&b, y) < 0 || pbuf_put(&b, " cm /", 5) < 0 ||
+                pbuf_put(&b, rs, rn) < 0 || pbuf_put(&b, " Do Q", 5) < 0)
+                goto err;
+            y -= 60;
+            continue;
+        }
+        {
+            /* text span: None → "" */
+            PyObject *t = (text == Py_None) ? NULL : text;
+            Py_ssize_t tn = t ? PyUnicode_GET_LENGTH(t) : 0;
+            int encodable, form = (int)(idx % 4);
+            const char *font;
+            if (t != NULL && !PyUnicode_Check(t))
+                goto fallback;
+            if (tn > enc_cap) {
+                unsigned char *ne = (unsigned char *)PyMem_Malloc(tn);
+                if (ne == NULL) {
+                    PyErr_NoMemory();
+                    goto err;
+                }
+                if (enc != stackbuf)
+                    PyMem_Free(enc);
+                enc = ne;
+                enc_cap = tn;
+            }
+            encodable = tn ? winansi_enc_c(t, wtab, wlen, enc) : 1;
+            if (encodable < 0)
+                goto fallback; /* lone surrogate: Python raises */
+            if (!encodable)
+                used_cid = 1;
+            font = encodable ? "/F1" : "/F2";
+            if (form == 0) {
+                if (pbuf_put(&b, "q 1 0 0 1 0 0 cm BT ", 20) < 0 ||
+                    pbuf_put(&b, font, 3) < 0 ||
+                    pbuf_put(&b, " 12 Tf 0.25 Tc 0.5 Tw 100 Tz 10 ", 32) < 0 ||
+                    pbuf_int_c(&b, y) < 0 || pbuf_put(&b, " Td ", 4) < 0)
+                    goto err;
+                if (encodable ? emit_literal_c(&b, enc, tn)
+                              : emit_cidhex_c(&b, t) != 0)
+                    goto err_or_fb;
+                if (pbuf_put(&b, " Tj ET Q", 8) < 0)
+                    goto err;
+            } else if (form == 1) {
+                if (pbuf_put(&b, "BT ", 3) < 0 ||
+                    pbuf_put(&b, font, 3) < 0 ||
+                    pbuf_put(&b, " 12 Tf 0 Tc 0 Tw 50 Tz 10 ", 26) < 0 ||
+                    pbuf_int_c(&b, y) < 0 || pbuf_put(&b, " Td [", 5) < 0)
+                    goto err;
+                if (encodable && tn > 1) {
+                    Py_ssize_t mid = tn / 2;
+                    if (emit_literal_c(&b, enc, mid) < 0 ||
+                        pbuf_put(&b, " -250 ", 6) < 0 ||
+                        emit_literal_c(&b, enc + mid, tn - mid) < 0)
+                        goto err;
+                } else if (encodable) {
+                    if (emit_literal_c(&b, enc, tn) < 0)
+                        goto err;
+                } else {
+                    if (emit_cidhex_c(&b, t) != 0)
+                        goto err_or_fb;
+                }
+                if (pbuf_put(&b, "] TJ ET", 7) < 0)
+                    goto err;
+            } else if (form == 2) {
+                if (pbuf_put(&b, "BT ", 3) < 0 ||
+                    pbuf_put(&b, font, 3) < 0 ||
+                    pbuf_put(&b, " 12 Tf 0.125 Tc 0 Tw 100 Tz 14 TL 10 ",
+                             37) < 0 ||
+                    pbuf_int_c(&b, y) < 0 || pbuf_put(&b, " Td ", 4) < 0)
+                    goto err;
+                if (encodable ? emit_literal_c(&b, enc, tn)
+                              : emit_cidhex_c(&b, t) != 0)
+                    goto err_or_fb;
+                if (pbuf_put(&b, " ' ET", 5) < 0)
+                    goto err;
+            } else {
+                if (pbuf_put(&b, "BT ", 3) < 0 ||
+                    pbuf_put(&b, font, 3) < 0 ||
+                    pbuf_put(&b, " 12 Tf 50 Tz 14 TL 1 0 0 1 10 ", 30) < 0 ||
+                    pbuf_int_c(&b, y) < 0 || pbuf_put(&b, " Tm 2 1 ", 8) < 0)
+                    goto err;
+                if (encodable ? emit_literal_c(&b, enc, tn)
+                              : emit_cidhex_c(&b, t) != 0)
+                    goto err_or_fb;
+                if (pbuf_put(&b, " \" ET", 5) < 0)
+                    goto err;
+            }
+            y -= 16;
+        }
+    }
+    out = PyBytes_FromStringAndSize((const char *)b.buf, b.len);
+    PyMem_Free(b.buf);
+    if (enc != stackbuf)
+        PyMem_Free(enc);
+    if (out == NULL)
+        return NULL;
+    res = Py_BuildValue("(NO)", out, used_cid ? Py_True : Py_False);
+    return res;
+err_or_fb:
+    if (PyErr_Occurred())
+        goto err;
+    goto fallback; /* emit_cidhex_c saw a surrogate mid-emission */
+fallback:
+    PyMem_Free(b.buf);
+    if (enc != stackbuf)
+        PyMem_Free(enc);
+    Py_RETURN_NONE;
+err:
+    PyMem_Free(b.buf);
+    if (enc != stackbuf)
+        PyMem_Free(enc);
+    return NULL;
+}
+
+/* ---- classic xref-table emitter (generation side) ------------------
+ * pairs of (num, offset, gen) → "N 1"+eol+"OOOOOOOOOO GGGGG n"+row_eol
+ * per entry — the f-string loop in _assemble_classic/_incremental. */
+static PyObject *
+ctok_emit_xref_table(PyObject *self, PyObject *args)
+{
+    PyObject *pairs;
+    const char *eol, *row_eol;
+    Py_ssize_t eol_n, row_n, n, i;
+    pbuf_t b = {NULL, 0, 0};
+    PyObject *out;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!y#y#", &PyList_Type, &pairs, &eol,
+                          &eol_n, &row_eol, &row_n))
+        return NULL;
+    n = PyList_GET_SIZE(pairs);
+    for (i = 0; i < n; i++) {
+        PyObject *p = PyList_GET_ITEM(pairs, i);
+        long num, off, gen;
+        char tmp[48];
+        int tn;
+        if (!PyTuple_Check(p) || PyTuple_GET_SIZE(p) != 3) {
+            PyErr_SetString(PyExc_TypeError,
+                            "emit_xref_table wants (num, off, gen) tuples");
+            goto err;
+        }
+        num = PyLong_AsLong(PyTuple_GET_ITEM(p, 0));
+        off = PyLong_AsLong(PyTuple_GET_ITEM(p, 1));
+        gen = PyLong_AsLong(PyTuple_GET_ITEM(p, 2));
+        if (PyErr_Occurred())
+            goto err;
+        tn = snprintf(tmp, sizeof(tmp), "%ld 1", num);
+        if (pbuf_put(&b, tmp, tn) < 0 || pbuf_put(&b, eol, eol_n) < 0)
+            goto err;
+        tn = snprintf(tmp, sizeof(tmp), "%010ld %05ld n", off, gen);
+        if (pbuf_put(&b, tmp, tn) < 0 || pbuf_put(&b, row_eol, row_n) < 0)
+            goto err;
+    }
+    out = PyBytes_FromStringAndSize((const char *)b.buf, b.len);
+    PyMem_Free(b.buf);
+    return out;
+err:
+    PyMem_Free(b.buf);
+    return NULL;
+}
+
+/* ---- xref-STREAM row packer (generation side) ----------------------
+ * entries: sorted list of (num, type, a, b) → (rows_bytes, index_list)
+ * rows are the /W [1 4 2] binary layout; index is the run-length
+ * [start, count, ...] subsection list (_xref_stream_bytes twin). */
+static PyObject *
+ctok_emit_xref_rows(PyObject *self, PyObject *args)
+{
+    PyObject *entries, *rows = NULL, *index = NULL;
+    Py_ssize_t n, i;
+    unsigned char *p;
+    long run_start = -1, prev = -1;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &entries))
+        return NULL;
+    n = PyList_GET_SIZE(entries);
+    rows = PyBytes_FromStringAndSize(NULL, n * 7);
+    index = PyList_New(0);
+    if (rows == NULL || index == NULL)
+        goto err;
+    p = (unsigned char *)PyBytes_AS_STRING(rows);
+    for (i = 0; i < n; i++) {
+        PyObject *e = PyList_GET_ITEM(entries, i);
+        long num, t, a, b2;
+        if (!PyTuple_Check(e) || PyTuple_GET_SIZE(e) != 4) {
+            PyErr_SetString(PyExc_TypeError,
+                            "emit_xref_rows wants (num, type, a, b) tuples");
+            goto err;
+        }
+        num = PyLong_AsLong(PyTuple_GET_ITEM(e, 0));
+        t = PyLong_AsLong(PyTuple_GET_ITEM(e, 1));
+        a = PyLong_AsLong(PyTuple_GET_ITEM(e, 2));
+        b2 = PyLong_AsLong(PyTuple_GET_ITEM(e, 3));
+        if (PyErr_Occurred())
+            goto err;
+        *p++ = (unsigned char)t;
+        *p++ = (unsigned char)((a >> 24) & 0xFF);
+        *p++ = (unsigned char)((a >> 16) & 0xFF);
+        *p++ = (unsigned char)((a >> 8) & 0xFF);
+        *p++ = (unsigned char)(a & 0xFF);
+        *p++ = (unsigned char)((b2 >> 8) & 0xFF);
+        *p++ = (unsigned char)(b2 & 0xFF);
+        if (run_start < 0) {
+            run_start = prev = num;
+        } else if (num == prev + 1) {
+            prev = num;
+        } else {
+            PyObject *v = PyLong_FromLong(run_start);
+            PyObject *c = PyLong_FromLong(prev - run_start + 1);
+            if (v == NULL || c == NULL ||
+                PyList_Append(index, v) < 0 || PyList_Append(index, c) < 0) {
+                Py_XDECREF(v);
+                Py_XDECREF(c);
+                goto err;
+            }
+            Py_DECREF(v);
+            Py_DECREF(c);
+            run_start = prev = num;
+        }
+    }
+    if (run_start >= 0) {
+        PyObject *v = PyLong_FromLong(run_start);
+        PyObject *c = PyLong_FromLong(prev - run_start + 1);
+        if (v == NULL || c == NULL ||
+            PyList_Append(index, v) < 0 || PyList_Append(index, c) < 0) {
+            Py_XDECREF(v);
+            Py_XDECREF(c);
+            goto err;
+        }
+        Py_DECREF(v);
+        Py_DECREF(c);
+    }
+    return Py_BuildValue("(NN)", rows, index);
+err:
+    Py_XDECREF(rows);
+    Py_XDECREF(index);
+    return NULL;
+}
+
 static PyMethodDef ctok_methods[] = {
+    {"emit_xref_rows", ctok_emit_xref_rows, METH_VARARGS,
+     "emit_xref_rows([(num, type, a, b)...]) -> (rows_bytes, index_list)"},
+    {"emit_content", ctok_emit_content, METH_VARARGS,
+     "emit_content(spans, image_names, winansi_tab) -> (bytes, used_cid) "
+     "or None (fallback)"},
+    {"emit_xref_table", ctok_emit_xref_table, METH_VARARGS,
+     "emit_xref_table([(num, off, gen)...], eol, row_eol) -> bytes"},
     {"configure", ctok_configure, METH_VARARGS,
      "configure(CDict, CString, Name, Ref, CStream, COS_NULL, name_cache, "
      "name_from_run, EParseError)"},

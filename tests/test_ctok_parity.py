@@ -757,3 +757,83 @@ def test_produce_parity():
     for _ in range(800):
         deep = [deep]
     assert cos.produce(deep) == cos._produce_py_top(deep)
+
+
+def test_emit_content_parity_fuzz():
+    """r6: C content emitter (structural fast path) vs the Python
+    _content_for_py loop — byte equality over seeded random spans
+    incl. CID-routed text, WinAnsi extras, parens/escapes, media."""
+    import random
+
+    from pdfspark import codec
+
+    if codec._CTOK_EMIT_CONTENT is None:
+        pytest.skip("C emitter not available in this env")
+    random.seed(42)
+    pools = [
+        "ascii with (parens) \\ and\nnewline\rcr",
+        "簡体字テキスト",
+        "€™œŠž–—…‘’“”",
+        "mixedASCII字",
+        "a",
+    ]
+    for trial in range(1200):
+        spans = []
+        for k in range(random.randint(0, 9)):
+            if random.random() < 0.3:
+                spans.append(("media", None, f"m{trial}:{k}", k))
+            else:
+                t = "".join(
+                    random.choice(random.choice(pools))
+                    if random.random() < 0.7
+                    else chr(random.randint(32, 0x2500))
+                    for _ in range(random.randint(0, 40))
+                )
+                spans.append(("text", None if random.random() < 0.05 else t,
+                              None, k))
+        img = {m: f"Im{i}" for i, (kk, _t, m, _o) in enumerate(spans)
+               if kk == "media"}
+        assert codec._content_for(spans, img) == codec._content_for_py(
+            spans, img
+        ), (trial, spans)
+
+
+def test_emit_content_surrogate_fallback():
+    """Lone surrogates make the C emitter punt (return None) so the
+    Python twin raises the same UnicodeEncodeError either way."""
+    from pdfspark import codec
+
+    if codec._CTOK_EMIT_CONTENT is None:
+        pytest.skip("C emitter not available in this env")
+    spans = [("text", "bad \udc80 surrogate", None, 0)]
+    assert codec._CTOK_EMIT_CONTENT(spans, {}, codec._winansi_tab()) is None
+
+
+def test_generation_payload_parity_c_vs_python():
+    """Whole-payload byte parity: every structural variant built with
+    all r6 C emitters enabled vs all disabled."""
+    import hashlib
+
+    from pdfspark import codec
+    from pdfspark.codec import build_pdf, synth_spans_py, variant_for
+
+    if codec._CTOK_EMIT_CONTENT is None:
+        pytest.skip("C emitter not available in this env")
+    for i in range(40):
+        did = f"egp{i:04d}"
+        text = hashlib.md5(did.encode()).hexdigest() * ((i % 9) + 1)
+        spans = synth_spans_py(did, text)
+        for mode in ("mixed", "filters_rotate"):
+            v = variant_for(i, mode)
+            p1 = build_pdf(did, spans, v)
+            saved = (codec._CTOK_EMIT_CONTENT, codec._CTOK_EMIT_XREF,
+                     codec._CTOK_EMIT_XREF_ROWS)
+            codec._CTOK_EMIT_CONTENT = None
+            codec._CTOK_EMIT_XREF = None
+            codec._CTOK_EMIT_XREF_ROWS = None
+            try:
+                p2 = build_pdf(did, spans, v)
+            finally:
+                (codec._CTOK_EMIT_CONTENT, codec._CTOK_EMIT_XREF,
+                 codec._CTOK_EMIT_XREF_ROWS) = saved
+            assert p1 == p2, (did, v)
