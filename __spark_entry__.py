@@ -46,6 +46,17 @@ FROM c WHERE i % 3 = 2
 )
 
 
+# spans identity with the generator's a-z → U+4E00.. transliteration
+# applied (the cjk:hanzi contract); mapping mirrored from
+# codec._HANZI_TRANS 1:1 so chunk boundaries are unchanged
+_HANZI_SQL_TO = "".join(chr(0x4E00 + i) for i in range(26))
+_HANZI_ORACLE_SQL = _SPANS_ORACLE_SQL.replace(
+    "substr(text, CAST(i*80+1 AS INT), 80) AS text",
+    "translate(substr(text, CAST(i*80+1 AS INT), 80),"
+    f" 'abcdefghijklmnopqrstuvwxyz', '{_HANZI_SQL_TO}') AS text",
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full round-trip extraction (mixed structural
     variants) on sf0.001."""
@@ -300,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_encrypted": _q_roundtrip("encrypted"),
         "pdf_roundtrip_cjk": _q_roundtrip("cjk"),
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
+        "pdf_roundtrip_hanzi": _q_roundtrip("cjk:hanzi"),
+        "pdf_roundtrip_japan1": _q_roundtrip("cjk:japan1"),
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_roundtrip_type3": _q_roundtrip("type3"),
         "pdf_roundtrip_pubsec": _q_roundtrip("pubsec"),
@@ -481,6 +494,16 @@ FROM k
         # parsed from the file itself; decode must be lossless (ASCII
         # corpus rides the 1-byte space; multi-byte pins in test_cjk.py)
         "pdf_roundtrip_cjk_embedded": _SPANS_ORACLE_SQL,
+        # REAL-CJK extraction (r6): the generator transliterates a-z →
+        # U+4E00.. and shows the hanzi via GBK-EUC-H with NO ToUnicode;
+        # the oracle applies the same 1:1 translate() — extracted text
+        # must be the actual CJK, decoded via the CMap byte encoding
+        "pdf_roundtrip_hanzi": _HANZI_ORACLE_SQL,
+        # Adobe-Japan1 character-collection decode (r6): codes → CIDs
+        # 1-94 with no bf/ToUnicode — only the registered CID→Unicode
+        # collection table (kernel/cidcollections.py) recovers the
+        # text, so plain spans identity IS the check
+        "pdf_roundtrip_japan1": _SPANS_ORACLE_SQL,
         # Form XObjects: half the text spans render through /FmK Do
         # (rotating /Matrix + own-vs-inherited /Resources) — the
         # interpreter recursion must preserve the exact span sequence

@@ -125,6 +125,46 @@ def _show_bytes_cid(text: str) -> bytes:
     return b"<" + text.encode("utf-16-be").hex().encode("ascii") + b">"
 
 
+# deterministic ASCII→CJK transliteration (variant cjk:hanzi): a-z →
+# U+4E00..U+4E19, mirrored 1:1 by the oracle's translate() — the
+# real-CJK no-ToUnicode extraction contract
+_HANZI_TRANS = str.maketrans(
+    "abcdefghijklmnopqrstuvwxyz",
+    "".join(chr(0x4E00 + i) for i in range(26)),
+)
+
+# variant cjk:japan1 — embedded CMap whose codes map to Adobe-Japan1
+# CIDs (codespace <2020>-<207e>, cidrange → CIDs 1-94, NO bf sections,
+# no ToUnicode): extraction must translate CIDs through the registered
+# character collection (kernel/cidcollections.py), not chr(cid)
+_JAPAN1_CMAP = b"""%!PS-Adobe-3.0 Resource-CMap
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 7 >> def
+/CMapName /pdfspark-Japan1-H def
+/CMapType 1 def
+1 begincodespacerange
+<2020> <207e>
+endcodespacerange
+1 begincidrange
+<2020> <207e> 1
+endcidrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+
+
+def _japan1_ok(text: str) -> bool:
+    return all(0x20 <= ord(ch) <= 0x7E for ch in text)
+
+
+def _show_bytes_japan1(text: str) -> bytes:
+    out = bytearray()
+    for ch in text:
+        out.append(0x20)
+        out.append(ord(ch))
+    return b"<" + bytes(out).hex().encode("ascii") + b">"
+
+
 def _show_bytes_gbk(text: str) -> Optional[bytes]:
     """Show bytes for the /F3 GBK-EUC-H Type0 font (predefined CMap,
     NO ToUnicode — the extractor must decode via the CMap's byte
@@ -315,6 +355,7 @@ def _content_for(
     embedded_code_of: Optional[dict[str, bytes]] = None,
     form_sink=None,
     type3: bool = False,
+    japan1: bool = False,
 ) -> tuple[bytes, bool]:
     if (
         _CTOK_EMIT_CONTENT is not None
@@ -322,6 +363,7 @@ def _content_for(
         and embedded_code_of is None
         and form_sink is None
         and not type3
+        and not japan1
     ):
         # C fast path (structural corpus): byte-parity with the loop
         # below is fuzz-pinned; None = punt (e.g. lone surrogates)
@@ -333,7 +375,7 @@ def _content_for(
             return res
     return _content_for_py(
         spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
-        form_sink=form_sink, type3=type3,
+        form_sink=form_sink, type3=type3, japan1=japan1,
     )
 
 
@@ -344,6 +386,7 @@ def _content_for_py(
     embedded_code_of: Optional[dict[str, bytes]] = None,
     form_sink=None,
     type3: bool = False,
+    japan1: bool = False,
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
@@ -365,7 +408,12 @@ def _content_for_py(
             y -= 60
             continue
         simple = _show_bytes_simple(text or "")
-        if embedded_code_of is not None:
+        if japan1 and text and _japan1_ok(text):
+            # Adobe-Japan1 collection codes: every printable-ASCII
+            # span rides /F3; everything else falls to /F1//F2
+            gbk: Optional[bytes] = _show_bytes_japan1(text)
+            _emb = _show_bytes_japan1
+        elif embedded_code_of is not None:
             def _emb(t, _c=embedded_code_of):
                 return _show_bytes_embedded(t, _c)
 
@@ -1048,6 +1096,7 @@ def build_object_graph(
     navigation: bool = False,
     type3: bool = False,
     acroform: bool = False,
+    cjk_japan1: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -1169,6 +1218,32 @@ def build_object_graph(
         f3[Name("Encoding")] = Ref(cmap_num, 0)
         f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
         f3_num = g.add(f3)
+    elif cjk_japan1:
+        # Type0 + embedded CMap whose codes are Adobe-Japan1 CIDs
+        # (constant stream; /CIDSystemInfo /Ordering (Japan1), no bf
+        # sections, no ToUnicode) — extraction must consult the
+        # registered character collection (kernel/cidcollections.py)
+        cmj = _encode_content(_JAPAN1_CMAP, ["flate"])
+        cmj.dict[Name("Type")] = Name("CMap")
+        cmj.dict[Name("CMapName")] = Name("pdfspark-Japan1-H")
+        cmap_num = g.add(cmj)
+        desc3 = CDict()
+        desc3[Name("Type")] = Name("Font")
+        desc3[Name("Subtype")] = Name("CIDFontType0")
+        desc3[Name("BaseFont")] = Name("Japan1Sample")
+        csi = CDict()
+        csi[Name("Registry")] = CString(b"Adobe")
+        csi[Name("Ordering")] = CString(b"Japan1")
+        csi[Name("Supplement")] = 7
+        desc3[Name("CIDSystemInfo")] = csi
+        desc3_num = g.add(desc3)
+        f3 = CDict()
+        f3[Name("Type")] = Name("Font")
+        f3[Name("Subtype")] = Name("Type0")
+        f3[Name("BaseFont")] = Name("Japan1Sample")
+        f3[Name("Encoding")] = Ref(cmap_num, 0)
+        f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
+        f3_num = g.add(f3)
     elif cjk:
         # Type0 + predefined GBK-EUC-H CMap, deliberately NO ToUnicode:
         # the extractor must decode the code bytes via the CMap's own
@@ -1285,6 +1360,7 @@ def build_object_graph(
         body, _ = _content_for(
             page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
             form_sink=form_sink if forms else None, type3=type3,
+            japan1=cjk_japan1,
         )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
@@ -2079,6 +2155,24 @@ def build_pdf(
         # GBK-encodable text span — the CID-CMap decode path
         layout = "classic"
         cjk = True
+    if variant == "cjk:hanzi":
+        # REAL-CJK extraction contract (r6): deterministic a-z →
+        # U+4E00.. transliteration, shown via the predefined GBK-EUC-H
+        # CMap with NO ToUnicode — the extracted text IS the hanzi and
+        # the oracle mirrors the mapping with translate()
+        layout = "classic"
+        cjk = True
+        spans = [
+            (k, t.translate(_HANZI_TRANS) if t else t, m, o)
+            for (k, t, m, o) in spans
+        ]
+    cjk_japan1 = False
+    if variant == "cjk:japan1":
+        # Adobe-Japan1 character-collection decode (r6): codes → CIDs
+        # 1-94 via an embedded CMap; no bf/ToUnicode anywhere — only
+        # the collection table recovers the ASCII text
+        layout = "classic"
+        cjk_japan1 = True
     cjk_chained = False
     if variant == "cjk:embedded":
         # Type0 + fully custom EMBEDDED CMap stream (no ToUnicode):
@@ -2146,7 +2240,7 @@ def build_pdf(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
         forms=forms, attachments=attachments, navigation=navigation,
-        type3=type3, acroform=acroform,
+        type3=type3, acroform=acroform, cjk_japan1=cjk_japan1,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

@@ -34,7 +34,7 @@ typedef struct {
     PyObject *eparse;         /* kernel.errors.EParseError          */
     PyObject *length_name;    /* Name("Length") for salvage rewrite */
     /* interned constants for the fused interpreter (set at init) */
-    PyObject *str_raw, *str_show_info;
+    PyObject *str_raw, *str_show_info, *str_fast_spec;
     PyObject *u_text, *u_media, *u_inline, *u_empty;
     int configured;
 } ctok_state_t;
@@ -2080,7 +2080,45 @@ typedef struct {
     PyObject *spans, *text_parts;     /* owned lists */
     PyObject *font, *show_info;       /* owned */
     PyObject *get_font, *do_handler, *span_cls; /* borrowed args */
+    /* simple-font fast path: whole show_info computed in C off two
+     * flat 256-entry tables (Font._fast_spec) — no Python re-entry */
+    PyObject *fs_ref;                 /* owned (the spec tuple) */
+    const uint32_t *fs_uni;
+    const long long *fs_w;            /* NULL: metrics unknown */
 } interp_t;
+
+/* fetch font._fast_spec and (re)bind the C fast-path tables */
+static int
+bind_fast_spec(interp_t *st, PyObject *font)
+{
+    PyObject *spec = PyObject_GetAttr(font, S.str_fast_spec);
+    if (spec == NULL) {
+        PyErr_Clear(); /* foreign Font-alike without the attr */
+        Py_CLEAR(st->fs_ref);
+        st->fs_uni = NULL;
+        st->fs_w = NULL;
+        return 0;
+    }
+    if (PyTuple_CheckExact(spec) && PyTuple_GET_SIZE(spec) == 2 &&
+        PyBytes_CheckExact(PyTuple_GET_ITEM(spec, 0)) &&
+        PyBytes_GET_SIZE(PyTuple_GET_ITEM(spec, 0)) == 256 * 4) {
+        PyObject *wb = PyTuple_GET_ITEM(spec, 1);
+        Py_XSETREF(st->fs_ref, spec);
+        st->fs_uni = (const uint32_t *)PyBytes_AS_STRING(
+            PyTuple_GET_ITEM(spec, 0));
+        st->fs_w = (PyBytes_CheckExact(wb) &&
+                    PyBytes_GET_SIZE(wb) == 256 * 8)
+                       ? (const long long *)PyBytes_AS_STRING(wb)
+                       : NULL;
+        st->fs_w = (wb == Py_None) ? NULL : st->fs_w;
+    } else {
+        Py_DECREF(spec);
+        Py_CLEAR(st->fs_ref);
+        st->fs_uni = NULL;
+        st->fs_w = NULL;
+    }
+    return 0;
+}
 
 static const double MAT_ID_C[6] = {1.0, 0.0, 0.0, 1.0, 0.0, 0.0};
 
@@ -2166,6 +2204,50 @@ do_show_c(interp_t *st, PyObject *s)
     raw = PyObject_GetAttr(s, S.str_raw);
     if (raw == NULL)
         return -1;
+    if (st->fs_uni != NULL && PyBytes_CheckExact(raw)) {
+        /* simple-font fast path: decode + advance + counts in C —
+         * float arithmetic in the EXACT Python association order */
+        const unsigned char *d = (const unsigned char *)PyBytes_AS_STRING(raw);
+        Py_ssize_t n = PyBytes_GET_SIZE(raw), i;
+        Py_UCS4 sbuf[256];
+        Py_UCS4 *ubuf = sbuf;
+        PyObject *txt;
+        int rc;
+        if (n > 256) {
+            ubuf = (Py_UCS4 *)PyMem_Malloc(n * sizeof(Py_UCS4));
+            if (ubuf == NULL) {
+                Py_DECREF(raw);
+                PyErr_NoMemory();
+                return -1;
+            }
+        }
+        for (i = 0; i < n; i++)
+            ubuf[i] = st->fs_uni[d[i]];
+        txt = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, ubuf, n);
+        if (ubuf != sbuf)
+            PyMem_Free(ubuf);
+        Py_DECREF(raw);
+        if (txt == NULL)
+            return -1;
+        if (st->fs_w == NULL)
+            st->span_w_known = 0; /* advance None: metrics unknown */
+        else {
+            long long adv_ll = 0;
+            long nsp = 0;
+            for (i = 0; i < n; i++) {
+                adv_ll += st->fs_w[d[i]];
+                if (d[i] == 32)
+                    nsp++;
+            }
+            st->span_adv += (((double)adv_ll * st->size) / 1000.0 +
+                             st->tc * (double)n +
+                             st->tw * (double)nsp) *
+                            st->th * st->trm0;
+        }
+        rc = PyList_Append(st->text_parts, txt);
+        Py_DECREF(txt);
+        return rc;
+    }
     info = PyObject_CallFunctionObjArgs(st->show_info, raw, NULL);
     Py_DECREF(raw);
     if (info == NULL)
@@ -2328,6 +2410,11 @@ dispatch_op(interp_t *st, const unsigned char *op, Py_ssize_t oplen,
                     si = PyObject_GetAttr(f, S.str_show_info);
                     if (si == NULL) {
                         Py_DECREF(f);
+                        return -1;
+                    }
+                    if (bind_fast_spec(st, f) < 0) {
+                        Py_DECREF(f);
+                        Py_DECREF(si);
                         return -1;
                     }
                     Py_XSETREF(st->font, f);
@@ -2594,6 +2681,8 @@ ctok_interpret_content(PyObject *self, PyObject *args)
     if (st.spans == NULL || st.text_parts == NULL || st.show_info == NULL ||
         operands == NULL)
         goto fail;
+    if (bind_fast_spec(&st, default_font) < 0)
+        goto fail;
 
     d = (const unsigned char *)PyBytes_AS_STRING(data);
     n = PyBytes_GET_SIZE(data);
@@ -2767,6 +2856,7 @@ ctok_interpret_content(PyObject *self, PyObject *args)
     Py_DECREF(st.text_parts);
     Py_XDECREF(st.font);
     Py_XDECREF(st.show_info);
+    Py_XDECREF(st.fs_ref);
     return st.spans;
 
 fail:
@@ -2780,6 +2870,7 @@ fail:
     Py_XDECREF(st.text_parts);
     Py_XDECREF(st.font);
     Py_XDECREF(st.show_info);
+    Py_XDECREF(st.fs_ref);
     return NULL;
 }
 
@@ -3292,11 +3383,13 @@ PyInit__ctok(void)
 {
     S.str_raw = PyUnicode_InternFromString("raw");
     S.str_show_info = PyUnicode_InternFromString("show_info");
+    S.str_fast_spec = PyUnicode_InternFromString("_fast_spec");
     S.u_text = PyUnicode_InternFromString("text");
     S.u_media = PyUnicode_InternFromString("media");
     S.u_inline = PyUnicode_InternFromString("inline");
     S.u_empty = PyUnicode_InternFromString("");
-    if (S.str_raw == NULL || S.str_show_info == NULL || S.u_text == NULL ||
+    if (S.str_raw == NULL || S.str_show_info == NULL ||
+        S.str_fast_spec == NULL || S.u_text == NULL ||
         S.u_media == NULL || S.u_inline == NULL || S.u_empty == NULL)
         return NULL;
     return PyModule_Create(&ctok_module);

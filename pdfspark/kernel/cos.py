@@ -152,12 +152,20 @@ class CDict(dict):
             return self.deref(v, resolver)
         return v
 
+    # NB the typed accessors below inline _get's body (one dict.get +
+    # class check) — they run tens of thousands of times per document
+    # batch and the extra frame was measurable
+
     def get_bool(self, key, default=False, resolver=None):
-        v = self._get(key, resolver)
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
         return v if isinstance(v, bool) else default
 
     def get_int(self, key, default=0, resolver=None):
-        v = self._get(key, resolver)
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
         if isinstance(v, bool):
             return default
         if isinstance(v, int):
@@ -167,24 +175,34 @@ class CDict(dict):
         return default
 
     def get_str(self, key, default="", resolver=None):
-        v = self._get(key, resolver)
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
         return v.value if isinstance(v, CString) else default
 
     def get_name(self, key, default=None, resolver=None):
-        v = self._get(key, resolver)
-        return v if isinstance(v, Name) else default
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
+        return v if v.__class__ is Name else default
 
     def get_array(self, key, default=None, resolver=None):
-        v = self._get(key, resolver)
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
         return v if isinstance(v, list) else default
 
     def get_dict(self, key, default=None, resolver=None):
-        v = self._get(key, resolver)
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
         return v if isinstance(v, CDict) else default
 
     def get_stream(self, key, default=None, resolver=None):
-        v = self._get(key, resolver)
-        return v if isinstance(v, CStream) else default
+        v = self.get(key, COS_NULL)
+        if v.__class__ is Ref:
+            v = self.deref(v, resolver)
+        return v if v.__class__ is CStream else default
 
     def get_ref(self, key):
         v = self.get(key, COS_NULL)

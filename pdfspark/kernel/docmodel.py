@@ -215,6 +215,7 @@ class Document:
         if pages_dict is None:
             st.soft_structure(False, "catalog has no /Pages")
             return out
+        rect_memo: dict = {}  # id(box list) → Rect | None (walk-scoped)
 
         def walk(node: CDict, node_num: int, inherited: dict, depth: int) -> None:
             if depth > 64:
@@ -245,13 +246,24 @@ class Document:
                 # leaf page
                 def rect_of(key):
                     v = inh.get(key)
+                    if v is None:
+                        return None
+                    # inherited boxes are usually ONE shared list object
+                    # across every page of the document — memoize the
+                    # Rect per list identity for the walk's lifetime
+                    hit = rect_memo.get(id(v), False)
+                    if hit is not False:
+                        return hit
                     if (
                         isinstance(v, list)
                         and len(v) == 4
                         and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
                     ):
-                        return Rect.normalized(*[float(x) for x in v])
-                    return None
+                        r = Rect.normalized(*[float(x) for x in v])
+                    else:
+                        r = None
+                    rect_memo[id(v)] = r
+                    return r
 
                 contents = []
                 cv = node.deref(node.get("Contents", COS_NULL), res)

@@ -136,6 +136,7 @@ class EmbeddedCMap:
 
     __slots__ = (
         "ranges", "cid_map", "cid_ranges", "bf_map", "base_codec", "base",
+        "ordering", "coll",
     )
 
     def __init__(self):
@@ -144,6 +145,11 @@ class EmbeddedCMap:
         self.cid_map: dict[int, int] = {}
         self.cid_ranges: list[tuple[int, int, int]] = []  # lo, hi, cid0
         self.bf_map: dict[int, str] = {}
+        # /CIDSystemInfo /Ordering → registered character-collection
+        # CID→Unicode table (kernel.cidcollections); None keeps the
+        # CID-as-Unicode Identity fallback
+        self.ordering: Optional[str] = None
+        self.coll: Optional[dict[int, str]] = None
         # `/Base-Name usecmap`: codes this CMap leaves unmapped fall
         # back to the imported PREDEFINED CMap's byte encoding
         self.base_codec: Optional[str] = None
@@ -162,6 +168,9 @@ class EmbeddedCMap:
         self.ranges = sorted(self.ranges + base.ranges, key=lambda t: t[0])
         if self.base_codec is None:
             self.base_codec = base.base_codec
+        if self.ordering is None:
+            self.ordering = base.ordering
+            self.coll = base.coll
 
     def bf(self, code: int) -> Optional[str]:
         s = self.bf_map.get(code)
@@ -215,6 +224,8 @@ class EmbeddedCMap:
 
 
 _USECMAP_RE = _re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)\s+usecmap")
+# /CIDSystemInfo /Ordering (Name) — the character-collection key
+_ORDERING_RE = _re.compile(rb"/Ordering\s*\(([^)]*)\)")
 
 
 def parse_embedded_cmap(data: bytes) -> EmbeddedCMap:
@@ -228,6 +239,12 @@ def parse_embedded_cmap(data: bytes) -> EmbeddedCMap:
     predefined name alone carries no stream reference to follow)."""
     cm = EmbeddedCMap()
     cm.bf_map = parse_tounicode_cmap(data)
+    mo = _ORDERING_RE.search(data)
+    if mo is not None:
+        from .cidcollections import collection_table
+
+        cm.ordering = mo.group(1).decode("latin-1")
+        cm.coll = collection_table(cm.ordering)
     mu = _USECMAP_RE.search(data)
     if mu is not None:
         cm.base_codec = _PREDEFINED_CMAP_CODECS.get(
@@ -356,6 +373,7 @@ class Font:
         "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
         "cid_widths", "cid_wranges", "_code_memo", "_w_table", "t3_scale",
+        "_fast_spec",
     )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
@@ -474,6 +492,15 @@ class Font:
                             base_table[code] = _AGL.get(str(item), "�")
                         code += 1
             self.table = base_table
+        # C interpreter fast path: for plain simple fonts the whole
+        # show_info (decode + advance + counts) runs inside C off two
+        # flat 256-entry tables — no per-show Python re-entry
+        self._fast_spec = (
+            _fast_show_spec(self)
+            if (not self.two_byte and self.tounicode is None
+                and self.t3_scale is None)
+            else None
+        )  # noqa: E501 — always set (two-byte fonts carry None)
 
     @staticmethod
     def _load_embedded_cmap(
@@ -551,7 +578,11 @@ class Font:
                 ch = s
             else:
                 cid = cm.cid(code)
-                if cid is not None and 0 <= cid <= 0x10FFFF:
+                if cid is not None and cm.coll is not None and (
+                    cid in cm.coll
+                ):
+                    ch = cm.coll[cid]
+                elif cid is not None and 0 <= cid <= 0x10FFFF:
                     ch = chr(cid)
                 elif cm.base_codec is not None:
                     ch = code.to_bytes(w, "big").decode(
@@ -603,7 +634,13 @@ class Font:
                         out.append(s)
                         continue
                     cid = cm.cid(code)
-                    if cid is not None and 0 <= cid <= 0x10FFFF:
+                    if cid is not None and cm.coll is not None and (
+                        cid in cm.coll
+                    ):
+                        # registered character collection (§9.7.3):
+                        # CID → Unicode via the ordering table
+                        out.append(cm.coll[cid])
+                    elif cid is not None and 0 <= cid <= 0x10FFFF:
                         out.append(chr(cid))
                     elif cm.base_codec is not None:
                         out.append(
@@ -775,6 +812,51 @@ class Font:
         for b in raw:
             w += ws[b - fc] if fc <= b < hi else dflt
         return w * t3 if t3 is not None else w
+
+
+_FAST_SPEC_MEMO: dict = {}
+
+
+def _fast_show_spec(font: "Font"):
+    """(uni_u32_bytes, widths_i64_bytes | None) for an eligible simple
+    font, or None.  uni maps byte → decoded code point (the latin-1 +
+    translate-table semantics of Font.decode); widths mirror
+    advance_1000's per-byte table.  Memoized on the table/metrics
+    identity so per-document Font rebuilds don't re-derive it."""
+    t = font.table
+    tkey = (
+        id(t)
+        if t is None or t is _LATIN1_TABLE or t is _WINANSI_TABLE
+        or t is _MACROMAN_TABLE
+        else tuple(t)
+    )
+    wkey = (
+        (tuple(font.widths) if font.widths is not None else None),
+        font.first_char,
+        font.default_width,
+    )
+    key = (tkey, wkey)
+    spec = _FAST_SPEC_MEMO.get(key, False)
+    if spec is not False:
+        return spec
+    if t is None or t is _LATIN1_TABLE:
+        uni = _array("I", range(256))
+    else:
+        if any(len(c) != 1 for c in t):
+            _FAST_SPEC_MEMO[key] = None
+            return None  # multi-char glyph names: Python path
+        uni = _array("I", [ord(c) for c in t])
+    if font.widths is None:
+        wbytes = None
+    else:
+        ws, fc, dflt = font.widths, font.first_char, font.default_width
+        hi = fc + len(ws)
+        wbytes = _array(
+            "q", [ws[b - fc] if fc <= b < hi else dflt for b in range(256)]
+        ).tobytes()
+    spec = (uni.tobytes(), wbytes)
+    _FAST_SPEC_MEMO[key] = spec
+    return spec
 
 
 _DEFAULT_FONT = Font(CDict(), None)

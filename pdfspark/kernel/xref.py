@@ -39,6 +39,12 @@ from .raw import Raw
 
 import re
 
+_CACHE_MISS = object()
+
+# "%PDF-M.N" version token, terminated by ws/EOL/EOF (the cursor-walk
+# + str.split parse this replaces accepted the same shapes)
+_VERSION_RE = re.compile(rb"([0-9]+)\.([0-9]+)(?=[\r\n \t]|\Z)")
+
 # classic-table subsection header `start count` (X2): one C-level
 # match replaces skip_ws + two fetch_uint cursor calls per subsection
 _XREF_SUB_RE = re.compile(
@@ -59,7 +65,7 @@ _CTOK_PARSE_XREF = (
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class XRefEntry:
     """Tagged union (parser/XRefEntry.java:25-58): uncompressed
     {id,gen,offset} or compressed {id,container,index} with gen=-1;
@@ -306,15 +312,11 @@ class Parser:
         soft-assert."""
         d = self.raw.data
         p = hdr_pos + 5
-        end = p
-        while end < len(d) and d[end] not in b"\r\n \t":
-            end += 1
-        try:
-            major_s, minor_s = d[p:end].decode("ascii").split(".")
-            self.version = (int(major_s), int(minor_s))
-        except Exception:
+        m = _VERSION_RE.match(d, p)
+        if m is None:
             self.settings.soft_syntax(False, "unparsable version header")
             return
+        self.version = (int(m.group(1)), int(m.group(2)))
         ok = self.version[0] == 1 and 0 <= self.version[1] <= 8
         self.settings.soft_supported(ok, f"unsupported PDF version {self.version}")
 
@@ -370,8 +372,17 @@ class Parser:
             res = _CTOK_PARSE_XREF(d, pos)
             if res is not None:
                 rows, endpos = res
+                # bulk upsert with add_uncompressed's exact semantics
+                # inlined (X5: skip free, keep unless strictly greater
+                # gen) — one method call per TABLE, not per entry
+                entries = self.xref.entries
+                eget = entries.get
                 for num, gen, off in rows:
-                    add(num, gen, off)
+                    if off == 0:
+                        continue
+                    cur = eget(num)
+                    if cur is None or gen > cur.gen:
+                        entries[num] = XRefEntry(num, gen, offset=off)
                 r.pos = endpos
                 return
         while True:
@@ -609,14 +620,21 @@ class Parser:
 
     # ---- X6-X9: object lookup / dereference --------------------------
     def _resolve(self, ref: Ref) -> COSValue:
+        # cache-hit fast path skips the get_object frame — _resolve is
+        # the resolver callback on every deref chain in the hot loop
+        v = self.xref.cache.get(ref.num, _CACHE_MISS)
+        if v is not _CACHE_MISS:
+            return v
         return self.get_object(ref.num, ref.gen)
 
     def get_object(self, num: int, gen: int = 0) -> COSValue:
         """X6 — missing id → COS_NULL (not an error, XRefTable.java:
         63-66); gen mismatch tolerated with log; memoized."""
-        if num in self.xref.cache:
-            return self.xref.cache[num]
-        e = self.xref.entries.get(num)
+        xref = self.xref
+        v = xref.cache.get(num, _CACHE_MISS)
+        if v is not _CACHE_MISS:
+            return v
+        e = xref.entries.get(num)
         if e is None:
             return COS_NULL
         if not e.compressed and e.gen != gen:
@@ -633,7 +651,7 @@ class Parser:
                 and not (self.encrypt_ref and num == self.encrypt_ref.num)
             ):
                 val = self._decrypt_value(val, num, e.gen)
-        self.xref.cache[num] = val
+        xref.cache[num] = val
         return val
 
     def _parse_indirect_at(self, e: XRefEntry) -> COSValue:

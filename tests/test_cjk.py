@@ -320,3 +320,72 @@ def test_type3_font_roundtrip_and_matrix_widths():
     bare = CDict()
     bare[Name("Subtype")] = Name("Type3")
     assert _Font(bare, None).advance_1000(b"ab") is None
+
+
+def test_japan1_collection_decode():
+    """r6: CIDs of a registered character collection decode through
+    the collection table (Adobe-Japan1 CIDs 1-95 = U+0020-U+007E),
+    NOT via the chr(cid) Identity fallback — and an unregistered
+    ordering still falls back to CID-as-Unicode."""
+    from pdfspark.kernel.cidcollections import collection_table
+    from pdfspark.kernel.textops import parse_embedded_cmap
+
+    tab = collection_table("Japan1")
+    assert tab[1] == " " and tab[95] == "~" and 96 not in tab
+    assert collection_table("NoSuchOrdering") is None
+
+    cmap = (
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+        b" /Supplement 7 >> def\n"
+        b"1 begincodespacerange\n<2020> <207e>\nendcodespacerange\n"
+        b"1 begincidrange\n<2020> <207e> 1\nendcidrange\n"
+    )
+    cm = parse_embedded_cmap(cmap)
+    assert cm.ordering == "Japan1" and cm.coll is not None
+    # code 0x2041 → CID 0x22 (34) → 'A' per the collection
+    assert cm.cid(0x2041) == 0x22
+    assert cm.coll[0x22] == "A"
+
+
+def test_japan1_roundtrip_via_font():
+    """End-to-end: a cjk:japan1 payload extracts the original ASCII —
+    which is only possible through the collection table (the CIDs are
+    1-95, control-range as raw code points)."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import extract_spans
+
+    spans = synth_spans_py("jp1doc", "The Quick (Brown) Fox! ~0123~")
+    st, err, got = extract_spans(build_pdf("jp1doc", spans, "cjk:japan1"))
+    assert st == "ok", err
+    assert [tuple(s) for s in got] == spans
+
+
+def test_hanzi_roundtrip_real_cjk():
+    """End-to-end real-CJK contract: extracted text is actual hanzi,
+    decoded via the GBK CMap byte encoding with no ToUnicode."""
+    from pdfspark.codec import _HANZI_TRANS, build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import extract_spans
+
+    text = "sort merge join scan"
+    spans = synth_spans_py("hzdoc", text)
+    st, err, got = extract_spans(build_pdf("hzdoc", spans, "cjk:hanzi"))
+    assert st == "ok", err
+    exp = [(k, t.translate(_HANZI_TRANS) if t else t, m, o)
+           for (k, t, m, o) in spans]
+    assert [tuple(s) for s in got] == exp
+    joined = "".join(t for (k, t, m, o) in got if t)
+    assert any("一" <= ch <= "丙" for ch in joined)
+
+
+def test_collection_register_hook():
+    """register_collection extends an ordering's table (the deployment
+    hook for full Adobe cid2code data)."""
+    from pdfspark.kernel import cidcollections as cc
+
+    cc.register_collection("TestOrd1", {7: "X"})
+    try:
+        assert cc.collection_table("TestOrd1") == {7: "X"}
+        cc.register_collection("TestOrd1", {8: "Y"})
+        assert cc.collection_table("TestOrd1")[8] == "Y"
+    finally:
+        cc._COLLECTIONS.pop("TestOrd1", None)
