@@ -27,6 +27,11 @@ def main() -> None:
         "--replicate", type=int, default=1,
         help="deterministic in-plan corpus scale-up (scaling/stress runs)",
     )
+    ap.add_argument(
+        "--sink", default="parquet", choices=("parquet", "null"),
+        help="null = identical plan through Spark's noop datasource "
+        "(compute-only wall; no span/lineage output, no resume state)",
+    )
     args = ap.parse_args()
 
     import time
@@ -39,16 +44,21 @@ def main() -> None:
     t0 = time.monotonic()
     n = run_checkpointed(
         spark, args.sf_dir, args.out, n_buckets=args.buckets,
-        variant=args.variant, replicate=args.replicate,
+        variant=args.variant, replicate=args.replicate, sink=args.sink,
     )
     compute_wall = round(time.monotonic() - t0, 3)
-    done = completed_buckets(spark, f"{args.out}/lineage")
+    done = (
+        completed_buckets(spark, f"{args.out}/lineage")
+        if args.sink == "parquet"
+        else set()
+    )
     print(
         json.dumps(
             {
                 "processed_this_run": n,
                 "buckets_done": len(done),
                 "out": args.out,
+                "sink": args.sink,
                 # post-session compute wall (excludes JVM startup) —
                 # the number scaling comparisons should use
                 "compute_wall_s": compute_wall,

@@ -191,8 +191,15 @@ def run_checkpointed(
     fail_after: Optional[int] = None,
     fail_before_commit: bool = False,
     replicate: int = 1,
+    sink: str = "parquet",
 ) -> int:
     """Extraction over bucket(doc_id) groups with per-group commit.
+
+    ``sink="null"`` runs the IDENTICAL job plan (bucketing, salting,
+    generation, extraction) but discards results through Spark's noop
+    datasource — no span parquet, no lineage, no resume state. This is
+    the compute-only twin used to split compute wall from sink wall in
+    deployment-surface scaling runs (BENCH/BASELINE.md).
 
     Resume semantics: rerunning with the same out_dir skips buckets
     already marked done (anti-join of pending vs lineage). A bucket is
@@ -213,6 +220,22 @@ def run_checkpointed(
 
     lineage_dir = os.path.join(out_dir, "lineage")
     data_dir = os.path.join(out_dir, "spans")
+    if sink == "null":
+        from .engine import (
+            extract, generate_payloads, load_documents, replicate_docs,
+            synth_spans_df,
+        )
+
+        docs = load_documents(spark, sf_dir)
+        if replicate > 1:
+            docs = replicate_docs(docs, replicate)
+        docs = docs.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        spans = synth_spans_df(docs.drop("bucket"))
+        payloads = salt_by_size(generate_payloads(spans, variant))
+        extract(payloads).write.format("noop").mode("overwrite").save()
+        return n_buckets
     # resume-config guard: a rerun with different corpus-shaping
     # parameters would silently mix scales/variants in the output
     # (completed buckets skip, new buckets run at the new settings) —

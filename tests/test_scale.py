@@ -261,3 +261,14 @@ def test_checkpointed_resume_guard_pins_sf_dir(spark, tmp_path):
     with open(f"{out}/_job_config.json", "w") as f:
         json.dump({k: cfg[k] for k in ("replicate", "variant", "n_buckets")}, f)
     assert run_checkpointed(spark, SF_SMOKE, out, n_buckets=2) == 0
+
+
+def test_null_sink_runs_plan_without_output(spark, tmp_path):
+    """r6 (--sink null): the identical pipeline plan through the noop
+    datasource — nothing written, no resume state, full compute."""
+    from pdfspark.scale import run_checkpointed
+
+    out = str(tmp_path / "nullsink")
+    n = run_checkpointed(spark, SF_SMOKE, out, n_buckets=4, sink="null")
+    assert n == 4
+    assert not os.path.exists(out)  # no sidecar, no spans, no lineage
