@@ -226,36 +226,32 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round this list rotates: queries whose code CHANGED this round
 # (or that have never been driver-checked) come first; the tail —
 # rotated outside the window — must stay byte-identical to the commit
-# of their last green row.  r5 window: all 23 PDF pipelines (the C
-# generation tier touches codec.py → every roundtrip re-verifies),
-# all 4 streaming surfaces (3 had never been driver-checked before
-# r5 — the r4 verdict's #1 ask), relational+curate (rotated out in
-# r4, byte-identical to their r03-green code, refreshed here), the
-# four ops queries changed in r5 (chunk_boilerplate broadcast plan,
-# IVF geometry, media JPEG rotation) and seven queries NEW in r5
-# (pdf_roundtrip_pubsec, pdf_form_fields, pdf_reference_golden,
-# rep_signals, pack_sequences, unigram_rarity, dedup_incremental).
-# 73 queries registered; the 23 rotated out are all r4-green and
-# function-level untouched in r5 (COVERAGE.md evidence map).
+# of their last green row.  r6 window: the 4 NEW queries
+# (pdf_malformed_golden, media_video_frames, pdf_roundtrip_hanzi,
+# pdf_roundtrip_japan1), every pdf_* pipeline (the r6 generation C
+# tier rewrites codec emission and the kernel gained the simple-font
+# C fast path + CID collections — all 26 re-verify), the two changed
+# streaming surfaces (stream_append_counts no-data-batch wait;
+# pdf_stream_extract rides the changed kernel), the four media
+# queries (ops/multimodal.py changed), the r4/r5-verdict
+# stale-evidence six (html_main_text, html_block_stats,
+# dedup_minhash_pairs, dedup_clusters + media_audio_meta/media_frames
+# already above), and longest-stale r4-green ops refreshes.  Rotated
+# OUT (r5-green, function-level untouched in r6): relational+curate
+# (12), stream_window/user_counts, chunk_boilerplate, IVF (2),
+# rep/pack/rarity/incremental (4), form/reference golden pins stay IN
+# via the pdf block, token_count/text_fingerprint/text_normalize/
+# corpus_sample/gopher_quality_flags/bm25_topk/dedup_skipped_buckets.
 _DRIVER_WINDOW = [
-    # --- streaming: first driver rows ever (r4 verdict ask #1) ------
+    # --- NEW in r6 --------------------------------------------------
+    "pdf_malformed_golden",
+    "media_video_frames",
+    "pdf_roundtrip_hanzi",
+    "pdf_roundtrip_japan1",
+    # --- streaming surfaces changed in r6 ---------------------------
     "pdf_stream_extract",
-    "stream_window_counts",
-    "stream_user_counts",
     "stream_append_counts",
-    # --- changed in r5 ---------------------------------------------
-    "chunk_boilerplate",
-    "ann_ivf_topk",
-    "ann_ivf_cells",
-    "media_decode_real",
-    # --- NEW in r5: first driver rows ------------------------------
-    "pdf_form_fields",
-    "pdf_reference_golden",
-    "rep_signals",
-    "pack_sequences",
-    "unigram_rarity",
-    "dedup_incremental",
-    # --- PDF pipelines (codec.py C generation tier lands in r5) ----
+    # --- PDF pipelines (r6 C emission + kernel fast paths) ----------
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_incremental",
@@ -275,27 +271,34 @@ _DRIVER_WINDOW = [
     "pdf_attachments",
     "pdf_outlines",
     "pdf_links",
+    "pdf_form_fields",
+    "pdf_reference_golden",
     "pdf_malformed_policy",
     "pdf_metadata",
     "pdf_dates",
     "pdf_span_stats",
     "pdf_catalog_fields",
-    # --- relational + curate (refresh: out of window in r4) --------
+    # --- media (ops/multimodal.py changed in r6) --------------------
+    "media_decode_real",
+    "media_audio_meta",
+    "media_frames",
+    "media_meta",
+    # --- stale-evidence refresh (r5 verdict ask #2) -----------------
+    "html_main_text",
+    "html_block_stats",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    # --- longest-stale r4-green ops refreshes -----------------------
+    "dedup_exact",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embed_neardup_pairs",
+    "text_quality",
+    "lang_id",
+    "text_windows",
     "corpus_profile",
-    "corpus_quantiles",
-    "events_range_join",
-    "lineitem_pricing_summary",
-    "orders_revenue_by_nation",
-    "events_latest_dedup",
-    "events_sessionize",
-    "events_window_agg",
-    "events_asof_click",
-    "top_documents",
-    "corpus_curate",
-    "benchmark_contamination",
-    # (all refresh slots consumed by new r5 queries; the rotated-out
-    # tail is r4-green — ops/html.py et al. untouched at file or
-    # function level, see COVERAGE.md "Driver-window evidence map")
 ]
 
 

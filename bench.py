@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # run ALSO executes a pinned previous-round commit in a throwaway git
 # worktree, interleaved subprocess-vs-subprocess (tools/ab_bench.py),
 # and embeds per-query cur/prev ratios as `vs_prev_ratio`.
-PREV_ROUND_COMMIT = "a7518a3e1827c61000804c50c21f84059e343e74"  # round-4 final
+PREV_ROUND_COMMIT = "51600f7a4a4f25aea380753ad88147195138f70e"  # round-5 final
 AB_QUERIES = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_filters",
