@@ -187,10 +187,21 @@ class Document:
         self.catalog = root
         # M2: /Type /Catalog soft-assert (PDFDocCatalog.java:39-47)
         st.soft_structure(root.get_name("Type") == "Catalog", "/Type is not /Catalog")
-        info = (
-            parser._resolve(parser.info_ref) if parser.info_ref is not None else COS_NULL
-        )
-        self.info: CDict = info if isinstance(info, CDict) else CDict()
+        self._info: Optional[CDict] = None  # lazy: span extraction
+        # never touches /Info, so its object parse is deferred to
+        # first access (the metadata pipeline reads it immediately)
+
+    @property
+    def info(self) -> CDict:
+        if self._info is None:
+            parser = self.parser
+            v = (
+                parser._resolve(parser.info_ref)
+                if parser.info_ref is not None
+                else COS_NULL
+            )
+            self._info = v if isinstance(v, CDict) else CDict()
+        return self._info
 
     # ---- M3: lazy page count (PDFDocCatalog.getPagesCount, :59-67) ---
     def page_count(self) -> int:

@@ -34,8 +34,9 @@ def parse_document(payload: bytes, settings: Optional[ParserSettings] = None) ->
     p.parse()
     if p.is_encrypted:
         # best-effort empty-password unlock BEFORE assembly: Document
-        # resolves /Root and /Info eagerly, and decryption happens at
-        # object-resolve time. Callers read parser.security for policy.
+        # resolves /Root eagerly (/Info lazily, still post-unlock) and
+        # decryption happens at object-resolve time. Callers read
+        # parser.security for policy.
         p.unlock(b"")
     return Document(p)
 
