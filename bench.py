@@ -143,7 +143,11 @@ def main() -> None:
                 SF_DIR,
                 # even rep count: the A/B alternates which side runs
                 # first per rep — odd counts would leave a 2:1 split
-                reps=int(os.environ.get("BENCH_AB_REPS", "4")),
+                # 6 reps (r6): the host's whole-window bimodality (~8s
+                # vs ~12s modes with minutes-long dwell) can starve one
+                # side of the fast mode at 4 reps — more interleaved
+                # reps give BOTH sides a fast-mode sample for best-of
+                reps=int(os.environ.get("BENCH_AB_REPS", "6")),
             )
         except Exception as e:  # A/B is evidence, never a bench failure
             ab = {"error": f"{type(e).__name__}: {e}"}
