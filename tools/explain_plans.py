@@ -145,6 +145,32 @@ COMMENTARY = {
         "join on cell (probe side broadcast); the exact re-rank "
         "window partitions by query_id — 50 output rows."
     ),
+    "media_video_frames": (
+        "Single mapInPandas stage over the media-span projection: the "
+        "scan reads ONLY (doc_id, text) for the synthesis expression, "
+        "the explode+filter prunes to media spans, and the AVI "
+        "generate+decode runs in one Arrow-batched pass — zero "
+        "shuffles; per-frame fan-out happens inside the batch, never "
+        "as a join."
+    ),
+    "pdf_malformed_golden": (
+        "binaryFile scan of the 4-file malformed corpus → one "
+        "mapInPandas kernel pass; the documented zero-byte-file drop "
+        "is surfaced by a LEFT ANTI join of the expected-name literal "
+        "(4 rows, broadcast) against the scan output — the anti join "
+        "broadcasts the tiny side, no shuffle of the scan."
+    ),
+    "dedup_minhash_pairs": (
+        "The banded-signature self-join shuffles on (band, band_val) "
+        "exactly once; the bucket-cap filter runs on the SAME "
+        "partitioning BEFORE the join (no degenerate buckets enter "
+        "the pair explosion), and the exact-Jaccard verify re-joins "
+        "doc text by id — the only shuffles are the two id joins, "
+        "both on uniform md5-derived keys. Scale-safe at 100 TB: "
+        "candidate generation is bucketed with an explicit cap and "
+        "the capped drop is itself an oracled metric "
+        "(dedup_skipped_buckets)."
+    ),
 }
 
 
