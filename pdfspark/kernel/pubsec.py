@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 _CACHE = os.path.join(
     os.path.expanduser("~"), ".cache", "pdfspark", "pubsec_fixture.pem"
@@ -82,18 +83,29 @@ def fixture_identity():
                 pass
             except OSError:
                 # filesystem without hard links (FUSE/overlay/VFAT):
-                # O_CREAT|O_EXCL is the portable link-if-absent
-                # primitive — exactly one racing worker creates the
-                # file; the rest fall through and read the winner
+                # election via O_CREAT|O_EXCL on a SENTINEL, publication
+                # via rename — the winner is unique AND the cache file
+                # only ever appears fully written (writing through the
+                # O_EXCL fd itself would let readers see a torn PEM)
+                lock = _CACHE + ".lock"
                 try:
-                    efd = os.open(
-                        _CACHE, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
-                    )
+                    os.close(os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600
+                    ))
                 except FileExistsError:
-                    pass
+                    # loser: wait for the winner's atomic rename; if the
+                    # winner died between lock and publish, time out and
+                    # publish ours (rename is atomic either way)
+                    for _ in range(100):
+                        if os.path.exists(_CACHE):
+                            break
+                        time.sleep(0.05)
+                    else:
+                        os.replace(tmp, _CACHE)
+                        tmp = None
                 else:
-                    with os.fdopen(efd, "wb") as ef:
-                        ef.write(pem)
+                    os.replace(tmp, _CACHE)
+                    tmp = None
         finally:
             if tmp is not None and os.path.exists(tmp):
                 os.unlink(tmp)

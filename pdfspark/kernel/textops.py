@@ -855,7 +855,11 @@ def _fast_show_spec(font: "Font"):
             "q", [ws[b - fc] if fc <= b < hi else dflt for b in range(256)]
         ).tobytes()
     spec = (uni.tobytes(), wbytes)
-    _FAST_SPEC_MEMO[key] = spec
+    # bounded (the _PRODUCE_NAME_CACHE precedent): a font-diverse real
+    # corpus on a long-lived executor must not grow the memo unbounded
+    # — past the cap the spec is still returned, just not retained
+    if len(_FAST_SPEC_MEMO) < 4096:
+        _FAST_SPEC_MEMO[key] = spec
     return spec
 
 

@@ -249,19 +249,20 @@ def stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final no-data micro-batch evicts everything up to the global
     watermark, so the sink holds exactly the closed-window subset
     (pinned empirically: 986/986 window match at sf0.001)."""
+    import atexit
+    import functools
     import os
     import shutil
     import tempfile
     import time as _time
 
     landing = stage_events_ordered(spark, sf_dir)
-    # deterministic workdir keyed by the landing snapshot: repeated
-    # invocations replace the previous run's sink+checkpoint instead of
-    # leaking one mkdtemp per call
-    base = os.path.join(
-        tempfile.gettempdir(), "pdfspark-append-" + os.path.basename(landing)
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    # unique workdir per invocation (a deterministic shared path would
+    # let one invocation rmtree another's ACTIVE checkpoint/sink —
+    # and the returned DataFrame reads its parquet lazily), cleaned at
+    # process exit so repeated runs don't leak temp dirs
+    base = tempfile.mkdtemp(prefix="pdfspark-append-")
+    atexit.register(functools.partial(shutil.rmtree, base, ignore_errors=True))
     out = os.path.join(base, "out")
     ck = os.path.join(base, "ck")
     src = (

@@ -195,11 +195,13 @@ def run_checkpointed(
 ) -> int:
     """Extraction over bucket(doc_id) groups with per-group commit.
 
-    ``sink="null"`` runs the IDENTICAL job plan (bucketing, salting,
-    generation, extraction) but discards results through Spark's noop
-    datasource — no span parquet, no lineage, no resume state. This is
-    the compute-only twin used to split compute wall from sink wall in
-    deployment-surface scaling runs (BENCH/BASELINE.md).
+    ``sink="null"`` runs the IDENTICAL per-bucket-group loop (same
+    corpus scans, bucket filters, salting, generation, extraction,
+    same group scheduling) but discards each group's result through
+    Spark's noop datasource — no span parquet, no lineage, no
+    read-back stats, no resume state. This is the compute-only twin
+    used to split compute wall from sink wall in deployment-surface
+    scaling runs (BENCH/BASELINE.md).
 
     Resume semantics: rerunning with the same out_dir skips buckets
     already marked done (anti-join of pending vs lineage). A bucket is
@@ -220,26 +222,11 @@ def run_checkpointed(
 
     lineage_dir = os.path.join(out_dir, "lineage")
     data_dir = os.path.join(out_dir, "spans")
-    if sink == "null":
-        from .engine import (
-            extract, generate_payloads, load_documents, replicate_docs,
-            synth_spans_df,
-        )
-
-        docs = load_documents(spark, sf_dir)
-        if replicate > 1:
-            docs = replicate_docs(docs, replicate)
-        docs = docs.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-        )
-        spans = synth_spans_df(docs.drop("bucket"))
-        payloads = salt_by_size(generate_payloads(spans, variant))
-        extract(payloads).write.format("noop").mode("overwrite").save()
-        return n_buckets
     # resume-config guard: a rerun with different corpus-shaping
     # parameters would silently mix scales/variants in the output
     # (completed buckets skip, new buckets run at the new settings) —
     # pin the shape on first run, refuse mismatched resumes
+    null_sink = sink == "null"
     cfg = {"replicate": int(replicate), "variant": variant,
            "n_buckets": int(n_buckets),
            # corpus identity: resuming against a different --sf-dir
@@ -247,7 +234,9 @@ def run_checkpointed(
            # variant mismatch — pin the realpath too
            "sf_dir": os.path.realpath(sf_dir)}
     cfg_path = os.path.join(out_dir, "_job_config.json")
-    if os.path.exists(cfg_path):
+    if null_sink:
+        cfg_path = None  # compute-only: no resume state of any kind
+    elif os.path.exists(cfg_path):
         import json as _json
 
         with open(cfg_path) as f:
@@ -270,13 +259,13 @@ def run_checkpointed(
         with os.fdopen(fd, "w") as f:
             _json.dump(cfg, f)
         os.replace(tmp, cfg_path)
-    done = completed_buckets(spark, lineage_dir)
-    attempts = bucket_attempts(spark, lineage_dir)
+    done = set() if null_sink else completed_buckets(spark, lineage_dir)
+    attempts = {} if null_sink else bucket_attempts(spark, lineage_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     # record that this run is attempting the pending buckets BEFORE
     # doing the work: a crash mid-group leaves 'attempted' rows, so
     # the next run's lineage shows the true attempt count
-    if pending:
+    if pending and not null_sink:
         spark.createDataFrame(
             [
                 (int(b), "attempted", 0, 0, 0, 0, int(attempts.get(b, 0)) + 1)
@@ -306,6 +295,13 @@ def run_checkpointed(
         extracted = extract(payloads).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
+        if null_sink:
+            # compute-only twin: the SAME per-group plan (corpus scan,
+            # bucket filter, salt, generate, extract) discarded through
+            # the noop datasource — no data, no lineage, no read-back
+            extracted.write.format("noop").mode("overwrite").save()
+            processed += len(group)
+            continue
         overwrite_partitions(extracted, spark, data_dir, "bucket")
         if fail_before_commit and fail_after is not None and (
             processed + len(group) >= fail_after
