@@ -248,7 +248,8 @@ _DRIVER_WINDOW = [
     "media_video_frames",
     "pdf_roundtrip_hanzi",
     "pdf_roundtrip_japan1",
-    # --- streaming surfaces changed in r6 ---------------------------
+    # --- streaming surfaces new/changed in r6 -----------------------
+    "stream_dedup_events",
     "pdf_stream_extract",
     "stream_append_counts",
     # --- PDF pipelines (r6 C emission + kernel fast paths) ----------
@@ -298,7 +299,6 @@ _DRIVER_WINDOW = [
     "text_quality",
     "lang_id",
     "text_windows",
-    "corpus_profile",
 ]
 
 
@@ -622,4 +622,7 @@ FROM wk
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 """
+    # streaming exact dedup: the landing replays every file twice;
+    # watermarked dropDuplicates must emit exactly the distinct set
+    o["stream_dedup_events"] = "SELECT DISTINCT * FROM events"
     return o

@@ -237,6 +237,67 @@ def stage_events_ordered(
     return landing
 
 
+def stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the ordered event files with every file REPLAYED twice in
+    adjacent arrival slots (…, k.a, k.b, …) — the exact-duplicate
+    ingest shape (at-least-once upstream delivery) the streaming dedup
+    operator exists for.  Adjacent arrival keeps each duplicate inside
+    the watermark window, so first occurrences are never late and the
+    dedup output is deterministic."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = stage_events_ordered(spark, sf_dir)
+    landing = base + "_dup"
+    parts = sorted(os.listdir(base))
+    if os.path.isdir(landing) and len(os.listdir(landing)) == 2 * len(parts):
+        return landing
+    shutil.rmtree(landing, ignore_errors=True)
+    stage = tempfile.mkdtemp(prefix="pdfspark-dup-stage-")
+    t0 = time.time() - 3600
+    for k, f in enumerate(parts):
+        for j, suffix in enumerate(("a", "b")):
+            dst = os.path.join(stage, f"{k:05d}{suffix}.parquet")
+            shutil.copyfile(os.path.join(base, f), dst)
+            os.utime(dst, (t0 + 2 * k + j, t0 + 2 * k + j))
+    os.rename(stage, landing)
+    return landing
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query `stream_dedup_events` (r6): STREAMING exact
+    deduplication — the ingest-side counterpart of the batch dedup
+    family.  `dropDuplicates` over the full event row with a 10-minute
+    watermark bounding the dedup state (ISO production shape:
+    at-least-once delivery upstream, exactly-once rows downstream);
+    the landing replays every file twice so the state dedup is
+    genuinely exercised (20 000 arriving rows → 10 000 at sf0.01).
+    Late-arriving duplicates past the watermark are dropped as late —
+    which for DEDUP is the correct outcome, so determinism holds.
+    Oracle: batch SELECT DISTINCT over the events table."""
+    landing = stage_events_duplicated(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    deduped = src.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    name = "drv_stream_dedup"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def stream_append_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `stream_append_counts` (r5): the PRODUCTION posture
     for streaming window aggregation — outputMode("append") with
@@ -304,6 +365,7 @@ def queries():
         "stream_window_counts": stream_window_counts,
         "stream_user_counts": stream_user_counts,
         "stream_append_counts": stream_append_counts,
+        "stream_dedup_events": stream_dedup_events,
     }
 
 

@@ -902,3 +902,13 @@ def test_avi_decode_rejects_unknown_codec():
     struct.pack_into("<I", payload, i + 8 + 16, struct.unpack("<I", b"H264")[0])
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(bytes(payload))
+
+
+def test_stream_dedup_events_exactly_once(spark):
+    """r6: watermarked streaming dropDuplicates over a twice-replayed
+    landing emits exactly the distinct event set — at-least-once in,
+    exactly-once out."""
+    got = streaming.stream_dedup_events(spark, SF_SMOKE)
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert got.count() == batch.distinct().count()
+    assert got.exceptAll(batch).count() == 0
