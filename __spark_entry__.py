@@ -298,7 +298,8 @@ _DRIVER_WINDOW = [
     "embed_neardup_pairs",
     "text_quality",
     "lang_id",
-    "text_windows",
+    # --- NEW in r6 (late): content-keyed split assignment -----------
+    "corpus_split",
 ]
 
 

@@ -736,6 +736,49 @@ FROM base
 """
 
 
+SPLIT_DEN = 20  # 18/1/1 → 90/5/5 train/val/test
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (driver query
+    `corpus_split`, r6): the split key is the CONTENT fingerprint
+    (md5 of the text), NOT the doc id, so byte-identical duplicates
+    always land in the same split — no train/eval leakage through
+    exact dups surviving upstream dedup.  90/5/5 via integer mod on
+    the first 8 fingerprint hex digits: reproducible across engines
+    and runs, no RNG anywhere.  Pure projection — zero shuffles; at
+    100 TB this is a free column on the curation pass."""
+    docs = _docs(spark, sf_dir)
+    b = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("bigint") % SPLIT_DEN
+    )
+    split = (
+        F.when(b <= SPLIT_DEN - 3, "train")
+        .when(b == SPLIT_DEN - 2, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "lang", b.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def _corpus_split_sql() -> str:
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(text), {1 + k}, 1)) - 1)"
+        f" * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"""
+SELECT doc_id, lang, CAST(({h}) % {SPLIT_DEN} AS INT) AS bucket,
+       CASE WHEN ({h}) % {SPLIT_DEN} <= {SPLIT_DEN - 3} THEN 'train'
+            WHEN ({h}) % {SPLIT_DEN} = {SPLIT_DEN - 2} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
@@ -750,6 +793,7 @@ def queries():
         "rep_signals": rep_signals,
         "pack_sequences": pack_sequences,
         "unigram_rarity": unigram_rarity,
+        "corpus_split": corpus_split,
     }
 
 
@@ -767,4 +811,5 @@ def oracles():
         "rep_signals": REP_SIGNALS_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "unigram_rarity": UNIGRAM_RARITY_SQL,
+        "corpus_split": _corpus_split_sql(),
     }

