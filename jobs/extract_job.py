@@ -32,6 +32,20 @@ def main() -> None:
         help="null = identical plan through Spark's noop datasource "
         "(compute-only wall; no span/lineage output, no resume state)",
     )
+    ap.add_argument(
+        "--group-size", type=int, default=4,
+        help="buckets per commit group (run_checkpointed's "
+        "buckets_per_commit): smaller = finer resume granularity, "
+        "larger = fewer sequential job barriers → better scaling",
+    )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="run one small compute-only pass before the timed run so "
+        "compute_wall_s measures a WARM executor pool (JIT + Python "
+        "workers up) — the long-lived-cluster steady state; without it "
+        "the wall includes one-time spin-up, which a scaling ratio "
+        "then misattributes to the smaller level's advantage",
+    )
     args = ap.parse_args()
 
     import time
@@ -41,10 +55,16 @@ def main() -> None:
     spark = SparkSession.builder.appName("pdfspark-extract").getOrCreate()
     from pdfspark.scale import completed_buckets, run_checkpointed
 
+    if args.warmup:
+        run_checkpointed(
+            spark, args.sf_dir, args.out + "-warmup", n_buckets=1,
+            variant=args.variant, sink="null",
+        )
     t0 = time.monotonic()
     n = run_checkpointed(
         spark, args.sf_dir, args.out, n_buckets=args.buckets,
         variant=args.variant, replicate=args.replicate, sink=args.sink,
+        buckets_per_commit=args.group_size,
     )
     compute_wall = round(time.monotonic() - t0, 3)
     done = (
