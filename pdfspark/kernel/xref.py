@@ -581,22 +581,35 @@ class Parser:
         if row <= 0:
             raise EParseError("xref stream zero row width")
         nrows_avail = len(data) // row
-        # numpy bulk field split (the most vectorizable piece, SURVEY §2.4 X4)
-        arr = np.frombuffer(data[: nrows_avail * row], dtype=np.uint8).reshape(
-            nrows_avail, row
-        )
+        # field split: numpy bulk pass for big tables (SURVEY §2.4 X4);
+        # below 32 rows numpy's ~50µs fixed cost per op dominates (the
+        # same gate the classic table uses), so small tables take a
+        # per-row int.from_bytes split — and both paths convert to
+        # plain ints ONCE (tolist), never per-entry numpy scalars
+        if nrows_avail >= 32:
+            arr = np.frombuffer(
+                data[: nrows_avail * row], dtype=np.uint8
+            ).reshape(nrows_avail, row)
 
-        def field_vals(lo: int, width: int, default: int) -> np.ndarray:
-            if width == 0:
-                return np.full(nrows_avail, default, dtype=np.int64)
-            v = np.zeros(nrows_avail, dtype=np.int64)
-            for k in range(width):
-                v = (v << 8) | arr[:, lo + k]
-            return v
+            def field_vals(lo: int, width: int, default: int) -> list:
+                if width == 0:
+                    return [default] * nrows_avail
+                v = np.zeros(nrows_avail, dtype=np.int64)
+                for k in range(width):
+                    v = (v << 8) | arr[:, lo + k]
+                return v.tolist()
 
-        types = field_vals(0, w1, 1)  # absent type field → type 1 (spec)
-        f2 = field_vals(w1, w2, 0)
-        f3 = field_vals(w1 + w2, w3, 0)
+            types = field_vals(0, w1, 1)  # absent type → type 1 (spec)
+            f2 = field_vals(w1, w2, 0)
+            f3 = field_vals(w1 + w2, w3, 0)
+        else:
+            fb = int.from_bytes
+            types, f2, f3 = [], [], []
+            for ri in range(nrows_avail):
+                o = ri * row
+                types.append(fb(data[o : o + w1], "big") if w1 else 1)
+                f2.append(fb(data[o + w1 : o + w1 + w2], "big"))
+                f3.append(fb(data[o + w1 + w2 : o + row], "big"))
         ri = 0
         it = iter(index)
         for start, count in zip(it, it):
@@ -605,7 +618,7 @@ class Parser:
                 if ri >= nrows_avail:
                     self.settings.soft_structure(False, "xref stream short data")
                     break
-                t, a, b = int(types[ri]), int(f2[ri]), int(f3[ri])
+                t, a, b = types[ri], f2[ri], f3[ri]
                 num = start + i
                 ri += 1
                 if t == 0:
