@@ -160,6 +160,17 @@ def _q_malformed_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reference_malformed_rows(spark, sf_dir)
 
 
+def _q_mutation_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded mutation-fuzz corpus (r7): the reference's 7 sample
+    PDFs × 12 deterministic mutants (truncate / startxref corruption
+    / bit flips) through lenient extraction via binaryFile — every
+    mutant must land in ok/salvaged/error exactly as the pinned
+    manifest records (zero batch kills; all failures typed)."""
+    from pdfspark.engine import mutation_rows
+
+    return mutation_rows(spark, sf_dir)
+
+
 def _q_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AcroForm interactive-form extraction (r5): §12.7 /Fields DFS
     with /Kids nesting, dotted full names and inherited /FT — every
@@ -332,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_form_fields": _q_form_fields,
         "pdf_reference_golden": _q_reference_golden,
         "pdf_malformed_golden": _q_malformed_golden,
+        "pdf_mutation_golden": _q_mutation_golden,
         "pdf_malformed_policy": _q_malformed,
         "pdf_metadata": _q_metadata,
         "pdf_dates": _q_dates,
@@ -347,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfspark.fuzz import manifest_sql
     from pdfspark.ops import register_ops_oracles
 
     # k = ceil(len/80) text chunks; media after every i%3==2 →
@@ -589,6 +602,10 @@ FROM wk
         "pdf_form_fields": form_fields_sql,
         "pdf_reference_golden": reference_golden_sql,
         "pdf_malformed_golden": malformed_golden_sql,
+        # mutation-fuzz manifest: pinned per-mutant outcomes generated
+        # serially by tools/gen_mutation_manifest.py (deterministic
+        # seeded corruption of the reference's own sample PDFs)
+        "pdf_mutation_golden": manifest_sql(),
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

@@ -28,12 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # run ALSO executes a pinned previous-round commit in a throwaway git
 # worktree, interleaved subprocess-vs-subprocess (tools/ab_bench.py),
 # and embeds per-query cur/prev ratios as `vs_prev_ratio`.
-PREV_ROUND_COMMIT = "51600f7a4a4f25aea380753ad88147195138f70e"  # round-5 final
+PREV_ROUND_COMMIT = "6345672301bc3f9fda62c0c241a7717838ccb891"  # round-6 final
 AB_QUERIES = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_filters",
     "pdf_metadata",
     "pdf_malformed_policy",
+    # r7: pinned after the r6 headline showed +44%/+34% cross-session
+    # drift on these two with no controlled datapoint (VERDICT r6 #2)
+    "pdf_salvage",
+    "pdf_attachments",
     "pdf_roundtrip_encrypted",
     # NB: pdf_roundtrip_cjk_embedded rotates in chained-/UseCMap docs
     # since r4 — its ratio compares a strictly HARDER r4 workload

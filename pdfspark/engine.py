@@ -699,6 +699,46 @@ def reference_malformed_rows(spark, sf_dir: str) -> DataFrame:
     return got.unionByName(dropped)
 
 
+def mutation_rows(spark, sf_dir: str) -> DataFrame:
+    """Driver query `pdf_mutation_golden` (r7): hostile real-corpus
+    fuzz as a driver surface.  The reference's seven sample PDFs are
+    read through the binaryFile source and each expands in-executor
+    into 12 seeded mutants (truncation / startxref corruption /
+    bit flips — pdfspark/fuzz.py), every one driven through lenient
+    extraction.  The oracle is the pinned per-mutant outcome manifest
+    (fuzz_manifest.py): each mutant must land in ok / salvaged /
+    error deterministically, with the error CLASS part of the row —
+    the reference's must-not-crash contract
+    (FileHandlingTest.java:45-55) under web-crawl failure modes.
+    ``sf_dir`` unused (fixed real inputs; driver calling contract)."""
+    paths = [os.path.join(REFERENCE_PDF_DIR, f) for f in REFERENCE_PDFS]
+    payloads = spark.read.format("binaryFile").load(paths)
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from .fuzz import mutant_rows_for
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(
+                    mutant_rows_for(_os.path.basename(path), bytes(content))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fname", "kind", "seed", "status", "err_class", "n_spans",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        ker,
+        schema="fname string, kind string, seed int, status string,"
+        " err_class string, n_spans bigint",
+    )
+
+
 def form_fields_rows(spark, sf_dir: str) -> DataFrame:
     """AcroForm field extraction (driver query `pdf_form_fields`, r5):
     the generator plants 1-5 typed fields (/FT rotating Tx/Btn/Ch),

@@ -46,6 +46,7 @@ def extract_spans_doc(
     settings: Optional[ParserSettings] = None,
     geometry: bool = False,
     tj_kerning: bool = False,
+    _want_doc: bool = False,
 ) -> list[tuple]:
     """One document → ordered [(kind, text, media_ref, offset)], or
     with ``geometry=True`` [(kind, text, media_ref, offset, x, y, w,
@@ -83,6 +84,8 @@ def extract_spans_doc(
             else:
                 out.append((sp[0], sp[1], sp[2], ordinal))
             ordinal += 1
+    if _want_doc:
+        return (doc, out)
     return out
 
 
@@ -94,6 +97,32 @@ def extract_spans(
         return ("ok", None, extract_spans_doc(payload, settings))
     except Exception as e:  # per-row fault policy (§2.8)
         return ("error", f"{type(e).__name__}: {e}", [])
+
+
+def extract_spans_fuzz(
+    payload: bytes,
+) -> tuple[str, str, list[tuple]]:
+    """Hostile-corpus wrapper (driver query `pdf_mutation_golden`):
+    lenient parse (§C.2 reconstruction on) → three-way status:
+
+    - ``ok``        clean entry-point parse, spans extracted
+    - ``salvaged``  a recovery path ran (reconstruction or the
+                    stale-startxref rescan) and extraction succeeded
+    - ``error``     extraction failed; err_class = exception type
+
+    Mirrors the reference's must-not-crash contract
+    (FileHandlingTest.java:45-55) under seeded mutations of its own
+    sample corpus — the web-crawl failure modes."""
+    from .errors import EParseError, ParserSettings  # noqa: F401
+
+    settings = ParserSettings(allow_reconstruction=True)
+    try:
+        doc_spans = extract_spans_doc(payload, settings, _want_doc=True)
+        doc, spans = doc_spans
+        status = "salvaged" if doc.parser.salvaged else "ok"
+        return (status, "", spans)
+    except Exception as e:
+        return ("error", type(e).__name__, [])
 
 
 def extract_spans_geo(

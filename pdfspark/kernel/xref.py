@@ -126,6 +126,10 @@ class Parser:
         self.version: tuple[int, int] = (1, 4)
         self._trailer_seq = 0
         self._scan_cache: Optional[dict[int, int]] = None
+        # True iff a recovery path ran: §C.2 reconstruction or the
+        # stale-startxref rescan.  Surfaces in the fuzz driver row as
+        # status='salvaged' (vs 'ok' for a clean entry-point parse).
+        self.salvaged = False
 
     # ---- X1: entry-point resolve (PDFParser.parse, :62-119) ----------
     def parse(self) -> None:
@@ -180,6 +184,7 @@ class Parser:
             alt = self._find_xref_keyword(before=sx)
             if alt is None or alt == xref_offset:
                 raise
+            self.salvaged = True
             self.xref = XRef()
             self.root_ref = self.info_ref = self.encrypt_ref = None
             self.file_id = None
@@ -200,6 +205,7 @@ class Parser:
            resolve;
         4. if still no /Root, adopt the last /Type /Catalog object.
         """
+        self.salvaged = True
         self.xref = XRef()
         self.root_ref = self.info_ref = self.encrypt_ref = None
         self.file_id = None

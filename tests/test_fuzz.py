@@ -157,3 +157,65 @@ def test_lenient_reconstruction_mutations_never_raise(variant):
             assert status in ("ok", "error")
             if status == "error":
                 assert spans == [] and err
+
+
+# ---------------------------------------------------------------------------
+# r7: the seeded reference-corpus mutation surface (pdf_mutation_golden)
+# ---------------------------------------------------------------------------
+
+
+def _reference_corpus():
+    import os
+
+    from pdfspark.engine import REFERENCE_PDF_DIR, REFERENCE_PDFS
+
+    out = []
+    for rel in REFERENCE_PDFS:
+        path = os.path.join(REFERENCE_PDF_DIR, rel)
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            out.append((os.path.basename(rel), f.read()))
+    return out
+
+
+def test_mutation_corpus_matches_pinned_manifest():
+    """Every seeded mutant of the reference corpus lands in its pinned
+    ok/salvaged/error bucket with the pinned span count — the
+    serial twin of driver query pdf_mutation_golden."""
+    from pdfspark.fuzz import mutant_rows_for
+    from pdfspark.fuzz_manifest import MUTATION_MANIFEST
+
+    got = []
+    for fname, data in _reference_corpus():
+        got.extend(mutant_rows_for(fname, data))
+    assert got == list(MUTATION_MANIFEST)
+
+
+def test_mutation_failures_are_always_typed():
+    """The must-throw contract (FileHandlingTest.java:45-55) under
+    mutation: no failure may escape as anything but the kernel's
+    typed EParseError — a KeyError/ZeroDivisionError here is a
+    missing §2.8 guard, not a legitimate outcome."""
+    from pdfspark.fuzz_manifest import MUTATION_MANIFEST
+
+    classes = {ec for (_f, _k, _s, st, ec, _n) in MUTATION_MANIFEST if st == "error"}
+    assert classes == {"EParseError"}
+    # and the corpus exercises all three outcome buckets
+    assert {st for (_f, _k, _s, st, _e, _n) in MUTATION_MANIFEST} == {
+        "ok", "salvaged", "error",
+    }
+
+
+def test_salvaged_flag_discriminates_recovery_paths():
+    """parser.salvaged: False on a clean parse, True when the file
+    only parses through §C.2 reconstruction."""
+    from pdfspark.kernel.extract import extract_spans_fuzz
+
+    clean = build_pdf("fz1", synth_spans_py("fz1", "clean doc " * 20), "classic")
+    status, err, spans = extract_spans_fuzz(clean)
+    assert (status, err) == ("ok", "") and spans
+
+    broken = clean[: clean.rfind(b"startxref")] + b"%%EOF\n"
+    status2, err2, spans2 = extract_spans_fuzz(broken)
+    assert (status2, err2) == ("salvaged", "") and spans2 == spans
