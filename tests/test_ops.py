@@ -941,3 +941,73 @@ def test_corpus_split_content_keyed(spark):
         .join(dup.select(F.col("doc_id").alias("doc_id2"), "text"), "text")
     )
     assert joined.count() >= 20  # the planted dup pairs share text
+
+
+def test_ivf_geometry_probe_fraction_shrinks_with_n():
+    """r7 probe-fraction scaling: 50% at toy N (cell fragmentation
+    floor), constant-candidate shrink once cells are populated, and
+    the √n_cells floor at production N — pinned at the exact values
+    the sf corpora and the scale extrapolation use."""
+    assert ann._geometry(500) == (22, 11)     # sf0.001/0.01: unchanged 50%
+    assert ann._geometry(2000) == (44, 20)    # sf0.1: shrink ACTIVE (was 22)
+    assert ann._geometry(10_000) == (100, 10)  # √-floor takes over
+    assert ann._geometry(1_000_000) == (1000, 32)
+    assert ann._geometry(10**12) == (4096, 64)  # clamp + √ floor
+    # formula invariants: probe never exceeds cells, never below 4
+    for n in (1, 17, 99, 3000, 12345, 10**7):
+        c, p = ann._geometry(n)
+        assert 4 <= p <= c
+
+
+def test_ivf_recall_holds_at_sf01_with_shrunk_probe():
+    """The r7 done-bar: recall@10 ≥ 0.7 at sf0.1 WITH the shrunk
+    probe count (20 of 44 cells) — serial numpy replica of the
+    trained-IVF plan (same quantized k-means, same tie rules), so the
+    pin runs in ~1 s without a SparkSession."""
+    import duckdb
+    import numpy as np
+
+    E = duckdb.sql(
+        "select vec_id, embedding from "
+        "read_parquet('/root/testdata/sf0.1/embeddings.parquet') "
+        "order by vec_id"
+    ).fetchnumpy()
+    ids = E["vec_id"]
+    X = np.array(list(E["embedding"]), dtype=np.float64)
+    n = len(ids)
+    n_cells, n_probe = ann._geometry(n)
+    assert (n_cells, n_probe) == (44, 20)
+
+    qz = lambda A: np.floor((A + ann.KM_OFF) * ann.KM_SCALE).astype(np.int64)
+    C = qz(X[ids % ann.CENT_MOD == ann.CENT_RES][:n_cells])
+    samp = qz(X[ids % ann.KM_MOD == ann.KM_RES][: ann.KM_CAP])
+    for _ in range(ann.KM_ITERS):
+        d2 = ((samp[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        C = C.copy()
+        for c in range(n_cells):
+            m = samp[a == c]
+            if len(m):
+                C[c] = m.sum(axis=0) // len(m)
+    Cn = C.astype(np.float64) / ann.KM_SCALE - ann.KM_OFF
+    Cn /= np.linalg.norm(Cn, axis=1, keepdims=True)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cell = np.argmax(Xn @ Cn.T, axis=1)
+
+    K = ann.TOP_K
+    Q = Xn[: ann.N_QUERIES]
+    S = Q @ Xn.T
+    qc = Q @ Cn.T
+    recall = 0.0
+    for i in range(ann.N_QUERIES):
+        s = S[i].copy()
+        s[i] = -2.0
+        truth = set(ids[np.lexsort((np.arange(n), -s))[:K]])
+        probed = set(np.lexsort((np.arange(n_cells), -qc[i]))[:n_probe])
+        cand = np.array(
+            [j for j in range(n) if cell[j] in probed and j != i]
+        )
+        got = set(ids[cand[np.lexsort((cand, -S[i][cand]))[:K]]])
+        recall += len(got & truth) / K
+    recall /= ann.N_QUERIES
+    assert recall >= 0.7, f"sf0.1 recall {recall} below the 0.7 pin"
