@@ -49,12 +49,16 @@ FROM c WHERE i % 3 = 2
 # spans identity with the generator's a-z → U+4E00.. transliteration
 # applied (the cjk:hanzi contract); mapping mirrored from
 # codec._HANZI_TRANS 1:1 so chunk boundaries are unchanged
-_HANZI_SQL_TO = "".join(chr(0x4E00 + i) for i in range(26))
-_HANZI_ORACLE_SQL = _SPANS_ORACLE_SQL.replace(
-    "substr(text, CAST(i*80+1 AS INT), 80) AS text",
-    "translate(substr(text, CAST(i*80+1 AS INT), 80),"
-    f" 'abcdefghijklmnopqrstuvwxyz', '{_HANZI_SQL_TO}') AS text",
-)
+def _translit_oracle_sql(cp0: int) -> str:
+    to = "".join(chr(cp0 + i) for i in range(26))
+    return _SPANS_ORACLE_SQL.replace(
+        "substr(text, CAST(i*80+1 AS INT), 80) AS text",
+        "translate(substr(text, CAST(i*80+1 AS INT), 80),"
+        f" 'abcdefghijklmnopqrstuvwxyz', '{to}') AS text",
+    )
+
+
+_HANZI_ORACLE_SQL = _translit_oracle_sql(0x4E00)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -328,6 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_cjk_embedded": _q_roundtrip("cjk:embedded"),
         "pdf_roundtrip_hanzi": _q_roundtrip("cjk:hanzi"),
         "pdf_roundtrip_japan1": _q_roundtrip("cjk:japan1"),
+        "pdf_roundtrip_gb1": _q_roundtrip("cjk:gb1"),
+        "pdf_roundtrip_cns1": _q_roundtrip("cjk:cns1"),
+        "pdf_roundtrip_korea1": _q_roundtrip("cjk:korea1"),
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_roundtrip_type3": _q_roundtrip("type3"),
         "pdf_roundtrip_pubsec": _q_roundtrip("pubsec"),
@@ -521,6 +528,14 @@ FROM k
         # collection table (kernel/cidcollections.py) recovers the
         # text, so plain spans identity IS the check
         "pdf_roundtrip_japan1": _SPANS_ORACLE_SQL,
+        # r7 collection breadth: GB1/CNS1/Korea1 — ASCII rides the
+        # proportional-Roman CIDs 1-95; a-z transliterates into each
+        # collection's 26-glyph CJK/hangul block carried by
+        # out-of-band demo-supplement CIDs loaded via the cid2code
+        # deployment hook; no bf/ToUnicode anywhere
+        "pdf_roundtrip_gb1": _translit_oracle_sql(0x4E00),
+        "pdf_roundtrip_cns1": _translit_oracle_sql(0x9E00),
+        "pdf_roundtrip_korea1": _translit_oracle_sql(0xAC00),
         # Form XObjects: half the text spans render through /FmK Do
         # (rotating /Matrix + own-vs-inherited /Resources) — the
         # interpreter recursion must preserve the exact span sequence

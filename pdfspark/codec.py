@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 from .kernel.cos import (
     CDict, CStream, CString, Name, Ref, produce, produce_literal_string,
@@ -133,36 +133,82 @@ _HANZI_TRANS = str.maketrans(
     "".join(chr(0x4E00 + i) for i in range(26)),
 )
 
-# variant cjk:japan1 — embedded CMap whose codes map to Adobe-Japan1
-# CIDs (codespace <2020>-<207e>, cidrange → CIDs 1-94, NO bf sections,
-# no ToUnicode): extraction must translate CIDs through the registered
-# character collection (kernel/cidcollections.py), not chr(cid)
-_JAPAN1_CMAP = b"""%!PS-Adobe-3.0 Resource-CMap
+# variants cjk:japan1 / cjk:gb1 / cjk:cns1 / cjk:korea1 — embedded
+# CMap whose codes map to CIDs of a REGISTERED Adobe character
+# collection (NO bf sections, no ToUnicode): extraction must translate
+# CIDs through kernel/cidcollections.py, not chr(cid).  Codespace
+# <2020>-<207e> → CIDs 1-95 (the spec-documented proportional-Roman
+# opening each collection shares); when the variant carries real CJK
+# (the a-z transliteration block), a second codespace <e000>-<e019>
+# maps to the collection's out-of-band DEMO-SUPPLEMENT CIDs, loaded
+# through the cid2code deployment hook.
+# (ordering, claimed supplement, translit codepoint base or None,
+#  supplement CID base or None, excluded chars)
+_COLL_VARIANTS: dict[str, tuple] = {
+    "japan1": ("Japan1", 7, None, None, ""),
+    "gb1": ("GB1", 5, 0x4E00, 60000, ""),
+    "cns1": ("CNS1", 7, 0x9E00, 61000, ""),
+    # Korea1 CID 61 (0x5C) is deliberately unshipped (KS X 1003 won
+    # sign ambiguity) — backslash spans fall back to the simple font
+    "korea1": ("Korea1", 2, 0xAC00, 62000, "\\"),
+}
+
+
+def _collection_cmap(
+    ordering: str, supplement: int, cid_base: Optional[int]
+) -> bytes:
+    extra_cs = b"\n<e000> <e019>" if cid_base is not None else b""
+    extra_cr = (
+        b"\n<e000> <e019> %d" % cid_base if cid_base is not None else b""
+    )
+    n = 2 if cid_base is not None else 1
+    return (
+        b"""%%!PS-Adobe-3.0 Resource-CMap
 /CIDInit /ProcSet findresource begin
 12 dict begin
 begincmap
-/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 7 >> def
-/CMapName /pdfspark-Japan1-H def
+/CIDSystemInfo << /Registry (Adobe) /Ordering (%s) /Supplement %d >> def
+/CMapName /pdfspark-%s-H def
 /CMapType 1 def
-1 begincodespacerange
-<2020> <207e>
+%d begincodespacerange
+<2020> <207e>%s
 endcodespacerange
-1 begincidrange
-<2020> <207e> 1
+%d begincidrange
+<2020> <207e> 1%s
 endcidrange
 endcmap CMapName currentdict /CMap defineresource pop end end"""
+        % (
+            ordering.encode(), supplement, ordering.encode(),
+            n, extra_cs, n, extra_cr,
+        )
+    )
 
 
-def _japan1_ok(text: str) -> bool:
-    return all(0x20 <= ord(ch) <= 0x7E for ch in text)
+def _make_collection_show(
+    cp0: Optional[int], exclude: str
+) -> "Callable[[str], Optional[bytes]]":
+    """Show-bytes encoder for a collection variant: ASCII rides the
+    Roman codes <20xx>; the 26-glyph transliteration block (when the
+    variant has one) rides the demo-supplement codes <e0xx>; any
+    other character punts the whole span to the simple/CID fonts
+    (None) — output text is identical either way, only the decode
+    path differs."""
 
+    def show(text: str) -> Optional[bytes]:
+        out = bytearray()
+        for ch in text:
+            o = ord(ch)
+            if 0x20 <= o <= 0x7E and ch not in exclude:
+                out.append(0x20)
+                out.append(o)
+            elif cp0 is not None and cp0 <= o < cp0 + 26:
+                out.append(0xE0)
+                out.append(o - cp0)
+            else:
+                return None
+        return b"<" + bytes(out).hex().encode("ascii") + b">"
 
-def _show_bytes_japan1(text: str) -> bytes:
-    out = bytearray()
-    for ch in text:
-        out.append(0x20)
-        out.append(ord(ch))
-    return b"<" + bytes(out).hex().encode("ascii") + b">"
+    return show
 
 
 def _show_bytes_gbk(text: str) -> Optional[bytes]:
@@ -355,7 +401,7 @@ def _content_for(
     embedded_code_of: Optional[dict[str, bytes]] = None,
     form_sink=None,
     type3: bool = False,
-    japan1: bool = False,
+    coll_show: Optional[Callable[[str], Optional[bytes]]] = None,
 ) -> tuple[bytes, bool]:
     if (
         _CTOK_EMIT_CONTENT is not None
@@ -363,7 +409,7 @@ def _content_for(
         and embedded_code_of is None
         and form_sink is None
         and not type3
-        and not japan1
+        and coll_show is None
     ):
         # C fast path (structural corpus): byte-parity with the loop
         # below is fuzz-pinned; None = punt (e.g. lone surrogates)
@@ -375,7 +421,7 @@ def _content_for(
             return res
     return _content_for_py(
         spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
-        form_sink=form_sink, type3=type3, japan1=japan1,
+        form_sink=form_sink, type3=type3, coll_show=coll_show,
     )
 
 
@@ -386,7 +432,7 @@ def _content_for_py(
     embedded_code_of: Optional[dict[str, bytes]] = None,
     form_sink=None,
     type3: bool = False,
-    japan1: bool = False,
+    coll_show: Optional[Callable[[str], Optional[bytes]]] = None,
 ) -> tuple[bytes, bool]:
     """Returns (content bytes, used_cid_font). Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
@@ -408,11 +454,12 @@ def _content_for_py(
             y -= 60
             continue
         simple = _show_bytes_simple(text or "")
-        if japan1 and text and _japan1_ok(text):
-            # Adobe-Japan1 collection codes: every printable-ASCII
-            # span rides /F3; everything else falls to /F1//F2
-            gbk: Optional[bytes] = _show_bytes_japan1(text)
-            _emb = _show_bytes_japan1
+        if coll_show is not None and text:
+            # character-collection codes: every encodable span rides
+            # /F3 (Roman CIDs + demo-supplement CJK CIDs); everything
+            # else falls to /F1//F2
+            gbk: Optional[bytes] = coll_show(text)
+            _emb = coll_show
         elif embedded_code_of is not None:
             def _emb(t, _c=embedded_code_of):
                 return _show_bytes_embedded(t, _c)
@@ -1096,7 +1143,7 @@ def build_object_graph(
     navigation: bool = False,
     type3: bool = False,
     acroform: bool = False,
-    cjk_japan1: bool = False,
+    cid_collection: Optional[str] = None,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -1218,29 +1265,31 @@ def build_object_graph(
         f3[Name("Encoding")] = Ref(cmap_num, 0)
         f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
         f3_num = g.add(f3)
-    elif cjk_japan1:
-        # Type0 + embedded CMap whose codes are Adobe-Japan1 CIDs
-        # (constant stream; /CIDSystemInfo /Ordering (Japan1), no bf
-        # sections, no ToUnicode) — extraction must consult the
-        # registered character collection (kernel/cidcollections.py)
-        cmj = _encode_content(_JAPAN1_CMAP, ["flate"])
+    elif cid_collection is not None:
+        # Type0 + embedded CMap whose codes are CIDs of a registered
+        # Adobe character collection (constant stream; /CIDSystemInfo
+        # /Ordering, no bf sections, no ToUnicode) — extraction must
+        # consult kernel/cidcollections.py (Roman opening + the
+        # cid2code-loaded demo supplement when the variant carries CJK)
+        ordering, supp, _cp0, cid_base, _excl = _COLL_VARIANTS[cid_collection]
+        cmj = _encode_content(_collection_cmap(ordering, supp, cid_base), ["flate"])
         cmj.dict[Name("Type")] = Name("CMap")
-        cmj.dict[Name("CMapName")] = Name("pdfspark-Japan1-H")
+        cmj.dict[Name("CMapName")] = Name(f"pdfspark-{ordering}-H")
         cmap_num = g.add(cmj)
         desc3 = CDict()
         desc3[Name("Type")] = Name("Font")
         desc3[Name("Subtype")] = Name("CIDFontType0")
-        desc3[Name("BaseFont")] = Name("Japan1Sample")
+        desc3[Name("BaseFont")] = Name(f"{ordering}Sample")
         csi = CDict()
         csi[Name("Registry")] = CString(b"Adobe")
-        csi[Name("Ordering")] = CString(b"Japan1")
-        csi[Name("Supplement")] = 7
+        csi[Name("Ordering")] = CString(ordering.encode("ascii"))
+        csi[Name("Supplement")] = supp
         desc3[Name("CIDSystemInfo")] = csi
         desc3_num = g.add(desc3)
         f3 = CDict()
         f3[Name("Type")] = Name("Font")
         f3[Name("Subtype")] = Name("Type0")
-        f3[Name("BaseFont")] = Name("Japan1Sample")
+        f3[Name("BaseFont")] = Name(f"{ordering}Sample")
         f3[Name("Encoding")] = Ref(cmap_num, 0)
         f3[Name("DescendantFonts")] = [Ref(desc3_num, 0)]
         f3_num = g.add(f3)
@@ -1353,6 +1402,11 @@ def build_object_graph(
             resources[Name("XObject")] = xobj_res
         return rname.encode("ascii")
 
+    coll_show: Optional[Callable[[str], Optional[bytes]]] = None
+    if cid_collection is not None:
+        _o, _s, _cp0, _cb, _excl = _COLL_VARIANTS[cid_collection]
+        coll_show = _make_collection_show(_cp0, _excl)
+
     # paginate spans → pages + content streams
     page_nums: list[int] = []
     for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
@@ -1360,7 +1414,7 @@ def build_object_graph(
         body, _ = _content_for(
             page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
             form_sink=form_sink if forms else None, type3=type3,
-            japan1=cjk_japan1,
+            coll_show=coll_show,
         )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
@@ -2166,13 +2220,27 @@ def build_pdf(
             (k, t.translate(_HANZI_TRANS) if t else t, m, o)
             for (k, t, m, o) in spans
         ]
-    cjk_japan1 = False
-    if variant == "cjk:japan1":
-        # Adobe-Japan1 character-collection decode (r6): codes → CIDs
-        # 1-94 via an embedded CMap; no bf/ToUnicode anywhere — only
-        # the collection table recovers the ASCII text
+    cid_collection: Optional[str] = None
+    if variant.startswith("cjk:") and variant[4:] in _COLL_VARIANTS:
+        # character-collection decode (r6 japan1; r7 gb1/cns1/korea1):
+        # codes → collection CIDs via an embedded CMap; no
+        # bf/ToUnicode anywhere — only the registered CID→Unicode
+        # table recovers the text.  The r7 orderings also
+        # transliterate a-z into their 26-glyph CJK block (hanzi /
+        # hangul), carried by demo-supplement CIDs loaded through the
+        # cid2code deployment hook — real CJK end-to-end
         layout = "classic"
-        cjk_japan1 = True
+        cid_collection = variant[4:]
+        _o, _s, cp0, _cb, _excl = _COLL_VARIANTS[cid_collection]
+        if cp0 is not None:
+            trans = str.maketrans(
+                "abcdefghijklmnopqrstuvwxyz",
+                "".join(chr(cp0 + i) for i in range(26)),
+            )
+            spans = [
+                (k, t.translate(trans) if t else t, m, o)
+                for (k, t, m, o) in spans
+            ]
     cjk_chained = False
     if variant == "cjk:embedded":
         # Type0 + fully custom EMBEDDED CMap stream (no ToUnicode):
@@ -2240,7 +2308,7 @@ def build_pdf(
         doc_id, spans, content_filters, info_fields, catalog_extra, xml_metadata,
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
         forms=forms, attachments=attachments, navigation=navigation,
-        type3=type3, acroform=acroform, cjk_japan1=cjk_japan1,
+        type3=type3, acroform=acroform, cid_collection=cid_collection,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

@@ -389,3 +389,96 @@ def test_collection_register_hook():
         assert cc.collection_table("TestOrd1")[8] == "Y"
     finally:
         cc._COLLECTIONS.pop("TestOrd1", None)
+
+
+# ---------------------------------------------------------------------------
+# r7: GB1 / CNS1 / Korea1 collection breadth + the cid2code loader
+# ---------------------------------------------------------------------------
+
+
+def test_roman_openings_ship_for_all_four_collections():
+    """Each classic Adobe collection opens with the proportional
+    Roman set, CIDs 1-95 = U+0020-U+007E (TN #5078/5079/5080/5093) —
+    with Korea1's 0x5C column deliberately absent (KS X 1003 won-sign
+    ambiguity: no unverifiable pin, fallback applies)."""
+    from pdfspark.kernel.cidcollections import collection_table
+
+    for ordering in ("Japan1", "GB1", "CNS1"):
+        tab = collection_table(ordering)
+        assert tab[1] == " " and tab[34] == "A" and tab[95] == "~"
+    kr = collection_table("Korea1")
+    assert kr[1] == " " and kr[95] == "~"
+    assert 61 not in kr  # the 0x5C position — documented hole
+
+
+def test_cid2code_loader_parses_adobe_format():
+    """load_cid2code handles the public cid2code.txt conventions:
+    # comments, header row, * holes, comma candidate lists, trailing
+    variant tags, and explicit column selection."""
+    from pdfspark.kernel.cidcollections import load_cid2code
+
+    text = (
+        "# comment line\n"
+        "CID\tJIS\tUniJIS-UCS2\n"
+        "10\t2121\t4E00\n"
+        "11\t2122\t*\n"
+        "12\t2123\t4E01v\n"
+        "13\t2124\t4E02,4E03\n"
+        "bogus\tx\ty\n"
+        "14\t2125\tZZZZ\n"
+    )
+    tab = load_cid2code(text)
+    assert tab == {10: "一", 12: "丁", 13: "丂"}
+    # explicit column pick
+    tab2 = load_cid2code(text, column="JIS")
+    assert tab2[10] == "℡"
+
+
+def test_demo_supplements_out_of_band_and_isolated():
+    """The synthetic-corpus demo supplements sit at CIDs >= 60000
+    (above every published Adobe supplement) and do not cross-talk
+    between orderings."""
+    from pdfspark.kernel.cidcollections import (
+        DEMO_SUPPLEMENTS, collection_table,
+    )
+
+    for ordering, base, cp0 in DEMO_SUPPLEMENTS:
+        tab = collection_table(ordering)
+        assert base >= 60000
+        for i in (0, 25):
+            assert tab[base + i] == chr(cp0 + i)
+    # no cross-talk: GB1's block is absent from CNS1 and vice versa
+    assert 61000 not in collection_table("GB1")
+    assert 60000 not in collection_table("CNS1")
+
+
+def test_collection_roundtrips_real_cjk():
+    """End-to-end: each r7 ordering extracts real CJK/hangul through
+    its collection table (Roman CIDs + demo-supplement CIDs), with
+    un-encodable characters (Korea1 backslash) falling back to the
+    simple font — output text identical either way."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import extract_spans
+
+    text = "mixed Case back\\slash digits 007 tail"
+    for variant, cp0 in (
+        ("cjk:gb1", 0x4E00), ("cjk:cns1", 0x9E00), ("cjk:korea1", 0xAC00)
+    ):
+        spans = synth_spans_py("cc-" + variant, text)
+        st, err, got = extract_spans(
+            build_pdf("cc-" + variant, spans, variant)
+        )
+        assert st == "ok", (variant, err)
+        tr = str.maketrans(
+            "abcdefghijklmnopqrstuvwxyz",
+            "".join(chr(cp0 + i) for i in range(26)),
+        )
+        expect = [
+            (k, t.translate(tr) if t else t, m, o) for (k, t, m, o) in spans
+        ]
+        assert [tuple(s) for s in got] == expect
+        # the CJK really came through: at least one supplement glyph
+        assert any(
+            t and any(cp0 <= ord(ch) < cp0 + 26 for ch in t)
+            for (_k, t, _m, _o) in got
+        )
