@@ -241,80 +241,81 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round this list rotates: queries whose code CHANGED this round
 # (or that have never been driver-checked) come first; the tail —
 # rotated outside the window — must stay byte-identical to the commit
-# of their last green row.  r6 window: the 4 NEW queries
-# (pdf_malformed_golden, media_video_frames, pdf_roundtrip_hanzi,
-# pdf_roundtrip_japan1), every pdf_* pipeline (the r6 generation C
-# tier rewrites codec emission and the kernel gained the simple-font
-# C fast path + CID collections — all 26 re-verify), the two changed
-# streaming surfaces (stream_append_counts no-data-batch wait;
-# pdf_stream_extract rides the changed kernel), the four media
-# queries (ops/multimodal.py changed), the r4/r5-verdict
-# stale-evidence six (html_main_text, html_block_stats,
-# dedup_minhash_pairs, dedup_clusters + media_audio_meta/media_frames
-# already above), and longest-stale r4-green ops refreshes.  Rotated
-# OUT (r5-green, function-level untouched in r6): relational+curate
-# (12), stream_window/user_counts, chunk_boilerplate, IVF (2),
-# rep/pack/rarity/incremental (4), form/reference golden pins stay IN
-# via the pdf block, token_count/text_fingerprint/text_normalize/
-# corpus_sample/gopher_quality_flags/bm25_topk/dedup_skipped_buckets.
+# of their last green row.  r7 window (VERDICT r6 ask #6): ALL 33
+# queries outside the r6 window lead — the 4 NEW r7 surfaces
+# (pdf_roundtrip_gb1/cns1/korea1 through the cid2code loader,
+# pdf_mutation_golden over the seeded mutation corpus), the 2
+# IVF queries (r7 probe-fraction shrink changed ops/ann.py), and the
+# 27 two-round-stale r4/r5-green rows (relational, curate, textstats,
+# stream_window/user_counts).  The remaining 16 slots carry this
+# round's changed code: media_decode_real (progressive-JPEG rotation,
+# ops/multimodal.py + codec.py), the CID-loader-dependent CJK rows
+# (hanzi/japan1), and the PDF pipelines the r7 structural-parse
+# kernel work touches (interleaved/objstream/incremental/filters/
+# encrypted/cjk_embedded/forms/type3/pubsec/salvage ×2/reference/
+# malformed ×2).  Rotated OUT (all r6-green, one round stale):
+# pdf_roundtrip_cjk, span_geometry ×4, attachments/outlines/links/
+# form_fields, metadata/dates/span_stats/catalog_fields,
+# media_meta/frames/audio, html ×2, dedup exact/simhash/minhash/
+# clusters/jaccard, ann cosine/lsh, embed_neardup, text_quality,
+# lang_id, corpus_split, stream_dedup_events, pdf_stream_extract,
+# stream_append_counts.
 _DRIVER_WINDOW = [
-    # --- NEW in r6 --------------------------------------------------
-    "pdf_malformed_golden",
-    "media_video_frames",
-    "pdf_roundtrip_hanzi",
-    "pdf_roundtrip_japan1",
-    # --- streaming surfaces new/changed in r6 -----------------------
-    "stream_dedup_events",
-    "pdf_stream_extract",
-    "stream_append_counts",
-    # --- PDF pipelines (r6 C emission + kernel fast paths) ----------
+    # --- NEW in r7 --------------------------------------------------
+    "pdf_roundtrip_gb1",
+    "pdf_roundtrip_cns1",
+    "pdf_roundtrip_korea1",
+    "pdf_mutation_golden",
+    # --- changed in r7: IVF probe-fraction shrink -------------------
+    "ann_ivf_topk",
+    "ann_ivf_cells",
+    # --- changed in r7: progressive JPEG in the decode rotation -----
+    "media_decode_real",
+    # --- two-round-stale refresh (outside the r6 window) ------------
+    "dedup_skipped_buckets",
+    "chunk_boilerplate",
+    "dedup_incremental",
+    "token_count",
+    "text_fingerprint",
+    "text_normalize",
+    "bm25_topk",
+    "corpus_sample",
+    "text_windows",
+    "gopher_quality_flags",
+    "rep_signals",
+    "pack_sequences",
+    "unigram_rarity",
+    "corpus_curate",
+    "benchmark_contamination",
+    "corpus_profile",
+    "corpus_quantiles",
+    "events_range_join",
+    "lineitem_pricing_summary",
+    "orders_revenue_by_nation",
+    "events_latest_dedup",
+    "events_sessionize",
+    "events_window_agg",
+    "events_asof_click",
+    "top_documents",
+    "stream_window_counts",
+    "stream_user_counts",
+    # --- r7 structural-parse kernel + CID-loader surfaces -----------
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_incremental",
     "pdf_roundtrip_filters",
     "pdf_roundtrip_encrypted",
-    "pdf_roundtrip_cjk",
     "pdf_roundtrip_cjk_embedded",
+    "pdf_roundtrip_hanzi",
+    "pdf_roundtrip_japan1",
     "pdf_roundtrip_forms",
     "pdf_roundtrip_type3",
     "pdf_roundtrip_pubsec",
     "pdf_salvage",
     "pdf_salvage_encrypted",
-    "pdf_span_geometry",
-    "pdf_span_geometry_cid",
-    "pdf_span_geometry_kerned",
-    "pdf_span_geometry_type3",
-    "pdf_attachments",
-    "pdf_outlines",
-    "pdf_links",
-    "pdf_form_fields",
     "pdf_reference_golden",
+    "pdf_malformed_golden",
     "pdf_malformed_policy",
-    "pdf_metadata",
-    "pdf_dates",
-    "pdf_span_stats",
-    "pdf_catalog_fields",
-    # --- media (ops/multimodal.py changed in r6) --------------------
-    "media_decode_real",
-    "media_audio_meta",
-    "media_frames",
-    "media_meta",
-    # --- stale-evidence refresh (r5 verdict ask #2) -----------------
-    "html_main_text",
-    "html_block_stats",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    # --- longest-stale r4-green ops refreshes -----------------------
-    "dedup_exact",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embed_neardup_pairs",
-    "text_quality",
-    "lang_id",
-    # --- NEW in r6 (late): content-keyed split assignment -----------
-    "corpus_split",
 ]
 
 

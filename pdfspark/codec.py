@@ -928,6 +928,106 @@ def _jpeg_bytes(w: int, h: int, mcu_color) -> bytes:
     )
 
 
+# Progressive AC table: the EOBn symbols n<<4 for n = 0..6 (EOB runs
+# up to 64+extra blocks — covers every geometry the generator emits),
+# all at canonical length 3.
+JPEG_PROG_AC_BITS = (0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+JPEG_PROG_AC_VALS = tuple(n << 4 for n in range(7))
+
+
+def _jpeg_progressive_bytes(w: int, h: int, mcu_color) -> bytes:
+    """Progressive JPEG (SOF2) with the same solid-MCU lossless
+    contract as the baseline encoder (DC-only blocks, all-ones
+    quant).  Real multi-scan structure per T.81 Annex G: interleaved
+    DC-first with successive approximation (Al=1), a DC refinement
+    scan of raw LSBs (no Huffman), then per-component
+    spectral-selection AC bands 1-5 and 6-63 — every band all-zero,
+    coded as genuine EOBn runs (run = block count, extension bits
+    included), so a decoder must walk DC approximation, refinement
+    bit append, band progression AND EOB-run accounting to land on
+    the pixels."""
+    import struct
+
+    dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac = _huff_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    nblocks = mx * my
+    dcvals = []
+    for j in range(my):
+        for i in range(mx):
+            ycc = _jpeg_ycc(*mcu_color(j, i))
+            dcvals.append(tuple(8 * (v - 128) for v in ycc))
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    scans: list[bytes] = []
+    # scan 1: DC first pass, interleaved, point transform Al=1
+    # (arithmetic shift per G.1.2.1)
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for b in range(nblocks):
+        for c in range(3):
+            t = dcvals[b][c] >> 1
+            _jpeg_put_dc(bw, dc, t - pred[c])
+            pred[c] = t
+    scans.append(sos([1, 2, 3], 0, 0, 0, 1) + bw.flush())
+    # scan 2: DC refinement — one raw LSB per block per component
+    bw = _JpegBitWriter()
+    for b in range(nblocks):
+        for c in range(3):
+            bw.put(dcvals[b][c] & 1, 1)
+    scans.append(sos([1, 2, 3], 0, 0, 1, 0) + bw.flush())
+    # AC band scans (single-component, all-zero → one EOBn run each)
+    for cid in (1, 2, 3):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _JpegBitWriter()
+            n = nblocks.bit_length() - 1
+            bw.put(*ac[n << 4])
+            if n:
+                bw.put(nblocks - (1 << n), n)
+            scans.append(sos([cid], ss, se, 0, 0) + bw.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + dht(1, 0, JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
+def _media_jpeg_progressive_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) progressive JPEG, deterministic in
+    media_ref — same dims/color contract as the baseline twin (digest
+    bytes 0-4), same YCbCr-roundtrip means oracle."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = (h[2], h[3], h[4])
+    return _jpeg_progressive_bytes(w, ht, lambda j, i: color)
+
+
 def _media_jpeg_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) baseline JPEG, deterministic in media_ref:
     same dims/color contract as the BMP/PNG/GIF/TIFF twins (digest

@@ -510,16 +510,21 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def _jpeg_decode(payload: bytes) -> dict:
-    """REAL baseline JPEG pixel decode in pure numpy (r5): marker
-    walk, DQT (8/16-bit) + DHT canonical table build, interleaved-MCU
-    Huffman entropy decode with per-component DC prediction, dequant,
+    """REAL JPEG pixel decode in pure numpy: marker walk, DQT (8/16
+    bit) + DHT canonical table build, entropy decode, dequant,
     de-zigzag, float IDCT, level shift, fixed-point YCbCr→RGB
     (codec._jpeg_rgb — the exact integer mirror the SQL oracle uses).
-    Supported: SOF0/SOF1, 4:4:4 (all sampling factors 1×1) or
-    grayscale, no restart intervals — everything the codec-free
-    encoder emits plus generic tables/coefficients; anything else
-    raises NotImplementedError and the caller falls back to
-    header-only dims."""
+
+    Baseline (SOF0/SOF1) and PROGRESSIVE (SOF2, r7) frames share one
+    multi-scan coefficient accumulator: DC first/refinement scans
+    with successive approximation (T.81 G.1.2.1: arithmetic-shift
+    point transform, refinement appends raw bits), per-component
+    spectral-selection AC bands with EOBn run accounting (G.1.2.2),
+    and AC refinement with correction bits (G.1.2.3).  A baseline
+    scan is the degenerate case Ss=0/Se=63/Ah=Al=0.  Supported:
+    4:4:4 (all sampling factors 1×1) or grayscale, no restart
+    intervals; anything else raises NotImplementedError and the
+    caller falls back to header-only dims."""
     import struct
 
     import numpy as np
@@ -529,14 +534,14 @@ def _jpeg_decode(payload: bytes) -> dict:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    scans = []  # (order[cid...], sel{cid:(dc,ac)}, ss, se, ah, al, off)
     i = 2
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise NotImplementedError("JPEG marker stream desynced")
         marker = payload[i + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
+        if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+            i += 2 if marker != 0xFF else 1
             continue
         if marker == 0xD9 or i + 4 > len(payload):
             break
@@ -572,7 +577,7 @@ def _jpeg_decode(payload: bytes) -> dict:
                     code <<= 1
                 htables[(cls, tid)] = table
                 j += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG precision beyond 8-bit")
@@ -583,68 +588,177 @@ def _jpeg_decode(payload: bytes) -> dict:
                     raise NotImplementedError("subsampled JPEG")
                 comps.append({"id": cid, "tq": tq})
             frame = (w, h, comps)
-        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
-            raise NotImplementedError("non-baseline JPEG frame")
+        elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
+            raise NotImplementedError("unsupported JPEG frame type")
         elif marker == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
             if ri:
                 raise NotImplementedError("JPEG restart intervals")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — collect; entropy data follows
             ns = body[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
-            scan = (sel, i + 2 + seglen)
-            break
+                order.append(cid)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            data_off = i + 2 + seglen
+            scans.append((order, sel, ss, se, ahal >> 4, ahal & 0xF, data_off))
+            # skip entropy-coded data to the next true marker
+            j = data_off
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00:
+                    break
+                j += 1
+            i = j
+            continue
         i += 2 + seglen
-    if frame is None or scan is None:
-        raise NotImplementedError("JPEG without baseline SOF + SOS")
+    if frame is None or not scans:
+        raise NotImplementedError("JPEG without SOF + SOS")
     w, h, comps = frame
     if w == 0 or h == 0:
         raise NotImplementedError("degenerate JPEG geometry")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
-    sel, data_off = scan
-    rd = _JpegBitReader(payload, data_off)
-    basis = _jpeg_idct_basis()
+
     mx, my = (w + 7) // 8, (h + 7) // 8
-    planes = [
-        np.zeros((my * 8, mx * 8), dtype=np.int64) for _ in comps
+    nblocks = mx * my
+    cidx = {comp["id"]: ci for ci, comp in enumerate(comps)}
+    # zigzag-order coefficient accumulator, per component per block
+    coefs = [
+        np.zeros((nblocks, 64), dtype=np.int64) for _ in comps
     ]
-    pred = [0] * len(comps)
-    for by in range(my):
-        for bx in range(mx):
-            for ci, comp in enumerate(comps):
-                dc_tid, ac_tid = sel[comp["id"]]
-                q = qtables[comp["tq"]]
-                coef = np.zeros(64, dtype=np.float64)
-                cat = rd.huff(htables[(0, dc_tid)])
-                pred[ci] += _jpeg_extend(rd.bits(cat), cat)
-                coef[0] = pred[ci] * q[0]
-                k = 1
-                while k < 64:
-                    sym = rd.huff(htables[(1, ac_tid)])
-                    if sym == 0x00:  # EOB
-                        break
+    for order, sel, ss, se, ah, al, off in scans:
+        rd = _JpegBitReader(payload, off)
+        if ss == 0:
+            # DC scan (baseline when se == 63: AC rides the same
+            # block loop); interleaved in `order`, 1×1 sampling → one
+            # block per component per MCU
+            pred = {cid: 0 for cid in order}
+            for b in range(nblocks):
+                for cid in order:
+                    cf = coefs[cidx[cid]][b]
+                    dc_tid, ac_tid = sel[cid]
+                    if ah == 0:
+                        cat = rd.huff(htables[(0, dc_tid)])
+                        pred[cid] += _jpeg_extend(rd.bits(cat), cat)
+                        cf[0] = pred[cid] << al
+                    elif rd.bit():
+                        cf[0] |= 1 << al
+                    if se >= 1:  # baseline AC
+                        k = 1
+                        while k <= se:
+                            sym = rd.huff(htables[(1, ac_tid)])
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    break  # EOB
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC overrun")
+                            cf[k] = _jpeg_extend(rd.bits(size), size)
+                            k += 1
+            continue
+        # progressive AC scan: single component (T.81 G.1.1)
+        if len(order) != 1:
+            raise NotImplementedError("interleaved progressive AC scan")
+        cid = order[0]
+        carr = coefs[cidx[cid]]
+        actab = htables[(1, sel[cid][1])]
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+
+        def _refine_nonzero(cf, k):
+            # G.1.2.3: one correction bit per already-nonzero coef
+            if rd.bit() and not (cf[k] & p1):
+                cf[k] += p1 if cf[k] > 0 else m1
+
+        for b in range(nblocks):
+            cf = carr[b]
+            if ah == 0:  # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(actab)
                     run, size = sym >> 4, sym & 0xF
                     if size == 0:
-                        if run != 15:
-                            raise NotImplementedError("bad JPEG AC symbol")
+                        if run < 15:  # EOBn
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += rd.bits(run)
+                            break
                         k += 16  # ZRL
                         continue
                     k += run
-                    if k > 63:
-                        raise NotImplementedError("JPEG AC overrun")
-                    coef[_JPEG_ZIGZAG[k]] = (
-                        _jpeg_extend(rd.bits(size), size) * q[k]
-                    )
+                    if k > se:
+                        raise NotImplementedError("JPEG AC band overrun")
+                    cf[k] = _jpeg_extend(rd.bits(size), size) << al
                     k += 1
-                block = basis.T @ coef.reshape(8, 8) @ basis
-                px = np.rint(block).astype(np.int64) + 128
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = np.clip(px, 0, 255)
+            else:  # AC refinement pass
+                if eobrun:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if cf[k]:
+                            _refine_nonzero(cf, k)
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(actab)
+                    run, size = sym >> 4, sym & 0xF
+                    newval = 0
+                    if size == 0:
+                        if run < 15:  # EOBn: finish band w/ corrections
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += rd.bits(run)
+                            for kk in range(k, se + 1):
+                                if cf[kk]:
+                                    _refine_nonzero(cf, kk)
+                            k = se + 1
+                            break
+                        # ZRL: skip 16 zero-history coefs
+                    else:
+                        if size != 1:
+                            raise NotImplementedError(
+                                "bad JPEG AC refinement size"
+                            )
+                        newval = p1 if rd.bit() else m1
+                    # advance over `run` zero-history coefs, refining
+                    # nonzero ones along the way
+                    while k <= se:
+                        if cf[k]:
+                            _refine_nonzero(cf, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        cf[k] = newval
+                    k += 1
+
+    basis = _jpeg_idct_basis()
+    planes = [
+        np.zeros((my * 8, mx * 8), dtype=np.int64) for _ in comps
+    ]
+    dezig = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    for ci, comp in enumerate(comps):
+        q = np.array(qtables[comp["tq"]], dtype=np.int64)
+        for b in range(nblocks):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[dezig] = coefs[ci][b] * q
+            block = basis.T @ coef.reshape(8, 8) @ basis
+            px = np.rint(block).astype(np.int64) + 128
+            by, bx = divmod(b, mx)
+            planes[ci][
+                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+            ] = np.clip(px, 0, 255)
     planes = [p[:h, :w] for p in planes]
     n = w * h
     if len(comps) == 1:
@@ -678,6 +792,7 @@ def _jpeg_decode(payload: bytes) -> dict:
         "mean_g": int(g.sum() // n),
         "mean_b": int(b.sum() // n),
     }
+
 
 
 def _jpeg_header_decode(payload: bytes) -> dict:
@@ -961,17 +1076,19 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..codec import (
             _media_bmp_bytes, _media_gif_bytes, _media_jpeg_bytes,
-            _media_png_bytes, _media_tiff_bytes,
+            _media_jpeg_progressive_bytes, _media_png_bytes,
+            _media_tiff_bytes,
         )
 
         makers = (
             _media_bmp_bytes, _media_png_bytes, _media_gif_bytes,
             _media_tiff_bytes, _media_jpeg_bytes,
+            _media_jpeg_progressive_bytes,
         )
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 5]
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 6]
                 m = decode_image_real(maker(mref))
                 rows.append(
                     {
@@ -1183,9 +1300,11 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) % 5
+    # format rotation: digest byte 5 (hex chars 11-12) % 6
+    # (indexes 4 AND 5 are both jpeg: baseline and progressive share
+    # the fmt tag and the YCbCr-roundtrip means)
     fmt = (
-        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 5 "
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 6 "
         "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' "
         "WHEN 3 THEN 'tiff' ELSE 'jpeg' END"
     )

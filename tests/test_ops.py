@@ -564,10 +564,60 @@ def test_jpeg_baseline_decode_real():
     exp = tuple((a * 64 + b * 64) // 128 for a, b in zip(e1, e2))
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == exp
 
-    # a progressive (SOF2) frame falls back to header-only dims
-    prog = _media_jpeg_bytes("mjp0").replace(b"\xff\xc0", b"\xff\xc2", 1)
-    m = multimodal.decode_image_real(prog)
-    assert m["width"] and "mean_r" not in m
+    # an SOF2 frame over a baseline scan (Ss=0/Se=63/Ah=Al=0) is the
+    # degenerate progressive case — decodes identically (r7)
+    base = _media_jpeg_bytes("mjp0")
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert (
+        multimodal.decode_image_real(prog)
+        == multimodal.decode_image_real(base)
+    )
+
+
+def test_jpeg_progressive_decode_real():
+    """r7: REAL progressive (SOF2) decode — DC successive
+    approximation (first pass Al=1 + raw-LSB refinement), per
+    component spectral-selection AC bands with EOBn run accounting.
+    The generator's multi-scan payloads must land on EXACTLY the
+    baseline twin's pixels (same digest contract); multi-block
+    geometries exercise DC prediction across the approximation split
+    and EOB runs spanning many blocks."""
+    from pdfspark.codec import (
+        _jpeg_bytes, _jpeg_progressive_bytes, _media_jpeg_bytes,
+        _media_jpeg_progressive_bytes,
+    )
+
+    for i in range(50):
+        ref = f"mjprog{i}"
+        p = _media_jpeg_progressive_bytes(ref)
+        assert b"\xff\xc2" in p and p.count(b"\xff\xda") == 8
+        mp = multimodal.decode_image_real(p)
+        mb = multimodal.decode_image_real(_media_jpeg_bytes(ref))
+        mp.pop("n_bytes"), mb.pop("n_bytes")
+        assert mp == mb
+
+    # multi-block geometries: EOBn runs cover 2..25 blocks, the DC
+    # LSB pass carries a bit per block per component
+    for w, h in [(9, 17), (16, 24), (33, 7), (64, 24)]:
+        p = _jpeg_progressive_bytes(w, h, lambda j, i: (120, 33, 250))
+        b = _jpeg_bytes(w, h, lambda j, i: (120, 33, 250))
+        mp = multimodal.decode_image_real(p)
+        mb = multimodal.decode_image_real(b)
+        mp.pop("n_bytes"), mb.pop("n_bytes")
+        assert mp == mb
+
+    # two-color multi-MCU: DC prediction must track through the
+    # approximation split (high bits Huffman-coded, LSBs raw)
+    p = _jpeg_progressive_bytes(
+        16, 8, lambda j, i: (255, 0, 0) if i == 0 else (0, 0, 255)
+    )
+    b = _jpeg_bytes(
+        16, 8, lambda j, i: (255, 0, 0) if i == 0 else (0, 0, 255)
+    )
+    mp = multimodal.decode_image_real(p)
+    mb = multimodal.decode_image_real(b)
+    mp.pop("n_bytes"), mb.pop("n_bytes")
+    assert mp == mb
 
 
 def test_decode_image_real_formats():
