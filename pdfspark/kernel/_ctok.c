@@ -18,6 +18,7 @@
 #define _GNU_SOURCE /* memmem */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <structmember.h> /* T_OBJECT/READONLY for XResolver.__self__ */
 #include <string.h>
 #include <stdlib.h>
 
@@ -36,6 +37,11 @@ typedef struct {
     /* interned constants for the fused interpreter (set at init) */
     PyObject *str_raw, *str_show_info, *str_fast_spec;
     PyObject *u_text, *u_media, *u_inline, *u_empty;
+    /* interned attribute/key names for the r7 structural tier */
+    PyObject *str_xref, *str_cache, *str_entries, *str_security;
+    PyObject *str_get_object, *str_container, *str_gen, *str_offset;
+    PyObject *u_Type, *u_Kids, *u_Contents, *u_Resources;
+    PyObject *u_MediaBox, *u_CropBox, *u_Rotate;
     int configured;
 } ctok_state_t;
 
@@ -1966,27 +1972,19 @@ ctok_parse_xref_table(PyObject *self, PyObject *args)
  * of range) — the Python caller runs the §C.2 salvage scan then.
  * Parse errors AFTER a verified header raise, exactly like the
  * Python path. */
+/* Core of the fused seek+verify+parse (shared by the Python-visible
+ * parse_indirect and the XResolver fast path below). Returns the
+ * parsed value, Py_None (new ref) on ANY header mismatch — the caller
+ * runs the salvage scan — or NULL with an exception set. */
 static PyObject *
-ctok_parse_indirect(PyObject *self, PyObject *args)
+parse_indirect_core(const unsigned char *d, Py_ssize_t n, Py_ssize_t pos,
+                    long long expected, PyObject *resolver,
+                    PyObject *settings, int allow_recon, long max_scan)
 {
-    PyObject *data, *resolver, *settings, *v;
-    Py_ssize_t pos;
-    long expected, max_scan;
-    int allow_recon;
-    const unsigned char *d;
-    Py_ssize_t n, s;
+    PyObject *v;
+    Py_ssize_t s;
     long long idv = 0;
 
-    (void)self;
-    if (!S.configured) {
-        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
-        return NULL;
-    }
-    if (!PyArg_ParseTuple(args, "SnlOOpl", &data, &pos, &expected, &resolver,
-                          &settings, &allow_recon, &max_scan))
-        return NULL;
-    d = (const unsigned char *)PyBytes_AS_STRING(data);
-    n = PyBytes_GET_SIZE(data);
     if (pos < 0 || pos > n)
         Py_RETURN_NONE;
     skip_ws_comments(d, n, &pos);
@@ -2017,10 +2015,530 @@ ctok_parse_indirect(PyObject *self, PyObject *args)
     if (!(pos + 3 <= n && memcmp(d + pos, "obj", 3) == 0))
         Py_RETURN_NONE;
     pos += 3;
-    if (idv != (long long)expected)
+    if (idv != expected)
         Py_RETURN_NONE;
     v = parse_value(d, n, &pos, resolver, settings, allow_recon, max_scan);
     return v; /* NULL propagates the parse error */
+}
+
+static PyObject *
+ctok_parse_indirect(PyObject *self, PyObject *args)
+{
+    PyObject *data, *resolver, *settings;
+    Py_ssize_t pos;
+    long expected, max_scan;
+    int allow_recon;
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "SnlOOpl", &data, &pos, &expected, &resolver,
+                          &settings, &allow_recon, &max_scan))
+        return NULL;
+    return parse_indirect_core(
+        (const unsigned char *)PyBytes_AS_STRING(data),
+        PyBytes_GET_SIZE(data), pos, expected, resolver, settings,
+        allow_recon, max_scan);
+}
+
+/* ---- XResolver: fused object resolver (xref._resolve twin) ---------
+ * Callable twin of Parser._resolve / Parser.get_object for the
+ * overwhelmingly common case: uncompressed entry, matching gen, no
+ * security handler. One C call covers cache probe -> entries lookup ->
+ * `id gen obj` header verify -> value parse -> cache store, replacing
+ * four Python frames per resolved object (xref.py:641-707). Anything
+ * off the fast path (compressed member, gen mismatch -> the soft
+ * assert, active security handler -> decrypt hook, stale offset ->
+ * salvage scan, missing entry semantics beyond COS_NULL) falls back to
+ * parser.get_object, which is the semantic authority. The parser's
+ * `xref` attribute is re-fetched per call on purpose: reconstruction
+ * (xref.py:195) swaps in a fresh XRef mid-parse. */
+typedef struct {
+    PyObject_HEAD
+    PyObject *parser;   /* owning Parser (cycle; GC-tracked) */
+    PyObject *data;     /* bytes payload */
+    PyObject *settings; /* ParserSettings */
+    int allow_recon;
+    long max_scan;
+} XResolverObject;
+
+static int
+xresolver_traverse(XResolverObject *self, visitproc visit, void *arg)
+{
+    Py_VISIT(self->parser);
+    Py_VISIT(self->data);
+    Py_VISIT(self->settings);
+    return 0;
+}
+
+static int
+xresolver_clear(XResolverObject *self)
+{
+    Py_CLEAR(self->parser);
+    Py_CLEAR(self->data);
+    Py_CLEAR(self->settings);
+    return 0;
+}
+
+static void
+xresolver_dealloc(XResolverObject *self)
+{
+    PyObject_GC_UnTrack(self);
+    xresolver_clear(self);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *
+xresolver_new(PyTypeObject *type, PyObject *args, PyObject *kw)
+{
+    XResolverObject *self;
+    PyObject *parser, *data, *settings;
+    int allow_recon;
+    long max_scan;
+
+    if (kw != NULL && PyDict_GET_SIZE(kw) != 0) {
+        PyErr_SetString(PyExc_TypeError, "XResolver takes no kwargs");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "OSOpl", &parser, &data, &settings,
+                          &allow_recon, &max_scan))
+        return NULL;
+    self = (XResolverObject *)type->tp_alloc(type, 0);
+    if (self == NULL)
+        return NULL;
+    Py_INCREF(parser);
+    Py_INCREF(data);
+    Py_INCREF(settings);
+    self->parser = parser;
+    self->data = data;
+    self->settings = settings;
+    self->allow_recon = allow_recon;
+    self->max_scan = max_scan;
+    return (PyObject *)self;
+}
+
+/* slow-path escape: exactly parser.get_object(num, gen) */
+static PyObject *
+xresolver_fallback(XResolverObject *self, PyObject *num_o, PyObject *gen_o)
+{
+    PyObject *go, *r;
+    go = PyObject_GetAttr(self->parser, S.str_get_object);
+    if (go == NULL)
+        return NULL;
+    r = PyObject_CallFunctionObjArgs(go, num_o, gen_o, NULL);
+    Py_DECREF(go);
+    return r;
+}
+
+static PyObject *
+xresolver_call(PyObject *selfo, PyObject *args, PyObject *kw)
+{
+    XResolverObject *self = (XResolverObject *)selfo;
+    PyObject *ref, *xref, *cache, *v, *sec, *entries, *e, *a;
+    PyObject *num_o, *gen_o;
+    long long egen, rgen, off, numll;
+    long long cont;
+
+    if (kw != NULL && PyDict_GET_SIZE(kw) != 0) {
+        PyErr_SetString(PyExc_TypeError, "resolver takes no kwargs");
+        return NULL;
+    }
+    if (PyTuple_GET_SIZE(args) != 1) {
+        PyErr_SetString(PyExc_TypeError, "resolver takes exactly one ref");
+        return NULL;
+    }
+    ref = PyTuple_GET_ITEM(args, 0);
+    if (!PyTuple_Check(ref) || PyTuple_GET_SIZE(ref) != 2) {
+        /* not a Ref: surface the same AttributeError Python's
+         * `ref.num` would raise */
+        num_o = PyObject_GetAttrString(ref, "num");
+        if (num_o == NULL)
+            return NULL;
+        gen_o = PyObject_GetAttrString(ref, "gen");
+        if (gen_o == NULL) {
+            Py_DECREF(num_o);
+            return NULL;
+        }
+        v = xresolver_fallback(self, num_o, gen_o);
+        Py_DECREF(num_o);
+        Py_DECREF(gen_o);
+        return v;
+    }
+    num_o = PyTuple_GET_ITEM(ref, 0); /* borrowed */
+    gen_o = PyTuple_GET_ITEM(ref, 1);
+    xref = PyObject_GetAttr(self->parser, S.str_xref);
+    if (xref == NULL)
+        return NULL;
+    cache = PyObject_GetAttr(xref, S.str_cache);
+    if (cache == NULL) {
+        Py_DECREF(xref);
+        return NULL;
+    }
+    v = PyDict_GetItemWithError(cache, num_o);
+    if (v != NULL) { /* hit */
+        Py_INCREF(v);
+        Py_DECREF(cache);
+        Py_DECREF(xref);
+        return v;
+    }
+    if (PyErr_Occurred())
+        goto fail_cx;
+    sec = PyObject_GetAttr(self->parser, S.str_security);
+    if (sec == NULL)
+        goto fail_cx;
+    if (sec != Py_None) { /* security handler active -> decrypt hook */
+        Py_DECREF(sec);
+        goto slow_cx;
+    }
+    Py_DECREF(sec);
+    entries = PyObject_GetAttr(xref, S.str_entries);
+    if (entries == NULL)
+        goto fail_cx;
+    e = PyDict_GetItemWithError(entries, num_o); /* borrowed */
+    Py_DECREF(entries);
+    if (e == NULL) {
+        if (PyErr_Occurred())
+            goto fail_cx;
+        /* X6: missing id -> COS_NULL, uncached (xref.py:656-658) */
+        Py_DECREF(cache);
+        Py_DECREF(xref);
+        Py_INCREF(S.cos_null);
+        return S.cos_null;
+    }
+    a = PyObject_GetAttr(e, S.str_container);
+    if (a == NULL)
+        goto fail_cx;
+    cont = PyLong_AsLongLong(a);
+    Py_DECREF(a);
+    if (cont == -1 && PyErr_Occurred())
+        goto fail_cx;
+    if (cont >= 0) /* compressed member -> object-stream path */
+        goto slow_cx;
+    a = PyObject_GetAttr(e, S.str_gen);
+    if (a == NULL)
+        goto fail_cx;
+    egen = PyLong_AsLongLong(a);
+    Py_DECREF(a);
+    if (egen == -1 && PyErr_Occurred())
+        goto fail_cx;
+    rgen = PyLong_AsLongLong(gen_o);
+    if (rgen == -1 && PyErr_Occurred())
+        goto fail_cx;
+    if (egen != rgen) /* gen mismatch -> soft assert in Python */
+        goto slow_cx;
+    a = PyObject_GetAttr(e, S.str_offset);
+    if (a == NULL)
+        goto fail_cx;
+    off = PyLong_AsLongLong(a);
+    Py_DECREF(a);
+    if (off == -1 && PyErr_Occurred())
+        goto fail_cx;
+    numll = PyLong_AsLongLong(num_o);
+    if (numll == -1 && PyErr_Occurred())
+        goto fail_cx;
+    v = parse_indirect_core(
+        (const unsigned char *)PyBytes_AS_STRING(self->data),
+        PyBytes_GET_SIZE(self->data), (Py_ssize_t)off, numll, selfo,
+        self->settings, self->allow_recon, self->max_scan);
+    if (v == NULL)
+        goto fail_cx;
+    if (v == Py_None) { /* header mismatch -> salvage via Python */
+        Py_DECREF(v);
+        goto slow_cx;
+    }
+    if (PyDict_SetItem(cache, num_o, v) < 0) {
+        Py_DECREF(v);
+        goto fail_cx;
+    }
+    Py_DECREF(cache);
+    Py_DECREF(xref);
+    return v;
+slow_cx:
+    Py_DECREF(cache);
+    Py_DECREF(xref);
+    return xresolver_fallback(self, num_o, gen_o);
+fail_cx:
+    Py_DECREF(cache);
+    Py_DECREF(xref);
+    return NULL;
+}
+
+static PyMemberDef xresolver_members[] = {
+    /* CDict.deref discovers the deref-depth limit through
+     * resolver.__self__.deref_limit (cos.py:134-137) */
+    {"__self__", T_OBJECT, offsetof(XResolverObject, parser), READONLY,
+     "owning Parser"},
+    {NULL, 0, 0, 0, NULL}};
+
+static PyTypeObject XResolver_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "_ctok.XResolver",
+    .tp_basicsize = sizeof(XResolverObject),
+    .tp_dealloc = (destructor)xresolver_dealloc,
+    .tp_call = xresolver_call,
+    .tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_HAVE_GC,
+    .tp_doc = "fused Parser._resolve fast path",
+    .tp_traverse = (traverseproc)xresolver_traverse,
+    .tp_clear = (inquiry)xresolver_clear,
+    .tp_members = xresolver_members,
+    .tp_new = xresolver_new,
+};
+
+/* ---- page-tree DFS (docmodel.Document.pages twin) ------------------
+ * Mirrors docmodel.py walk() exactly: in-order /Kids DFS, copy-on-
+ * write inheritance of Resources/MediaBox/CropBox/Rotate (held as
+ * four C locals down the recursion), /Type-less nodes with /Kids
+ * treated as /Pages, kids must be references, depth cap 64. Emits
+ * one (node_num, mediabox, cropbox, resources, contents, rotate)
+ * tuple per leaf; the Python caller builds PageInfo + Rect (with the
+ * per-walk rect memo). Box/Resources values are returned RAW —
+ * exactly what the Python walk stores into `inh`. */
+static PyObject *
+deref_chain(PyObject *v, PyObject *resolver, long limit)
+{
+    /* returns a NEW reference; mirrors CDict.deref (cos.py:127-145).
+     * Exact-type Ref check: Ref is a closed NamedTuple (no
+     * subclasses), and the Python hot path checks `__class__ is
+     * Ref` for the same reason. */
+    long depth = 0;
+    Py_INCREF(v);
+    while ((PyObject *)Py_TYPE(v) == S.Ref) {
+        PyObject *nv;
+        if (depth >= limit) {
+            Py_DECREF(v);
+            PyErr_SetString(S.eparse,
+                            "Infinite or too deep loop of references");
+            return NULL;
+        }
+        nv = PyObject_CallFunctionObjArgs(resolver, v, NULL);
+        Py_DECREF(v);
+        if (nv == NULL)
+            return NULL;
+        v = nv;
+        depth++;
+    }
+    return v;
+}
+
+/* inh slot order: 0=Resources 1=MediaBox 2=CropBox 3=Rotate */
+static int
+walk_node(PyObject *node, long long node_num, PyObject **inh, int depth,
+          PyObject *resolver, PyObject *soft_cb, long limit, PyObject *out)
+{
+    PyObject *local[4];
+    int own[4] = {0, 0, 0, 0};
+    PyObject *keys[4];
+    PyObject *tv, *kids_raw, *kids = NULL;
+    int is_pages, i, rc = -1;
+
+    keys[0] = S.u_Resources;
+    keys[1] = S.u_MediaBox;
+    keys[2] = S.u_CropBox;
+    keys[3] = S.u_Rotate;
+    for (i = 0; i < 4; i++)
+        local[i] = inh[i];
+    if (depth > 64) {
+        PyErr_SetString(S.eparse, "page tree too deep");
+        return -1;
+    }
+    for (i = 0; i < 4; i++) {
+        PyObject *raw = PyDict_GetItemWithError(node, keys[i]);
+        if (raw == NULL) {
+            if (PyErr_Occurred())
+                goto done;
+            continue;
+        }
+        raw = deref_chain(raw, resolver, limit);
+        if (raw == NULL)
+            goto done;
+        local[i] = raw;
+        own[i] = 1;
+    }
+    /* ntype: get_name("Type") with NO resolver — a Ref /Type derefs
+     * to COS_NULL under a None resolver and yields default None */
+    tv = PyDict_GetItemWithError(node, S.u_Type); /* borrowed */
+    if (tv == NULL && PyErr_Occurred())
+        goto done;
+    if (tv != NULL && (PyObject *)Py_TYPE(tv) != S.NameType)
+        tv = NULL;
+    kids_raw = PyDict_GetItemWithError(node, S.u_Kids); /* borrowed */
+    if (kids_raw == NULL && PyErr_Occurred())
+        goto done;
+    if (kids_raw != NULL) {
+        kids = deref_chain(kids_raw, resolver, limit);
+        if (kids == NULL)
+            goto done;
+        if (!PyList_Check(kids))
+            Py_CLEAR(kids);
+    }
+    is_pages =
+        (tv != NULL && PyUnicode_CompareWithASCIIString(tv, "Pages") == 0) ||
+        (tv == NULL && kids != NULL);
+    if (is_pages) {
+        Py_ssize_t k, nk;
+        if (kids == NULL) {
+            PyObject *r = PyObject_CallFunction(
+                soft_cb, "Os", Py_False, "/Pages node without /Kids");
+            if (r == NULL)
+                goto done;
+            Py_DECREF(r);
+            rc = 0;
+            goto done;
+        }
+        nk = PyList_GET_SIZE(kids);
+        for (k = 0; k < nk; k++) {
+            PyObject *kid = PyList_GET_ITEM(kids, k); /* borrowed */
+            PyObject *knode;
+            int kr, isdict;
+            if ((PyObject *)Py_TYPE(kid) != S.Ref) {
+                PyErr_SetString(S.eparse,
+                                "page-tree kid is not a reference");
+                goto done;
+            }
+            knode = PyObject_CallFunctionObjArgs(resolver, kid, NULL);
+            if (knode == NULL)
+                goto done;
+            isdict = PyObject_IsInstance(knode, S.CDict);
+            if (isdict < 0) {
+                Py_DECREF(knode);
+                goto done;
+            }
+            if (!isdict) {
+                PyErr_Format(S.eparse, "kid %R is not a dictionary", kid);
+                Py_DECREF(knode);
+                goto done;
+            }
+            kr = walk_node(
+                knode,
+                PyLong_AsLongLong(PyTuple_GET_ITEM(kid, 0)),
+                local, depth + 1, resolver, soft_cb, limit, out);
+            Py_DECREF(knode);
+            if (kr < 0)
+                goto done;
+        }
+        rc = 0;
+    } else {
+        /* leaf page */
+        PyObject *cv, *contents, *row, *res_o, *rot_o, *rot_obj;
+        contents = PyList_New(0);
+        if (contents == NULL)
+            goto done;
+        cv = PyDict_GetItemWithError(node, S.u_Contents); /* borrowed */
+        if (cv == NULL && PyErr_Occurred()) {
+            Py_DECREF(contents);
+            goto done;
+        }
+        if (cv != NULL) {
+            cv = deref_chain(cv, resolver, limit);
+            if (cv == NULL) {
+                Py_DECREF(contents);
+                goto done;
+            }
+            if ((PyObject *)Py_TYPE(cv) == S.CStream) {
+                if (PyList_Append(contents, cv) < 0) {
+                    Py_DECREF(cv);
+                    Py_DECREF(contents);
+                    goto done;
+                }
+            } else if (PyList_Check(cv)) {
+                Py_ssize_t c, nc = PyList_GET_SIZE(cv);
+                for (c = 0; c < nc; c++) {
+                    PyObject *cd = deref_chain(
+                        PyList_GET_ITEM(cv, c), resolver, limit);
+                    if (cd == NULL) {
+                        Py_DECREF(cv);
+                        Py_DECREF(contents);
+                        goto done;
+                    }
+                    if ((PyObject *)Py_TYPE(cd) == S.CStream &&
+                        PyList_Append(contents, cd) < 0) {
+                        Py_DECREF(cd);
+                        Py_DECREF(cv);
+                        Py_DECREF(contents);
+                        goto done;
+                    }
+                    Py_DECREF(cd);
+                }
+            }
+            Py_DECREF(cv);
+        }
+        /* int(rot) if isinstance(rot, (int, float)) else 0 — via
+         * PyNumber_Long so bool/bignum/NaN behave exactly like the
+         * Python int() call (NaN raises, bignums survive) */
+        rot_o = local[3];
+        if (rot_o != NULL && (PyLong_Check(rot_o) || PyFloat_Check(rot_o))) {
+            rot_obj = PyNumber_Long(rot_o);
+            if (rot_obj == NULL) {
+                Py_DECREF(contents);
+                goto done;
+            }
+        } else {
+            rot_obj = PyLong_FromLong(0);
+            if (rot_obj == NULL) {
+                Py_DECREF(contents);
+                goto done;
+            }
+        }
+        res_o = Py_None;
+        if (local[0] != NULL) {
+            int isd = PyObject_IsInstance(local[0], S.CDict);
+            if (isd < 0) {
+                Py_DECREF(contents);
+                goto done;
+            }
+            if (isd)
+                res_o = local[0];
+        }
+        row = Py_BuildValue(
+            "(LOOOON)", node_num,
+            local[1] != NULL ? local[1] : Py_None,
+            local[2] != NULL ? local[2] : Py_None,
+            res_o, contents, rot_obj);
+        Py_DECREF(contents);
+        if (row == NULL)
+            goto done;
+        if (PyList_Append(out, row) < 0) {
+            Py_DECREF(row);
+            goto done;
+        }
+        Py_DECREF(row);
+        rc = 0;
+    }
+done:
+    Py_XDECREF(kids);
+    for (i = 0; i < 4; i++)
+        if (own[i])
+            Py_DECREF(local[i]);
+    return rc;
+}
+
+static PyObject *
+ctok_walk_pages(PyObject *self, PyObject *args)
+{
+    PyObject *pages, *resolver, *soft_cb, *out;
+    PyObject *inh[4] = {NULL, NULL, NULL, NULL};
+    long long root_num;
+    long limit;
+
+    (void)self;
+    if (!S.configured) {
+        PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
+        return NULL;
+    }
+    if (!PyArg_ParseTuple(args, "O!LOOl", &PyDict_Type, &pages, &root_num,
+                          &resolver, &soft_cb, &limit))
+        return NULL;
+    out = PyList_New(0);
+    if (out == NULL)
+        return NULL;
+    if (walk_node(pages, root_num, inh, 0, resolver, soft_cb, limit, out) <
+        0) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    return out;
 }
 
 /* ---- simple-font advance (Font.advance_1000 twin) ------------------
@@ -3368,6 +3886,10 @@ static PyMethodDef ctok_methods[] = {
     {"parse_indirect", ctok_parse_indirect, METH_VARARGS,
      "parse_indirect(data, offset, expected_num, resolver, settings, "
      "allow_reconstruction, max_scan_range) -> value | None(mismatch)"},
+    {"walk_pages", ctok_walk_pages, METH_VARARGS,
+     "walk_pages(pages_dict, root_num, resolver, soft_structure, "
+     "deref_limit) -> [(num, mediabox, cropbox, resources, contents, "
+     "rotate), ...]"},
     {"interpret_content", ctok_interpret_content, METH_VARARGS,
      "interpret_content(data, get_font, do_handler, span_cls, "
      "default_font, ctm_6tuple, tj_kerning) -> [Span, ...]"},
@@ -3381,6 +3903,7 @@ static struct PyModuleDef ctok_module = {
 PyMODINIT_FUNC
 PyInit__ctok(void)
 {
+    PyObject *mod;
     S.str_raw = PyUnicode_InternFromString("raw");
     S.str_show_info = PyUnicode_InternFromString("show_info");
     S.str_fast_spec = PyUnicode_InternFromString("_fast_spec");
@@ -3388,9 +3911,42 @@ PyInit__ctok(void)
     S.u_media = PyUnicode_InternFromString("media");
     S.u_inline = PyUnicode_InternFromString("inline");
     S.u_empty = PyUnicode_InternFromString("");
+    S.str_xref = PyUnicode_InternFromString("xref");
+    S.str_cache = PyUnicode_InternFromString("cache");
+    S.str_entries = PyUnicode_InternFromString("entries");
+    S.str_security = PyUnicode_InternFromString("security");
+    S.str_get_object = PyUnicode_InternFromString("get_object");
+    S.str_container = PyUnicode_InternFromString("container");
+    S.str_gen = PyUnicode_InternFromString("gen");
+    S.str_offset = PyUnicode_InternFromString("offset");
+    S.u_Type = PyUnicode_InternFromString("Type");
+    S.u_Kids = PyUnicode_InternFromString("Kids");
+    S.u_Contents = PyUnicode_InternFromString("Contents");
+    S.u_Resources = PyUnicode_InternFromString("Resources");
+    S.u_MediaBox = PyUnicode_InternFromString("MediaBox");
+    S.u_CropBox = PyUnicode_InternFromString("CropBox");
+    S.u_Rotate = PyUnicode_InternFromString("Rotate");
     if (S.str_raw == NULL || S.str_show_info == NULL ||
         S.str_fast_spec == NULL || S.u_text == NULL ||
-        S.u_media == NULL || S.u_inline == NULL || S.u_empty == NULL)
+        S.u_media == NULL || S.u_inline == NULL || S.u_empty == NULL ||
+        S.str_xref == NULL || S.str_cache == NULL || S.str_entries == NULL ||
+        S.str_security == NULL || S.str_get_object == NULL ||
+        S.str_container == NULL || S.str_gen == NULL ||
+        S.str_offset == NULL || S.u_Type == NULL || S.u_Kids == NULL ||
+        S.u_Contents == NULL || S.u_Resources == NULL ||
+        S.u_MediaBox == NULL || S.u_CropBox == NULL || S.u_Rotate == NULL)
         return NULL;
-    return PyModule_Create(&ctok_module);
+    if (PyType_Ready(&XResolver_Type) < 0)
+        return NULL;
+    mod = PyModule_Create(&ctok_module);
+    if (mod == NULL)
+        return NULL;
+    Py_INCREF(&XResolver_Type);
+    if (PyModule_AddObject(mod, "XResolver",
+                           (PyObject *)&XResolver_Type) < 0) {
+        Py_DECREF(&XResolver_Type);
+        Py_DECREF(mod);
+        return NULL;
+    }
+    return mod;
 }

@@ -17,8 +17,15 @@ from datetime import datetime, timedelta, timezone
 from typing import Optional
 
 from .cos import CDict, COS_NULL, CStream, CString, Name, Ref
+from .cos import _CTOK as _COS_CTOK
 from .errors import EParseError, ParserSettings
 from .xref import Parser
+
+# r7 C page-tree walk (docmodel.pages twin; falls back to the Python
+# DFS below — the semantic authority — when the extension is absent)
+_CTOK_WALK = (
+    getattr(_COS_CTOK, "walk_pages", None) if _COS_CTOK is not None else None
+)
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +234,54 @@ class Document:
             st.soft_structure(False, "catalog has no /Pages")
             return out
         rect_memo: dict = {}  # id(box list) → Rect | None (walk-scoped)
+
+        def rect_of_value(v):
+            if v is None:
+                return None
+            # inherited boxes are usually ONE shared list object
+            # across every page of the document — memoize the
+            # Rect per list identity for the walk's lifetime
+            hit = rect_memo.get(id(v), False)
+            if hit is not False:
+                return hit
+            if (
+                isinstance(v, list)
+                and len(v) == 4
+                and all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in v
+                )
+            ):
+                r = Rect.normalized(*[float(x) for x in v])
+            else:
+                r = None
+            rect_memo[id(v)] = r
+            return r
+
+        root_num = self.parser.root_ref.num if self.parser.root_ref else -1
+        if _CTOK_WALK is not None:
+            # fused C DFS — same traversal, inheritance, and error
+            # contract as the Python walk below (parity-tested); the
+            # deref-depth limit is resolved once, exactly as
+            # CDict.deref would per hop
+            limit = getattr(
+                getattr(res, "__self__", None),
+                "deref_limit",
+                CDict.MAX_DEREF_DEPTH,
+            )
+            rows = _CTOK_WALK(pages_dict, root_num, res, st.soft_structure, limit)
+            for num, mb, cb, rsc, cts, rot in rows:
+                out.append(
+                    PageInfo(
+                        obj_num=num,
+                        media_box=rect_of_value(mb),
+                        crop_box=rect_of_value(cb),
+                        resources=rsc,
+                        contents=cts,
+                        rotate=rot,
+                    )
+                )
+            return out
 
         def walk(node: CDict, node_num: int, inherited: dict, depth: int) -> None:
             if depth > 64:

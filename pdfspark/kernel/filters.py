@@ -505,7 +505,18 @@ def decode_stream(data: bytes, sdict: CDict, resolver: Resolver | None = None) -
     `/DecodeParms` (StreamDecoder.java:180-204). Pass-through codecs
     return data unchanged (Filter_DoNothing, :57-64). Unsupported
     filter name → EParseError (:194-195)."""
-    filt = sdict.deref(sdict.get("Filter", COS_NULL), resolver)
+    # single direct /FlateDecode with no predictor keys — the
+    # overwhelmingly common real-corpus stream shape — skips the
+    # chain machinery (r7; semantics identical to the loop below)
+    filt = sdict.get("Filter", COS_NULL)
+    if (
+        filt.__class__ is Name
+        and filt == "FlateDecode"
+        and "DecodeParms" not in sdict
+        and "DP" not in sdict
+    ):
+        return flate_decode(data)
+    filt = sdict.deref(filt, resolver)
     if filt is COS_NULL:
         return data
     filters = [filt] if isinstance(filt, Name) else list(filt)

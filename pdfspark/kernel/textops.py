@@ -344,6 +344,10 @@ for _names, _codec in (
             _PREDEFINED_CMAP_CODECS[_n + _sfx] = _codec
 
 
+# r7: linked embedded CMaps memoized across documents — keyed by the
+# full chain's decoded bytes (see Font._load_embedded_cmap_keyed)
+_EMB_CMAP_MEMO: dict = {}
+
 # shared 256-entry byte→char tables (one Font() per document per font
 # previously rebuilt these — 76k chr() calls per 300 docs for nothing)
 _LATIN1_TABLE = [chr(i) for i in range(256)]
@@ -512,20 +516,51 @@ class Font:
         resolve recursively (depth-guarded); the child inherits the
         base's code spaces and falls through to its cid/bf sections
         for unmapped codes (§9.7.5.2 usecmap semantics)."""
-        cm = parse_embedded_cmap(
-            decode_stream(stream.data, stream.dict, resolver)
-        )
+        return Font._load_embedded_cmap_keyed(stream, resolver, depth)[0]
+
+    @staticmethod
+    def _load_embedded_cmap_keyed(
+        stream: CStream, resolver: Optional[Resolver], depth: int
+    ) -> tuple[EmbeddedCMap, tuple]:
+        """Memoized loader (r7): a linked EmbeddedCMap is a pure
+        function of (this stream's decoded bytes, the resolved
+        /UseCMap base — itself keyed recursively — and whether the
+        depth guard still follows bases), and it is never mutated
+        after load (link_base runs pre-insert; bf/cid/codes_w are
+        queries; Font-level state lives on Font, not the CMap).  Real
+        corpora reuse a handful of subset CMaps across thousands of
+        documents — the ~100 µs parse runs once per distinct chain."""
+        decoded = decode_stream(stream.data, stream.dict, resolver)
+        base_cm: Optional[EmbeddedCMap] = None
+        base_tag = None
         if depth < 4:
             base_v = stream.dict.deref(
                 stream.dict.get("UseCMap", COS_NULL), resolver
             )
             if isinstance(base_v, CStream):
-                cm.link_base(
-                    Font._load_embedded_cmap(base_v, resolver, depth + 1)
+                base_cm, bkey = Font._load_embedded_cmap_keyed(
+                    base_v, resolver, depth + 1
                 )
-            elif isinstance(base_v, Name) and cm.base_codec is None:
-                cm.base_codec = _PREDEFINED_CMAP_CODECS.get(str(base_v))
-        return cm
+                base_tag = ("e", bkey)
+            elif isinstance(base_v, Name):
+                base_tag = ("n", str(base_v))
+        key = (depth < 4, base_tag, decoded)
+        hit = _EMB_CMAP_MEMO.get(key)
+        if hit is not None:
+            return hit, key
+        cm = parse_embedded_cmap(decoded)
+        if base_cm is not None:
+            cm.link_base(base_cm)
+        elif (
+            base_tag is not None
+            and base_tag[0] == "n"
+            and cm.base_codec is None
+        ):
+            cm.base_codec = _PREDEFINED_CMAP_CODECS.get(base_tag[1])
+        if len(_EMB_CMAP_MEMO) >= 256:  # bound the bytes-keyed memo
+            _EMB_CMAP_MEMO.clear()
+        _EMB_CMAP_MEMO[key] = cm
+        return cm, key
 
     def _parse_w_array(self, items: list) -> None:
         """CIDFont /W: alternating `c [w...]` or `c_lo c_hi w` runs;

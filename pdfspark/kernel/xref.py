@@ -63,6 +63,13 @@ _CTOK_PARSE_INDIRECT = (
 _CTOK_PARSE_XREF = (
     getattr(_COS_CTOK, "parse_xref_table", None) if _COS_CTOK is not None else None
 )
+# fused C resolver (r7): cache probe → entries lookup → header verify →
+# parse → cache store in one call; off-path cases (compressed, gen
+# mismatch, active security handler, stale offset) fall back to
+# Parser.get_object below — the semantic authority
+_CTOK_XRESOLVER = (
+    getattr(_COS_CTOK, "XResolver", None) if _COS_CTOK is not None else None
+)
 
 
 @dataclass(slots=True)
@@ -130,6 +137,16 @@ class Parser:
         # stale-startxref rescan.  Surfaces in the fuzz driver row as
         # status='salvaged' (vs 'ok' for a clean entry-point parse).
         self.salvaged = False
+        # r7: instance-level `_resolve` shadows the bound method with
+        # the fused C resolver when available (same call contract; the
+        # C object re-reads self.xref per call, so the reconstruction
+        # path's XRef swap is safe). Pure-Python fallback keeps the
+        # method below.
+        if _CTOK_XRESOLVER is not None and data.__class__ is bytes:
+            st = self.settings
+            self._resolve = _CTOK_XRESOLVER(
+                self, data, st, st.allow_reconstruction, st.max_scan_range
+            )
 
     # ---- X1: entry-point resolve (PDFParser.parse, :62-119) ----------
     def parse(self) -> None:

@@ -391,27 +391,33 @@ class _force_python:
     so the same process can run the authoritative pure-Python side."""
 
     def __enter__(self):
-        from pdfspark.kernel import textops, xref
+        from pdfspark.kernel import docmodel, textops, xref
 
         self._saved = (
             textops._CTOK_INTERP,
             textops._CTOK_CMAP_CODES,
             textops._CTOK_TADV,
             xref._CTOK_PARSE_INDIRECT,
+            xref._CTOK_XRESOLVER,
+            docmodel._CTOK_WALK,
         )
         textops._CTOK_INTERP = None
         textops._CTOK_CMAP_CODES = None
         textops._CTOK_TADV = None
         xref._CTOK_PARSE_INDIRECT = None
+        xref._CTOK_XRESOLVER = None
+        docmodel._CTOK_WALK = None
 
     def __exit__(self, *exc):
-        from pdfspark.kernel import textops, xref
+        from pdfspark.kernel import docmodel, textops, xref
 
         (
             textops._CTOK_INTERP,
             textops._CTOK_CMAP_CODES,
             textops._CTOK_TADV,
             xref._CTOK_PARSE_INDIRECT,
+            xref._CTOK_XRESOLVER,
+            docmodel._CTOK_WALK,
         ) = self._saved
 
 
@@ -837,3 +843,178 @@ def test_generation_payload_parity_c_vs_python():
                 (codec._CTOK_EMIT_CONTENT, codec._CTOK_EMIT_XREF,
                  codec._CTOK_EMIT_XREF_ROWS) = saved
             assert p1 == p2, (did, v)
+
+
+def test_xresolver_structural_parity_whole_documents():
+    """r7 structural tier: the fused C resolver (xref.XResolver) and C
+    page-tree walk ON vs OFF must agree on spans, metadata, and every
+    PageInfo field across all structural variants — including the
+    off-fast-path ones (objstream → compressed members, incremental →
+    gen precedence, encrypted → active security handler)."""
+    from pdfspark.codec import build_pdf, synth_spans_py, variant_for
+    from pdfspark.kernel import xref
+    from pdfspark.kernel.extract import (
+        extract_meta, extract_spans, parse_document,
+    )
+
+    if xref._CTOK_XRESOLVER is None:
+        pytest.skip("C extension not available")
+    modes = (
+        "mixed", "filters_rotate", "encrypted", "cjk", "forms",
+        "cjk:embedded", "objstream", "incremental", "type3",
+    )
+    for i in range(27):
+        doc_id = f"xres{i}"
+        text = ("resolver parity fixture text " * (i + 1))[: 60 + i * 13]
+        mode = modes[i % len(modes)]
+        variant = (
+            variant_for(i, mode) if mode in ("mixed", "filters_rotate") else mode
+        )
+        payload = build_pdf(doc_id, synth_spans_py(doc_id, text), variant)
+        c_spans = extract_spans(payload)
+        c_meta = extract_meta(payload)
+        c_pages = [
+            (
+                p.obj_num, p.media_box, p.crop_box, p.rotate,
+                len(p.contents),
+                sorted(p.resources) if p.resources else None,
+            )
+            for p in parse_document(payload).pages()
+        ]
+        with _force_python():
+            py_spans = extract_spans(payload)
+            py_meta = extract_meta(payload)
+            py_pages = [
+                (
+                    p.obj_num, p.media_box, p.crop_box, p.rotate,
+                    len(p.contents),
+                    sorted(p.resources) if p.resources else None,
+                )
+            for p in parse_document(payload).pages()
+            ]
+        assert c_spans == py_spans, variant
+        assert c_meta == py_meta, variant
+        assert c_pages == py_pages, variant
+
+
+def test_xresolver_edge_semantics():
+    """The C resolver's off-path contract: missing object → COS_NULL
+    (uncached), junk argument → the same AttributeError the Python
+    path raises, resolution identical pre- and post-reconstruction."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel import xref
+    from pdfspark.kernel.cos import COS_NULL, Ref
+    from pdfspark.kernel.xref import Parser
+
+    if xref._CTOK_XRESOLVER is None:
+        pytest.skip("C extension not available")
+    payload = build_pdf("xre0", synth_spans_py("xre0", "edge text"), "classic")
+    p = Parser(payload)
+    p.parse()
+    assert type(p._resolve).__name__ == "XResolver"
+    # missing id → COS_NULL, and it must NOT be cached
+    assert p._resolve(Ref(999999, 0)) is COS_NULL
+    assert 999999 not in p.xref.cache
+    # non-Ref argument → AttributeError (matches `ref.num` access)
+    with pytest.raises(AttributeError):
+        p._resolve("not a ref")
+    # parity of every resolved object against the pure-Python parser
+    with _force_python():
+        p2 = Parser(payload)
+        p2.parse()
+        all_py = p2.parse_all_objects()
+    for num, v in p.parse_all_objects().items():
+        assert repr(v) == repr(all_py[num]), num
+
+
+def test_walk_pages_error_contract():
+    """C walk twin of the Python DFS error paths: kid-not-a-reference
+    and page-tree-too-deep raise EParseError with the same messages;
+    a /Pages node without /Kids fires the soft-structure event."""
+    from pdfspark.kernel import docmodel
+    from pdfspark.kernel.cos import CDict, Name, Ref
+
+    if docmodel._CTOK_WALK is None:
+        pytest.skip("C extension not available")
+
+    def run_both(store, soft_events_c, soft_events_py):
+        def resolver(ref):
+            return store.get(ref.num, CDict())
+
+        root = store[1]
+        c = docmodel._CTOK_WALK(
+            root, 1, resolver, lambda ok, msg: soft_events_c.append(msg), 5
+        )
+        return c
+
+    # kid is not a reference
+    bad = CDict({Name("Type"): Name("Pages"), Name("Kids"): [42]})
+    with pytest.raises(EParseError, match="not a reference"):
+        docmodel._CTOK_WALK(bad, 1, lambda r: CDict(), lambda ok, m: None, 5)
+    # kid resolves to a non-dict
+    bad2 = CDict({Name("Type"): Name("Pages"), Name("Kids"): [Ref(2, 0)]})
+    with pytest.raises(EParseError, match="is not a dictionary"):
+        docmodel._CTOK_WALK(bad2, 1, lambda r: 7, lambda ok, m: None, 5)
+    # self-referential tree → depth cap
+    loop_store = {}
+    loop = CDict({Name("Type"): Name("Pages"), Name("Kids"): [Ref(1, 0)]})
+    loop_store[1] = loop
+    with pytest.raises(EParseError, match="too deep"):
+        docmodel._CTOK_WALK(
+            loop, 1, lambda r: loop_store[r.num], lambda ok, m: None, 5
+        )
+    # /Pages without /Kids → soft event, zero pages
+    soft = []
+    nk = CDict({Name("Type"): Name("Pages")})
+    rows = docmodel._CTOK_WALK(
+        nk, 1, lambda r: CDict(), lambda ok, m: soft.append((ok, m)), 5
+    )
+    assert rows == [] and soft == [(False, "/Pages node without /Kids")]
+
+
+def test_walk_pages_inheritance_parity():
+    """Copy-on-write inheritance down a crafted 3-level tree: the C
+    walk and the Python walk yield identical PageInfo rows (boxes,
+    resources, rotate, contents) including override-at-leaf and
+    Ref-valued inheritable attributes."""
+    from pdfspark.kernel import docmodel
+    from pdfspark.kernel.cos import CDict, CStream, Name, Ref
+
+    if docmodel._CTOK_WALK is None:
+        pytest.skip("C extension not available")
+
+    box_a = [0, 0, 612, 792]
+    box_b = [0.0, 0.0, 200.5, 100.25]
+    res_d = CDict({Name("Font"): CDict()})
+    stream = CStream(CDict(), b"BT ET")
+    store = {
+        10: CDict({Name("Type"): Name("Pages"),
+                   Name("MediaBox"): box_a,
+                   Name("Resources"): Ref(20, 0),
+                   Name("Kids"): [Ref(11, 0), Ref(12, 0)]}),
+        # interior node overrides Rotate; no /Type but has /Kids
+        11: CDict({Name("Rotate"): 90, Name("Kids"): [Ref(13, 0)]}),
+        # leaf overrides MediaBox with floats, inherits the rest
+        12: CDict({Name("Type"): Name("Page"),
+                   Name("MediaBox"): box_b,
+                   Name("Contents"): Ref(30, 0)}),
+        13: CDict({Name("Type"): Name("Page"),
+                   Name("Contents"): [Ref(30, 0), Ref(31, 0), Ref(99, 0)]}),
+        20: res_d,
+        30: stream,
+        31: CStream(CDict(), b"q Q"),
+        99: CDict(),  # non-stream content member → dropped
+    }
+
+    def resolver(ref):
+        from pdfspark.kernel.cos import COS_NULL
+
+        return store.get(ref.num, COS_NULL)
+
+    rows = docmodel._CTOK_WALK(store[10], 10, resolver, lambda ok, m: None, 5)
+    assert [r[0] for r in rows] == [13, 12]  # DFS order
+    n13, n12 = rows
+    assert n13[1] is box_a and n13[3] is res_d and n13[5] == 90
+    assert len(n13[4]) == 2  # the non-stream member dropped
+    assert n12[1] is box_b and n12[3] is res_d and n12[5] == 0
+    assert n12[4] == [stream]
