@@ -234,8 +234,14 @@ class StandardSecurityHandler:
             return rc4(key, PAD)
         digest = hashlib.md5(PAD + self.file_id0).digest()
         out = rc4(key, digest)
+        # byte-wise `b ^ i` as ONE big-int XOR: i < 20 < 256 so each
+        # byte lane XORs independently (no carries) — identical bytes,
+        # none of the per-byte generator churn
+        n = len(key)
+        kint = int.from_bytes(key, "big")
+        lanes = int.from_bytes(b"\x01" * n, "big")
         for i in range(1, 20):
-            out = rc4(bytes(b ^ i for b in key), out)
+            out = rc4((kint ^ (lanes * i)).to_bytes(n, "big"), out)
         return out  # 16 bytes; stored /U appends 16 arbitrary bytes
 
     def authenticate(self, user_pwd: bytes = b"") -> bool:
@@ -333,8 +339,10 @@ def compute_o(owner_pwd: bytes, user_pwd: bytes, r: int, n: int) -> bytes:
     key = digest[:n]
     out = rc4(key, _pad_password(user_pwd))
     if r >= 3:
+        kint = int.from_bytes(key, "big")
+        lanes = int.from_bytes(b"\x01" * n, "big")
         for i in range(1, 20):
-            out = rc4(bytes(b ^ i for b in key), out)
+            out = rc4((kint ^ (lanes * i)).to_bytes(n, "big"), out)
     return out
 
 

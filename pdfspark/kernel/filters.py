@@ -90,6 +90,25 @@ def predictor_decode(
     # PNG predictors: each row prefixed by 1 filter-type byte
     stride = row_len + 1
     nrows = len(data) // stride
+    # tiny all-Up inputs (the xref-stream shape: ~5-byte rows × ~20) pay
+    # more in numpy fixed cost than the whole byte-loop costs — same
+    # mod-256 column sums either way
+    if (
+        0 < len(data) <= 2048
+        and data[: nrows * stride : stride].count(2) == nrows
+    ):
+        out_b = bytearray(nrows * row_len)
+        prev_row = bytes(row_len)
+        w = 0
+        for i in range(nrows):
+            o = i * stride + 1
+            cur = bytes(
+                (a + b) & 0xFF for a, b in zip(data[o : o + row_len], prev_row)
+            )
+            out_b[w : w + row_len] = cur
+            prev_row = cur
+            w += row_len
+        return bytes(out_b)
     raw = np.frombuffer(data, dtype=np.uint8)[: nrows * stride].reshape(nrows, stride)
     tags = raw[:, 0]
     rows = raw[:, 1:].astype(np.int16)

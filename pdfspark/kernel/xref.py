@@ -55,6 +55,21 @@ _XREF_SUB_RE = re.compile(
 _POW10_10 = 10 ** np.arange(9, -1, -1, dtype=np.int64)
 _POW10_5 = 10 ** np.arange(4, -1, -1, dtype=np.int64)
 
+# ObjStm header tokenizer (X9 fast path): `count` uints, each preceded
+# by optional PDF whitespace — the exact charset Raw.skip_ws consumes
+_DIGIT_RUN_RE = re.compile(rb"[0-9]+")
+_OBJSTM_HDR_CACHE: dict[int, re.Pattern] = {}
+
+
+def _objstm_hdr_re(count: int) -> re.Pattern:
+    pat = _OBJSTM_HDR_CACHE.get(count)
+    if pat is None:
+        pat = re.compile(rb"(?:[\x00\t\n\x0c\r ]*+[0-9]++){%d}" % count)
+        if len(_OBJSTM_HDR_CACHE) >= 64:
+            _OBJSTM_HDR_CACHE.clear()
+        _OBJSTM_HDR_CACHE[count] = pat
+    return pat
+
 # fused C seek+verify+parse for indirect objects (optional fast path)
 _CTOK_PARSE_INDIRECT = (
     getattr(_COS_CTOK, "parse_indirect", None) if _COS_CTOK is not None else None
@@ -785,12 +800,29 @@ class Parser:
             n = sd.get_int("N", 0, self._resolve)
             first = sd.get_int("First", 0, self._resolve)
             decoded = decode_stream(cobj.data, sd, self._resolve)
-            hdr = Raw(decoded, self.settings)
+            # header = 2N ws-separated uints; ONE anchored regex match
+            # + digit-run findall tokenizes exactly like 2N fetch_uint
+            # calls (same ws class, same maximal digit runs, and a
+            # failed match falls to the loop whose first missing uint
+            # raises the same EParseError)
             pairs = []
-            for _ in range(n):
-                oid = hdr.fetch_uint()
-                rel = hdr.fetch_uint()
-                pairs.append((oid, first + rel))
+            hm = (
+                _objstm_hdr_re(2 * n).match(decoded)
+                if 0 < n <= 10000
+                else None
+            )
+            if hm is not None:
+                nums = _DIGIT_RUN_RE.findall(hm.group(0))
+                for i in range(n):
+                    pairs.append(
+                        (int(nums[2 * i]), first + int(nums[2 * i + 1]))
+                    )
+            else:
+                hdr = Raw(decoded, self.settings)
+                for _ in range(n):
+                    oid = hdr.fetch_uint()
+                    rel = hdr.fetch_uint()
+                    pairs.append((oid, first + rel))
             cont = (decoded, pairs)
             self.xref.container_data[e.container] = cont
         decoded, pairs = cont
@@ -866,8 +898,8 @@ class Parser:
             v.data = h.decrypt(v.data, num, gen, is_string=False)
             return v
         if isinstance(v, CDict):
-            for k in v:
-                self._decrypt_value(v[k], num, gen)
+            for item in v.values():  # mutation is in-place, never rebinds
+                self._decrypt_value(item, num, gen)
             return v
         if isinstance(v, list):
             for item in v:
