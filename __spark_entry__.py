@@ -262,6 +262,8 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_append_counts.
 _DRIVER_WINDOW = [
     # --- NEW in r7 --------------------------------------------------
+    "dedup_substring",
+    "corpus_mix",
     "pdf_roundtrip_gb1",
     "pdf_roundtrip_cns1",
     "pdf_roundtrip_korea1",
@@ -308,8 +310,6 @@ _DRIVER_WINDOW = [
     "pdf_roundtrip_cjk_embedded",
     "pdf_roundtrip_hanzi",
     "pdf_roundtrip_japan1",
-    "pdf_roundtrip_forms",
-    "pdf_roundtrip_type3",
     "pdf_roundtrip_pubsec",
     "pdf_salvage",
     "pdf_salvage_encrypted",

@@ -802,6 +802,91 @@ FROM fps f LEFT JOIN known k ON k.fp16 = f.fp16
 """
 
 
+SUBSTR_W = 8  # duplicated-span window width, in words
+
+# 8-word sliding windows (stride 1); docs shorter than the window
+# contribute their whole text as one window. Same projected-`w` rule
+# as the shingle expr above: Catalyst does not hoist the split out of
+# the lambda.
+_SUBSTR_WIN_SPARK = """
+CASE WHEN size(w) < 8 THEN array(text)
+ELSE transform(
+  sequence(0, size(w) - 8),
+  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
+                      element_at(w, i + 3), element_at(w, i + 4),
+                      element_at(w, i + 5), element_at(w, i + 6),
+                      element_at(w, i + 7), element_at(w, i + 8)))
+END
+"""
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span accounting — the hashed-window approximation of
+    exact-substring train-data dedup (Lee et al. 2022 use suffix
+    arrays; the distributed-scale equivalent is fixed-width window
+    fingerprints, which this implements): every 8-word sliding window
+    is fingerprinted, a window whose fingerprint occurs in ≥2 windows
+    corpus-wide is a duplicated span, and each doc reports its
+    distinct-window total, duplicated-window count, and the integer
+    per-mille duplicated fraction (the curation cut key).
+
+    Scale plan: `array_distinct` dedups windows per doc MAP-SIDE, so
+    the only rows shuffled are (doc_id, fp) pairs — never window text.
+    Two shuffles: a count-over-fp window (uniform md5 key; a
+    boilerplate mega-span is the one skew risk — AQE skew split
+    handles it, and the count never materializes a list), then the
+    per-doc rollup. Catching duplication WITHIN a doc is rep_signals'
+    job; this op is the cross-corpus signal, so fingerprints are
+    distinct per doc before counting."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SUBSTR_WIN_SPARK))).alias("win"),
+    ).select("doc_id", F.md5("win").alias("fp"))
+    wfp = Window.partitionBy("fp")
+    flagged = pairs.withColumn("nocc", F.count("*").over(wfp))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nocc") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_permille", F.expr("(1000 * n_dup_windows) DIV n_windows")
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+wl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 8 THEN [text]
+         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+               || ' ' || w[i+7]
+               for i in range(1, len(w) - 6)] END AS lst
+  FROM d
+),
+wins AS (SELECT DISTINCT doc_id, md5(unnest(lst)) AS fp FROM wl),
+nocc AS (SELECT fp, count(*) AS nocc FROM wins GROUP BY fp)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n.nocc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST((1000 * sum(CASE WHEN n.nocc >= 2 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS dup_permille
+FROM wins w JOIN nocc n USING (fp)
+GROUP BY w.doc_id
+"""
+
+
 def queries():
     return {
         "dedup_exact": dedup_exact,
@@ -812,6 +897,7 @@ def queries():
         "ngram_jaccard": ngram_jaccard,
         "chunk_boilerplate": chunk_boilerplate,
         "dedup_incremental": dedup_incremental,
+        "dedup_substring": dedup_substring,
     }
 
 
@@ -825,4 +911,5 @@ def oracles():
         "ngram_jaccard": NGRAM_JACCARD_SQL,
         "chunk_boilerplate": CHUNK_BOILERPLATE_SQL,
         "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+        "dedup_substring": DEDUP_SUBSTRING_SQL,
     }

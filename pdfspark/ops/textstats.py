@@ -779,6 +779,74 @@ FROM documents
 """
 
 
+MIX_WMOD = 4  # source weight = 1 + (source index % MIX_WMOD)
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining-mix construction: each source gets a
+    target weight, and the op emits the LARGEST corpus that honors the
+    weight ratios exactly given what each source actually has — the
+    bottleneck source caps the total (T = min over sources of
+    floor(n_s·WSUM/w_s)), every source then contributes
+    floor(w_s·T/WSUM) docs, chosen as the w_s smallest-md5(doc_id)
+    rows (reproducible, no RNG; all arithmetic integer so the SQL twin
+    is hash-exact). Weights here derive from the source name
+    (1 + index % MIX_WMOD) standing in for a config table.
+
+    Plan: per-source counts are a map-side-combinable groupBy; WSUM/T/
+    per-source takes are ≤|sources|-row aggregates joined back as a
+    broadcast; the only real shuffle is the per-source row_number —
+    same stratum-rank posture (and the same low-cardinality-stratum
+    caveat) as corpus_sample above."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (1 + F.substring("source", 4, 18).cast("bigint") % MIX_WMOD).alias(
+            "wt"
+        ),
+    )
+    # persisted: counts feeds wsum, tcap AND takes — without the cache
+    # every consumer re-scans the full table for one pruned column
+    # (4 scans of 10^12 rows for a ≤|sources|-row aggregate)
+    counts = (
+        docs.groupBy("source", "wt").agg(F.count("*").alias("n")).persist()
+    )
+    wsum = counts.agg(F.sum("wt").alias("wsum"))
+    c2 = counts.crossJoin(F.broadcast(wsum))
+    tcap = c2.agg(F.min(F.expr("(n * wsum) DIV wt")).alias("tcap"))
+    takes = c2.crossJoin(F.broadcast(tcap)).select(
+        "source", F.expr("(wt * tcap) DIV wsum").alias("take")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(takes), "source")
+        .where(F.col("rn") <= F.col("take"))
+        .select("doc_id", "source", F.col("wt").cast("int").alias("weight"))
+    )
+
+
+def _corpus_mix_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+         1 + CAST(substr(source, 4) AS BIGINT) % {MIX_WMOD} AS wt
+  FROM documents
+),
+c AS (SELECT source, wt, count(*) AS n FROM d GROUP BY source, wt),
+s AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM c),
+t AS (SELECT min((n * wsum) // wt) AS tcap FROM c, s),
+tk AS (SELECT source, (wt * tcap) // wsum AS take FROM c, s, t),
+r AS (SELECT doc_id, source, wt,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rn
+      FROM d)
+SELECT r.doc_id, r.source, CAST(r.wt AS INT) AS weight
+FROM r JOIN tk USING (source) WHERE r.rn <= tk.take
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
@@ -794,6 +862,7 @@ def queries():
         "pack_sequences": pack_sequences,
         "unigram_rarity": unigram_rarity,
         "corpus_split": corpus_split,
+        "corpus_mix": corpus_mix,
     }
 
 
@@ -812,4 +881,5 @@ def oracles():
         "pack_sequences": PACK_SEQUENCES_SQL,
         "unigram_rarity": UNIGRAM_RARITY_SQL,
         "corpus_split": _corpus_split_sql(),
+        "corpus_mix": _corpus_mix_sql(),
     }

@@ -1061,3 +1061,63 @@ def test_ivf_recall_holds_at_sf01_with_shrunk_probe():
         recall += len(got & truth) / K
     recall /= ann.N_QUERIES
     assert recall >= 0.7, f"sf0.1 recall {recall} below the 0.7 pin"
+
+
+def test_dedup_substring_planted(spark, tmp_path):
+    """r7 duplicated-span accounting: an 8-word window shared across
+    two docs flags exactly one window in each; sub-window docs dedup
+    on their whole text; the per-mille is integer-exact."""
+    from pdfspark.ops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail1 x"),  # 3 windows, 1 shared
+            (2, "pre a b c d e f g h"),      # 2 windows, 1 shared
+            (3, "short text"),               # whole-text window …
+            (4, "short text"),               # … duplicated with doc 3
+            (5, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique single window
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sub_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_permille)
+        for r in dd.dedup_substring(spark, path).collect()
+    }
+    assert got == {
+        1: (3, 1, 333),
+        2: (2, 1, 500),
+        3: (1, 1, 1000),
+        4: (1, 1, 1000),
+        5: (1, 0, 0),
+    }
+
+
+def test_corpus_mix_ratios_and_determinism(spark, tmp_path):
+    """r7 mix construction: with src0 (weight 1, 6 docs) and src1
+    (weight 2, 4 docs), the bottleneck is src1 → T = 6, takes = 2 and
+    4 — the 1:2 target ratio held exactly; kept rows are the
+    smallest-md5 ranks so a rerun is byte-identical."""
+    import pyspark.sql.functions as F
+
+    from pdfspark.ops import textstats as ts
+
+    rows = [(i, f"doc {i}", "src0") for i in range(6)]
+    rows += [(10 + i, f"doc {10 + i}", "src1") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "mix_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = ts.corpus_mix(spark, path)
+    per_src = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src == {"src0": 2, "src1": 4}
+    assert {r.weight for r in got.collect()} == {1, 2}
+    # determinism: same frame on a rerun
+    again = {(r.doc_id, r.source) for r in ts.corpus_mix(spark, path).collect()}
+    assert again == {(r.doc_id, r.source) for r in got.collect()}
+    # the per-source take table reaches the ranked side as a broadcast
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
