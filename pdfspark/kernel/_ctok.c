@@ -2324,7 +2324,7 @@ deref_chain(PyObject *v, PyObject *resolver, long limit)
 
 /* inh slot order: 0=Resources 1=MediaBox 2=CropBox 3=Rotate */
 static int
-walk_node(PyObject *node, long long node_num, PyObject **inh, int depth,
+walk_node(PyObject *node, PyObject *node_num, PyObject **inh, int depth,
           PyObject *resolver, PyObject *soft_cb, long limit, PyObject *out)
 {
     PyObject *local[4];
@@ -2410,9 +2410,12 @@ walk_node(PyObject *node, long long node_num, PyObject **inh, int depth,
                 Py_DECREF(knode);
                 goto done;
             }
+            /* kid num stays a PyObject — object numbers are
+             * unbounded Python ints in corrupt files and the Python
+             * walk handles them; converting to long long here could
+             * overflow with an ignored error (C-API violation) */
             kr = walk_node(
-                knode,
-                PyLong_AsLongLong(PyTuple_GET_ITEM(kid, 0)),
+                knode, PyTuple_GET_ITEM(kid, 0),
                 local, depth + 1, resolver, soft_cb, limit, out);
             Py_DECREF(knode);
             if (kr < 0)
@@ -2492,7 +2495,7 @@ walk_node(PyObject *node, long long node_num, PyObject **inh, int depth,
                 res_o = local[0];
         }
         row = Py_BuildValue(
-            "(LOOOON)", node_num,
+            "(OOOOON)", node_num,
             local[1] != NULL ? local[1] : Py_None,
             local[2] != NULL ? local[2] : Py_None,
             res_o, contents, rot_obj);
@@ -2517,9 +2520,8 @@ done:
 static PyObject *
 ctok_walk_pages(PyObject *self, PyObject *args)
 {
-    PyObject *pages, *resolver, *soft_cb, *out;
+    PyObject *pages, *resolver, *soft_cb, *out, *root_num;
     PyObject *inh[4] = {NULL, NULL, NULL, NULL};
-    long long root_num;
     long limit;
 
     (void)self;
@@ -2527,7 +2529,7 @@ ctok_walk_pages(PyObject *self, PyObject *args)
         PyErr_SetString(PyExc_RuntimeError, "_ctok not configured");
         return NULL;
     }
-    if (!PyArg_ParseTuple(args, "O!LOOl", &PyDict_Type, &pages, &root_num,
+    if (!PyArg_ParseTuple(args, "O!OOOl", &PyDict_Type, &pages, &root_num,
                           &resolver, &soft_cb, &limit))
         return NULL;
     out = PyList_New(0);

@@ -309,27 +309,10 @@ class Document:
                         raise EParseError(f"kid {kid} is not a dictionary")
                     walk(knode, kid.num, inh, depth + 1)
             else:
-                # leaf page
+                # leaf page — box validation shared with the C-walk
+                # consumer above so the two paths can't drift
                 def rect_of(key):
-                    v = inh.get(key)
-                    if v is None:
-                        return None
-                    # inherited boxes are usually ONE shared list object
-                    # across every page of the document — memoize the
-                    # Rect per list identity for the walk's lifetime
-                    hit = rect_memo.get(id(v), False)
-                    if hit is not False:
-                        return hit
-                    if (
-                        isinstance(v, list)
-                        and len(v) == 4
-                        and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
-                    ):
-                        r = Rect.normalized(*[float(x) for x in v])
-                    else:
-                        r = None
-                    rect_memo[id(v)] = r
-                    return r
+                    return rect_of_value(inh.get(key))
 
                 contents = []
                 cv = node.deref(node.get("Contents", COS_NULL), res)

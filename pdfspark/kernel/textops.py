@@ -547,6 +547,15 @@ class Font:
         key = (depth < 4, base_tag, decoded)
         hit = _EMB_CMAP_MEMO.get(key)
         if hit is not None:
+            # a CID→Unicode collection registered AFTER this chain was
+            # memoized (register_collection / the cid2code loader is a
+            # deployment-time hook) must still take effect: re-resolve
+            # a missing coll on every hit — idempotent upgrade, never
+            # a downgrade
+            if hit.coll is None and hit.ordering is not None:
+                from .cidcollections import collection_table
+
+                hit.coll = collection_table(hit.ordering)
             return hit, key
         cm = parse_embedded_cmap(decoded)
         if base_cm is not None:

@@ -804,18 +804,17 @@ FROM fps f LEFT JOIN known k ON k.fp16 = f.fp16
 
 SUBSTR_W = 8  # duplicated-span window width, in words
 
-# 8-word sliding windows (stride 1); docs shorter than the window
-# contribute their whole text as one window. Same projected-`w` rule
-# as the shingle expr above: Catalyst does not hoist the split out of
-# the lambda.
-_SUBSTR_WIN_SPARK = """
-CASE WHEN size(w) < 8 THEN array(text)
+# SUBSTR_W-word sliding windows (stride 1); docs shorter than the
+# window contribute their whole text as one window. Same projected-`w`
+# rule as the shingle expr above: Catalyst does not hoist the split
+# out of the lambda. Both the Spark expr and the SQL twin are built
+# from SUBSTR_W so the knob is the single source of truth.
+_SUBSTR_WIN_SPARK = f"""
+CASE WHEN size(w) < {SUBSTR_W} THEN array(text)
 ELSE transform(
-  sequence(0, size(w) - 8),
-  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
-                      element_at(w, i + 3), element_at(w, i + 4),
-                      element_at(w, i + 5), element_at(w, i + 6),
-                      element_at(w, i + 7), element_at(w, i + 8)))
+  sequence(0, size(w) - {SUBSTR_W}),
+  i -> concat_ws(' ', {", ".join(
+      f"element_at(w, i + {j + 1})" for j in range(SUBSTR_W))}))
 END
 """
 
@@ -861,17 +860,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SUBSTRING_SQL = """
+DEDUP_SUBSTRING_SQL = f"""
 WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
 ),
 wl AS (
   SELECT doc_id,
-         CASE WHEN len(w) < 8 THEN [text]
-         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-               || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
-               || ' ' || w[i+7]
-               for i in range(1, len(w) - 6)] END AS lst
+         CASE WHEN len(w) < {SUBSTR_W} THEN [text]
+         ELSE [{" || ' ' || ".join(
+             ["w[i]"] + [f"w[i+{j}]" for j in range(1, SUBSTR_W)])}
+               for i in range(1, len(w) - {SUBSTR_W - 2})] END AS lst
   FROM d
 ),
 wins AS (SELECT DISTINCT doc_id, md5(unnest(lst)) AS fp FROM wl),

@@ -653,8 +653,17 @@ def _jpeg_decode(payload: bytes) -> dict:
                             sym = rd.huff(htables[(1, ac_tid)])
                             run, size = sym >> 4, sym & 0xF
                             if size == 0:
-                                if run != 15:
+                                if run == 0:
                                     break  # EOB
+                                if run != 15:
+                                    # EOBn symbols are progressive-
+                                    # only (T.81 G.1.2.2); in a
+                                    # sequential scan they're corrupt
+                                    # data -> header-dims fallback,
+                                    # never silent wrong pixels
+                                    raise NotImplementedError(
+                                        f"bad JPEG AC symbol {sym:#x}"
+                                    )
                                 k += 16  # ZRL
                                 continue
                             k += run

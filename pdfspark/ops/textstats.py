@@ -802,9 +802,21 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-        (1 + F.substring("source", 4, 18).cast("bigint") % MIX_WMOD).alias(
-            "wt"
-        ),
+        # anchored digit extract + coalesce-to-0 is TOTAL and identical
+        # in both engines (Spark cast('')→NULL, DuckDB try_cast→NULL);
+        # a naive substr+cast diverged: >18-digit suffixes truncated in
+        # Spark only, and non-numeric suffixes NULLed in Spark but
+        # errored the whole DuckDB oracle
+        (
+            1
+            + F.coalesce(
+                F.regexp_extract("source", r"^src([0-9]{1,18})$", 1).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            )
+            % MIX_WMOD
+        ).alias("wt"),
     )
     # persisted: counts feeds wsum, tcap AND takes — without the cache
     # every consumer re-scans the full table for one pruned column
@@ -831,7 +843,9 @@ def _corpus_mix_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
-         1 + CAST(substr(source, 4) AS BIGINT) % {MIX_WMOD} AS wt
+         1 + coalesce(TRY_CAST(
+               regexp_extract(source, '^src([0-9]{{1,18}})$', 1)
+             AS BIGINT), 0) % {MIX_WMOD} AS wt
   FROM documents
 ),
 c AS (SELECT source, wt, count(*) AS n FROM d GROUP BY source, wt),

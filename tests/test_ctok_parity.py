@@ -970,6 +970,18 @@ def test_walk_pages_error_contract():
         nk, 1, lambda r: CDict(), lambda ok, m: soft.append((ok, m)), 5
     )
     assert rows == [] and soft == [(False, "/Pages node without /Kids")]
+    # kid numbers beyond int64 (corrupt-file territory) must flow
+    # through like the Python walk's unbounded ints — never an
+    # overflow with a swallowed error
+    big = 1 << 70
+    big_store = {
+        1: CDict({Name("Type"): Name("Pages"), Name("Kids"): [Ref(big, 0)]}),
+        big: CDict({Name("Type"): Name("Page")}),
+    }
+    rows = docmodel._CTOK_WALK(
+        big_store[1], 1, lambda r: big_store[r.num], lambda ok, m: None, 5
+    )
+    assert [r[0] for r in rows] == [big]
 
 
 def test_walk_pages_inheritance_parity():
