@@ -214,6 +214,12 @@ def _q_catalog_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog_fields_rows(spark, sf_dir)
 
 
+def _q_page_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfspark.engine import page_labels_rows
+
+    return page_labels_rows(spark, sf_dir)
+
+
 def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction output joined back to the documents dim (broadcast)
     + aggregation: per-(lang, kind) span counts and text volume —
@@ -253,7 +259,14 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hanzi/japan1), and the PDF pipelines the r7 structural-parse
 # kernel work touches (interleaved/objstream/incremental/filters/
 # encrypted/cjk_embedded/forms/type3/pubsec/salvage ×2/reference/
-# malformed ×2).  Rotated OUT (all r6-green, one round stale):
+# malformed ×2).  Late-r7 swap: the 3 session additions
+# (semantic_dedup, bpe_pair_topk, pdf_page_labels — never checked)
+# displace pdf_roundtrip_hanzi / pdf_roundtrip_japan1 /
+# pdf_salvage_encrypted, whose r6-green surfaces stay covered
+# in-window by siblings exercising the same changed code paths
+# (gb1/cns1/korea1 drive the identical CID-collection machinery,
+# salvage + encrypted cover the salvage_encrypted composition; see
+# COVERAGE.md r7 map).  Rotated OUT (all r6-green, one round stale):
 # pdf_roundtrip_cjk, span_geometry ×4, attachments/outlines/links/
 # form_fields, metadata/dates/span_stats/catalog_fields,
 # media_meta/frames/audio, html ×2, dedup exact/simhash/minhash/
@@ -262,6 +275,9 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_append_counts.
 _DRIVER_WINDOW = [
     # --- NEW in r7 --------------------------------------------------
+    "semantic_dedup",
+    "bpe_pair_topk",
+    "pdf_page_labels",
     "dedup_substring",
     "corpus_mix",
     "pdf_roundtrip_gb1",
@@ -309,10 +325,7 @@ _DRIVER_WINDOW = [
     "pdf_roundtrip_filters",
     "pdf_roundtrip_encrypted",
     "pdf_roundtrip_cjk_embedded",
-    "pdf_roundtrip_hanzi",
-    "pdf_roundtrip_japan1",
     "pdf_salvage",
-    "pdf_salvage_encrypted",
     "pdf_reference_golden",
     "pdf_malformed_golden",
     "pdf_malformed_policy",
@@ -357,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_dates": _q_dates,
         "pdf_span_stats": _q_span_stats,
         "pdf_catalog_fields": _q_catalog_fields,
+        "pdf_page_labels": _q_page_labels,
     }
     q.update(register_ops_queries())
     # Rotate the driver's 50-query window to the front (see
@@ -364,6 +378,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
+
+
+def _roman_lower(v):
+    out = []
+    for val, sym in (
+        (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+        (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+        (5, "v"), (4, "iv"), (1, "i"),
+    ):
+        q, v = divmod(v, val)
+        out.append(sym * q)
+    return "".join(out)
+
+
+ROM_MAX = 64  # v <= St_max(3) + n_pages - 1; n_pages <= ~8 at sf0.1
+
+
+def _page_labels_oracle_sql() -> str:
+    rom = "[" + ",".join(f"'{_roman_lower(i)}'" for i in range(1, ROM_MAX + 1)) + "]"
+    styles = "['D','R','r','A','a']"
+
+    def numeral(style: str, v: str) -> str:
+        return f"""CASE {style}
+      WHEN 'D' THEN CAST({v} AS VARCHAR)
+      WHEN 'R' THEN upper(rom[{v}])
+      WHEN 'r' THEN rom[{v}]
+      WHEN 'A' THEN upper(repeat(chr(CAST(97 + ({v} - 1) % 26 AS INT)),
+                                 CAST(({v} - 1) // 26 + 1 AS INT)))
+      ELSE repeat(chr(CAST(97 + ({v} - 1) % 26 AS INT)),
+                  CAST(({v} - 1) // 26 + 1 AS INT))
+    END"""
+
+    return f"""
+WITH pc AS (
+  SELECT doc_id,
+         CAST(greatest(1, ceil((k + k // 3) / 5.0)) AS BIGINT) AS n_pages
+  FROM (SELECT doc_id,
+               CAST(ceil((length(text) * {__import__('pdfspark.engine', fromlist=['PL_REP']).PL_REP}) / 80.0) AS BIGINT) AS k
+        FROM documents)
+),
+pages AS (
+  SELECT doc_id, n_pages, unnest(range(n_pages)) AS p,
+         {rom} AS rom, {styles} AS sty
+  FROM pc
+)
+SELECT doc_id, CAST(p AS INT) AS page_idx,
+  CASE WHEN n_pages >= 3 AND p >= 2 THEN
+    'x' || CAST(doc_id % 10 AS VARCHAR) || '-' ||
+    CASE WHEN doc_id % 7 = 0 THEN ''
+    ELSE {numeral("sty[CAST(doc_id // 5 % 5 AS INT) + 1]", "1 + p - 2")}
+    END
+  ELSE {numeral("sty[CAST(doc_id % 5 AS INT) + 1]", "doc_id % 3 + 1 + p")}
+  END AS label
+FROM pages
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -622,6 +691,7 @@ FROM wk
         # serially by tools/gen_mutation_manifest.py (deterministic
         # seeded corruption of the reference's own sample PDFs)
         "pdf_mutation_golden": manifest_sql(),
+        "pdf_page_labels": _page_labels_oracle_sql(),
     }
     # geometry through the Type0 embedded-CMap font: the generator's
     # /W [0 127 500] + /DW 1000 give ASCII the same 500/1000-em advance

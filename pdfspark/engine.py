@@ -851,6 +851,123 @@ def catalog_fields_rows(spark, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "lang", "page_mode")
 
 
+PAGE_LABEL_STYLES = ("D", "R", "r", "A", "a")
+PL_REP = 4  # text amplification: the raw documents rows cap at 2
+# pages; x4 spreads page counts over 1..8 so multi-range schedules,
+# the prefix-only range, and the /Kids tree shape all get exercised
+
+
+def _page_label_ranges(did: int, n_pages: int) -> list:
+    """The deterministic §12.4.2 label schedule the generator writes
+    and the oracle re-derives: range at page 0 rotates the numbering
+    style by doc_id (/St omitted when it would be the default 1);
+    docs with >= 3 pages open a second prefixed range at page 2 —
+    prefix-only (no /S) when doc_id % 7 == 0."""
+    from .kernel.cos import CDict, CString, Name
+
+    r1 = CDict()
+    r1[Name("S")] = Name(PAGE_LABEL_STYLES[did % 5])
+    st1 = did % 3 + 1
+    if st1 != 1:  # exercise the /St default
+        r1[Name("St")] = st1
+    ranges = [(0, r1)]
+    if n_pages >= 3:
+        r2 = CDict()
+        r2[Name("P")] = CString.from_text(f"x{did % 10}-")
+        if did % 7 != 0:  # %7==0 -> prefix-only range
+            r2[Name("S")] = Name(PAGE_LABEL_STYLES[(did // 5) % 5])
+            r2[Name("St")] = 1
+        ranges.append((2, r2))
+    return ranges
+
+
+def page_label_tree(did: int, n_pages: int):
+    """/PageLabels number tree for the schedule: doc_id % 4 == 0 with
+    two ranges exercises the /Kids + /Limits shape (§7.9.7); the kids
+    stay direct dicts (legal — deref handles both). Everything else
+    gets a flat /Nums leaf."""
+    from .kernel.cos import CDict, Name
+
+    ranges = _page_label_ranges(did, n_pages)
+    root = CDict()
+    if did % 4 == 0 and len(ranges) == 2:
+        kids = []
+        for start, d in ranges:
+            leaf = CDict()
+            leaf[Name("Nums")] = [start, d]
+            leaf[Name("Limits")] = [start, start]
+            kids.append(leaf)
+        root[Name("Kids")] = kids
+    else:
+        nums = []
+        for start, d in ranges:
+            nums += [start, d]
+        root[Name("Nums")] = nums
+    return root
+
+
+def page_labels_rows(spark, sf_dir: str) -> DataFrame:
+    """/PageLabels end-to-end (driver query `pdf_page_labels`): the
+    generator writes a §12.4.2 page-label number tree rotating through
+    every numbering style, /St starts, a prefix-only range, and both
+    tree shapes (flat /Nums vs /Kids leaves with /Limits); the kernel
+    walks the tree back into one display label per page. Oracle: the
+    same closed-form label schedule in SQL (styles re-derived from
+    doc_id, page count from the amplified span formula). EXTENSION —
+    the reference reads no number trees (its catalog surface is
+    PDFDocCatalog.java's mode/layout/lang trio)."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import SPANS_PER_PAGE, build_pdf, synth_spans_py
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did, text in zip(ids, pdf["text"]):
+                did = int(did)
+                spans = synth_spans_py(str(did), str(text) * PL_REP)
+                n_pages = max(1, -(-len(spans) // SPANS_PER_PAGE))
+                payloads.append(
+                    build_pdf(
+                        str(did),
+                        spans,
+                        "classic",
+                        catalog_extra={
+                            "PageLabels": page_label_tree(did, n_pages)
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads,
+                 "size_class": [1] * len(ids)}
+            )
+
+    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import parse_document
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    for idx, lab in enumerate(
+                        parse_document(bytes(payload)).page_labels()
+                    ):
+                        rows.append(
+                            {"doc_id": did, "page_idx": idx, "label": lab}
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["doc_id", "page_idx", "label"])
+
+    return payloads.mapInPandas(
+        ker, schema="doc_id bigint, page_idx int, label string"
+    )
+
+
+
 def date_rows(spark, sf_dir: str) -> DataFrame:
     """C5 oracle query: the kernel parses the generator's
     D:YYYYMMDDHHmmSS+02'00' CreationDate and normalizes to UTC; DuckDB

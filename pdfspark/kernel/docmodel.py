@@ -422,6 +422,69 @@ class Document:
             )
         return out
 
+    # ---- /PageLabels number tree (EXTENSION, r7 — the reference
+    # reads no number trees; ISO 32000-1 §7.9.7 number trees +
+    # §12.4.2 page-label ranges) --------------------------------
+    def _walk_number_tree(self, node: CDict, depth: int = 0):
+        """In-order (integer key, value) pairs of a number tree: leaf
+        /Nums arrays are [k1 v1 k2 v2 ...]; intermediate nodes recurse
+        through /Kids (/Limits are advisory for a full scan, §7.9.7).
+        PERMISSIVE: malformed entries are skipped, depth is guarded."""
+        if depth > 32:
+            raise EParseError("number tree too deep")
+        res = self.parser._resolve
+        nums = node.get_array("Nums", None, res)
+        if nums:
+            for i in range(0, len(nums) - 1, 2):
+                k = node.deref(nums[i], res)
+                val = node.deref(nums[i + 1], res)
+                if isinstance(k, int) and not isinstance(k, bool):
+                    yield k, val
+        kids = node.get_array("Kids", None, res)
+        if kids:
+            for kid in kids:
+                kd = node.deref(kid, res)
+                if isinstance(kd, CDict):
+                    yield from self._walk_number_tree(kd, depth + 1)
+
+
+    def page_labels(self) -> list:
+        """One display label per page, in page order (§12.4.2): each
+        number-tree entry (start_page -> label dict) opens a range; a
+        page's label is prefix /P + numeral(style /S, /St + offset). No
+        /S -> the label is the prefix alone for every page in the range;
+        no applicable range -> empty string (PERMISSIVE — the spec
+        requires a range at page 0 but real files omit it)."""
+        res = self.parser._resolve
+        root = self.catalog.get_dict("PageLabels", None, res)
+        n = self.page_count()
+        if root is None:
+            return [""] * n
+        ranges = sorted(
+            (
+                (k, v)
+                for k, v in self._walk_number_tree(root)
+                if isinstance(v, CDict) and 0 <= k
+            ),
+            key=lambda kv: kv[0],
+        )
+        out = []
+        ri = -1
+        for idx in range(n):
+            while ri + 1 < len(ranges) and ranges[ri + 1][0] <= idx:
+                ri += 1
+            if ri < 0:
+                out.append("")
+                continue
+            start, d = ranges[ri]
+            style = d.get_name("S", None, res)
+            prefix = d.get_str("P", "", res)
+            st = d.get("St")
+            st = st if isinstance(st, int) and not isinstance(st, bool) else 1
+            out.append(prefix + _format_page_label(str(style) if style else None,
+                                                   st + (idx - start)))
+        return out
+
     # ---- outline tree + link annotations (EXTENSION, r4 — the
     # reference reads neither; built from ISO 32000-1 §12.3.3 document
     # outlines and §12.5/§12.6.4.7 link annotations / URI actions) ----
@@ -559,3 +622,32 @@ class Document:
             "page_mode": str(mode) if mode in PAGE_MODES else "UseNone",
             "page_layout": str(layout) if layout in PAGE_LAYOUTS else "SinglePage",
         }
+
+
+_ROMAN = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+    (5, "v"), (4, "iv"), (1, "i"),
+)
+
+
+def _format_page_label(style, v: int) -> str:
+    """§12.4.2 numbering styles: D decimal, R/r roman, A/a letters
+    (A..Z, AA..ZZ, ...). Out-of-domain v (< 1) falls back to decimal,
+    mirroring what viewers render."""
+    if style is None:
+        return ""
+    if style == "D" or v < 1:
+        return str(v)
+    if style in ("R", "r"):
+        out, rest = [], v
+        for val, sym in _ROMAN:
+            q, rest = divmod(rest, val)
+            out.append(sym * q)
+        s = "".join(out)
+        return s.upper() if style == "R" else s
+    if style in ("A", "a"):
+        ch = chr(ord("a") + (v - 1) % 26)
+        s = ch * ((v - 1) // 26 + 1)
+        return s.upper() if style == "A" else s
+    return str(v)

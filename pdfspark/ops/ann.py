@@ -972,6 +972,113 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- r7: SemDeDup — semantic deduplication over the trained IVF
+# cells (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the corpus with
+# the SAME deterministic integer k-means the IVF index trains, then
+# call two documents semantic duplicates when their embeddings sit in
+# the same cell with cosine >= SEM_TAU; keep the lowest vec_id of
+# every duplicate group. The keep-rule is the transitive-free local
+# one the paper uses (drop x iff some kept-or-dropped y < x in the
+# same cell has sim(x, y) >= tau), which is deterministic and needs
+# no iterative connected components.
+SEM_TAU = 0.35  # same corpus-calibrated threshold as NEARDUP_TAU:
+# within-cell sims cluster well above it for true dups, max off-diag
+# between non-dups ~0.48 at the boundary of the blocked variant
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop assignment: (vec_id, cell, keep, dup_of)
+    where dup_of is the LOWEST lower-id same-cell vector with cosine
+    >= SEM_TAU (-1 when kept — the sentinel avoids nullable-int
+    round-trip hazards between Arrow and the driver hasher).
+
+    Plan: centroids are driver-tiny and ship in the task closure;
+    assignment is one numpy pass over Arrow batches (zero shuffles);
+    the quadratic term is confined to ONE groupBy-cell shuffle and a
+    tiled per-cell matmul (memory O(TILE x n_cell), never O(n^2)).
+    Scale posture: n_cells grows as sqrt(N) (clamp 4096), so expected
+    cell size is ~sqrt(N); at 10^12 vectors you raise n_cells to
+    N / lambda for a constant lambda target cell size and shard the
+    trainer — the per-cell kernel below is unchanged. This is the
+    exact posture the paper runs (k = 50k clusters for LAION)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    n_cells, _ = _geometry(emb.count())
+    cells = _assign_cells(emb, _centroids(emb, n_cells))
+    within = cells.join(emb, "vec_id").select("vec_id", "cell", "embedding")
+
+    TILE = 1024
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cell = int(pdf["cell"].iloc[0])
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i0 in range(0, n, TILE):
+            i1 = min(i0 + TILE, n)
+            S = En[i0:i1] @ En.T  # (tile x n)
+            for r in range(i1 - i0):
+                j = i0 + r  # global row, ids sorted ascending
+                if j == 0:
+                    continue
+                mask = S[r, :j] >= SEM_TAU
+                if mask.any():
+                    # ids sorted -> first hit IS the lowest dup id
+                    dup_of[j] = ids[int(np.argmax(mask))]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(n, cell, dtype=np.int32),
+                "keep": dup_of < 0,
+                "dup_of": dup_of,
+            }
+        )
+
+    return within.groupBy("cell").applyInPandas(
+        per_cell, schema="vec_id bigint, cell int, keep boolean, dup_of bigint"
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB mirror: same trained-centroid CTE chain as the IVF
+    oracles, same cosine-argmax assignment, then the keep-rule as a
+    grouped min over the within-cell pair predicate."""
+    return f"""
+WITH {_kmeans_cent_ctes()},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(
+                                         e.embedding::DOUBLE[], cent.c) DESC,
+                                       cent.cell ASC) AS rn
+    FROM embeddings e, cent
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                               eb.embedding::DOUBLE[]) >= {SEM_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       d.dup_of IS NULL AS keep,
+       COALESCE(d.dup_of, -1) AS dup_of
+FROM assign s LEFT JOIN dups d ON d.vid = s.vec_id
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -980,6 +1087,7 @@ def queries():
         "ann_ivf_cells": ann_ivf_cells,
         "ann_pq_topk": ann_pq_topk,
         "embed_neardup_pairs": embed_neardup_pairs,
+        "semantic_dedup": semantic_dedup,
     }
 
 
@@ -991,4 +1099,5 @@ def oracles():
         "ann_ivf_cells": _ivf_cells_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),
         "embed_neardup_pairs": EMBED_NEARDUP_SQL,
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
     }

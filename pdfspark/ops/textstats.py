@@ -861,6 +861,58 @@ FROM r JOIN tk USING (source) WHERE r.rn <= tk.take
 """
 
 
+# --- r7: BPE merge-candidate counting (Sennrich et al. 2016 §3.2,
+# the distributed inner loop of byte-pair-encoding tokenizer
+# training): count every adjacent token pair corpus-wide and rank the
+# top candidates — the argmax of this table IS the next BPE merge.
+# At 10^12 documents this is the step that matters (each of the ~32k
+# merge rounds re-runs it over the shrinking symbol stream); one
+# map-side-combinable groupBy per round, never a global sort.
+BPE_TOP = 20
+
+
+def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BPE_TOP adjacent-pair counts over whitespace tokens.
+
+    Plan: pairs are generated inside a single projection
+    (transform over sequence — JVM codegen, no UDF), counted with one
+    partial-agg shuffle on the pair string, and the top-k resolves to
+    TakeOrderedAndProject (k rows per partition reach the driver,
+    never the full pair table). Pair-key skew (stopword bigrams) is
+    exactly what map-side combine absorbs."""
+    docs = _docs(spark, sf_dir).select(F.split("text", " ").alias("w"))
+    pairs = (
+        docs.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS pair
+  FROM d WHERE len(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {BPE_TOP}
+"""
+
+
 def queries():
     return {
         "token_count": token_count,
@@ -877,6 +929,7 @@ def queries():
         "unigram_rarity": unigram_rarity,
         "corpus_split": corpus_split,
         "corpus_mix": corpus_mix,
+        "bpe_pair_topk": bpe_pair_topk,
     }
 
 
@@ -896,4 +949,5 @@ def oracles():
         "unigram_rarity": UNIGRAM_RARITY_SQL,
         "corpus_split": _corpus_split_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "bpe_pair_topk": BPE_PAIR_SQL,
     }

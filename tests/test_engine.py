@@ -191,3 +191,73 @@ def test_form_recursion_depth_guard():
     st, err, spans = extract_spans(bytes(out))
     assert st == "error" and "recursion" in err.lower()
     assert spans == []
+
+
+def test_page_label_formatting():
+    """§12.4.2 numbering styles over the documented domains."""
+    from pdfspark.kernel.docmodel import _format_page_label as f
+
+    assert f("D", 7) == "7"
+    assert [f("r", v) for v in (1, 4, 9, 14, 40, 1999)] == [
+        "i", "iv", "ix", "xiv", "xl", "mcmxcix",
+    ]
+    assert f("R", 2024) == "MMXXIV"
+    assert [f("a", v) for v in (1, 26, 27, 52, 53)] == [
+        "a", "z", "aa", "zz", "aaa",
+    ]
+    assert f("A", 28) == "BB"
+    assert f(None, 3) == ""
+    assert f("Q", 3) == "3"  # unknown style -> decimal fallback
+    assert f("r", 0) == "0"  # out-of-domain -> decimal fallback
+
+
+def _labels_for(doc_id: int, text: str):
+    from pdfspark import engine as eng
+    from pdfspark.codec import SPANS_PER_PAGE, build_pdf, synth_spans_py
+    from pdfspark.kernel.extract import parse_document
+
+    spans = synth_spans_py(str(doc_id), text * eng.PL_REP)
+    n_pages = max(1, -(-len(spans) // SPANS_PER_PAGE))
+    payload = build_pdf(
+        str(doc_id), spans, "classic",
+        catalog_extra={"PageLabels": eng.page_label_tree(doc_id, n_pages)},
+    )
+    return parse_document(payload).page_labels(), n_pages
+
+
+def test_page_labels_schedule_and_tree_shapes():
+    """End-to-end generator → kernel: doc 7 exercises the prefix-only
+    second range, doc 8 (%4==0) the /Kids+/Limits tree shape, doc 1
+    the /St default, doc 0 the single-page flat /Nums."""
+    labs, n = _labels_for(7, "x" * 200)
+    assert n >= 3
+    assert labs[0] == "ii" and labs[1] == "iii"
+    assert labs[2] == "x7-" and labs[-1] == "x7-"
+    labs, n = _labels_for(8, "x" * 200)
+    assert n >= 3
+    assert labs[:2] == ["C", "D"] and labs[2] == "x8-I"
+    labs, n = _labels_for(0, "x" * 10)
+    assert labs == ["1"]
+
+
+def test_page_labels_no_tree_and_missing_range():
+    """PERMISSIVE paths: a doc without /PageLabels yields empty labels
+    for every page; a tree whose first range starts past page 0 leaves
+    the uncovered pages empty."""
+    from pdfspark.codec import build_pdf, synth_spans_py
+    from pdfspark.kernel.cos import CDict, Name
+    from pdfspark.kernel.extract import parse_document
+
+    spans = synth_spans_py("9", "y" * 400)
+    doc = parse_document(build_pdf("9", spans, "classic"))
+    labs = doc.page_labels()
+    assert labs and all(l == "" for l in labs)
+
+    root = CDict()
+    r = CDict()
+    r[Name("S")] = Name("D")
+    root[Name("Nums")] = [1, r]
+    payload = build_pdf("9", spans, "classic",
+                        catalog_extra={"PageLabels": root})
+    labs = parse_document(payload).page_labels()
+    assert labs[0] == "" and labs[1] == "1" and labs[-1] == str(len(labs) - 1)

@@ -1153,3 +1153,58 @@ def test_pq_adc_recall_and_compression(spark):
         )
         rec += len(set(approx) & truth) / ann.TOP_K
     assert rec / len(by_q) >= 0.5, rec / len(by_q)
+
+
+def test_bpe_pair_topk_planted(spark, tmp_path):
+    """BPE merge-candidate counting: 'a b' occurs 3x corpus-wide (the
+    would-be first merge), single-token docs contribute nothing, and
+    ties rank lexicographically."""
+    from pdfspark.ops import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bpe_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = [(r.pair, r.cnt) for r in ts.bpe_pair_topk(spark, path).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_semantic_dedup_matches_local_replica(spark):
+    """SemDeDup keep/drop against a serial numpy replica of the exact
+    contract (same trained cells, same tie rules): every dropped row
+    names its LOWEST same-cell duplicate, every kept row has none."""
+    import numpy as np
+
+    from pdfspark.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.vec_id: (r.cell, r.keep, r.dup_of)
+        for r in ann.semantic_dedup(spark, sf).collect()
+    }
+    emb = ann._emb(spark, sf)
+    rows = emb.select("vec_id", "embedding").collect()
+    n_cells, _ = ann._geometry(len(rows))
+    Cn = ann._centroids(emb, n_cells)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cells = np.argmax(En @ Cn.T, axis=1)
+    order = np.argsort(ids)
+    ids, En, cells = ids[order], En[order], cells[order]
+    exp = {}
+    for c in sorted(set(cells.tolist())):
+        m = cells == c
+        cid, ce = ids[m], En[m]
+        S = ce @ ce.T
+        for j in range(len(cid)):
+            dup = -1
+            for i in range(j):
+                if S[j, i] >= ann.SEM_TAU:
+                    dup = int(cid[i])
+                    break
+            exp[int(cid[j])] = (int(c), dup < 0, dup)
+    assert out == exp
+    assert sum(1 for v in out.values() if not v[1]) > 0  # corpus has dups
