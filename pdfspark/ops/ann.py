@@ -994,9 +994,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip hazards between Arrow and the driver hasher).
 
     Plan: centroids are driver-tiny and ship in the task closure;
-    assignment is one numpy pass over Arrow batches (zero shuffles);
-    the quadratic term is confined to ONE groupBy-cell shuffle and a
-    tiled per-cell matmul (memory O(TILE x n_cell), never O(n^2)).
+    assignment is one numpy pass over Arrow batches that carries the
+    embedding THROUGH (one scan — no join back to the table to
+    recover the vector, unlike the IVF inverted-file build, which
+    wants the assignment skinny); the quadratic term is confined to
+    ONE groupBy-cell shuffle and a tiled per-cell matmul (memory
+    O(TILE x n_cell), never O(n^2)).
     Scale posture: n_cells grows as sqrt(N) (clamp 4096), so expected
     cell size is ~sqrt(N); at 10^12 vectors you raise n_cells to
     N / lambda for a constant lambda target cell size and shard the
@@ -1007,8 +1010,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     n_cells, _ = _geometry(emb.count())
-    cells = _assign_cells(emb, _centroids(emb, n_cells))
-    within = cells.join(emb, "vec_id").select("vec_id", "cell", "embedding")
+    Cn = _centroids(emb, n_cells)
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Cn.T
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            # argmax returns the FIRST max -> ties to lowest cell
+            pdf["cell"] = np.argmax(S, axis=1).astype("int32")
+            yield pdf
+
+    within = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, embedding array<float>, cell int"
+    )
 
     TILE = 1024
 

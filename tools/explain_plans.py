@@ -171,6 +171,35 @@ COMMENTARY = {
         "the capped drop is itself an oracled metric "
         "(dedup_skipped_buckets)."
     ),
+    "bpe_pair_topk": (
+        "Scan prunes to the single text column; pair generation is a "
+        "codegen'd transform/sequence projection (no UDF); "
+        "partial_count runs BEFORE the one Exchange (map-side combine "
+        "absorbs stopword-bigram skew) and the top-20 resolves to "
+        "TakeOrderedAndProject — k rows per partition reach the "
+        "driver, never the pair table. This is one round of the BPE "
+        "merge loop; at 10^12 docs each round is this same single "
+        "shuffle."
+    ),
+    "semantic_dedup": (
+        "ONE scan, ONE shuffle: the cell-assignment MapInPandas "
+        "carries the embedding through (no join back to the table to "
+        "recover the vector), the Exchange hash-partitions on cell, "
+        "and the within-cell quadratic verify runs as a tiled matmul "
+        "inside FlatMapGroupsInPandas — memory O(TILE x cell), never "
+        "O(n^2). Cell count grows as sqrt(N) (clamp 4096); at 10^12 "
+        "vectors n_cells rises to N/lambda for a constant target "
+        "cell size and the per-cell kernel is unchanged."
+    ),
+    "pdf_page_labels": (
+        "Scan prunes to (doc_id, text); the ONE Exchange is the "
+        "deliberate parallelism repartition of the lightweight source "
+        "rows BEFORE the Python stages (payload bytes never shuffle); "
+        "generation and the number-tree walk pipeline back-to-back as "
+        "MapInPandas stages in a single pass, and the per-page "
+        "explosion happens inside the kernel stage, so only final "
+        "(doc_id, page_idx, label) rows ever materialize."
+    ),
 }
 
 
