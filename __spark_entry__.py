@@ -266,7 +266,16 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-window by siblings exercising the same changed code paths
 # (gb1/cns1/korea1 drive the identical CID-collection machinery,
 # salvage + encrypted cover the salvage_encrypted composition; see
-# COVERAGE.md r7 map).  Rotated OUT (all r6-green, one round stale):
+# COVERAGE.md r7 map).  Second late-r7 swap: html_links/html_outline
+# (new) displace pdf_roundtrip_filters (its distinct surface — the
+# non-Flate codec chains — is line-untouched in r7; both r7
+# filters.py changes, the single-Flate shortcut and the small-Up
+# predictor path, are exercised by every other in-window pdf row and
+# by objstream/incremental's xref streams respectively, plus the
+# codec parity fuzz suite) and pdf_malformed_policy (its 4-tier
+# policy code is driver-checked in-window by the stricter real-file
+# surfaces pdf_malformed_golden + pdf_mutation_golden).
+# Rotated OUT (all r6-green, one round stale):
 # pdf_roundtrip_cjk, span_geometry ×4, attachments/outlines/links/
 # form_fields, metadata/dates/span_stats/catalog_fields,
 # media_meta/frames/audio, html ×2, dedup exact/simhash/minhash/
@@ -278,6 +287,8 @@ _DRIVER_WINDOW = [
     "semantic_dedup",
     "bpe_pair_topk",
     "pdf_page_labels",
+    "html_links",
+    "html_outline",
     "dedup_substring",
     "corpus_mix",
     "pdf_roundtrip_gb1",
@@ -322,13 +333,11 @@ _DRIVER_WINDOW = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_incremental",
-    "pdf_roundtrip_filters",
     "pdf_roundtrip_encrypted",
     "pdf_roundtrip_cjk_embedded",
     "pdf_salvage",
     "pdf_reference_golden",
     "pdf_malformed_golden",
-    "pdf_malformed_policy",
 ]
 
 

@@ -141,3 +141,79 @@ def main_content_blocks(html: str) -> list[dict]:
 def strip_boilerplate(html: str) -> str:
     """Main content of one HTML document: kept blocks joined by \\n."""
     return "\n".join(b["text"] for b in main_content_blocks(html) if b["keep"])
+
+
+# ---- r7 EXTENSIONS: link-graph + heading-outline projections ------
+# Standalone walkers (the r6-green main_content_blocks walk above must
+# stay line-identical for the rotated-out driver rows); same split
+# regexes, same thresholds, same stack discipline.
+
+_A_HREF_RE = re.compile(
+    r'<a\b[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>',
+    re.IGNORECASE | re.DOTALL,
+)
+_H_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def link_rows(html: str) -> list[tuple]:
+    """(href, anchor_text, in_main) per <a href=...>, document order.
+
+    in_main applies the SAME block classification the boilerplate
+    stripper uses: a link is main-content iff its enclosing text
+    block sits outside every boilerplate ancestor, meets
+    MIN_BLOCK_CHARS, and the block's link density is within
+    MAX_LINK_DENSITY — the outlink-graph projection a web-scale
+    pipeline extracts alongside the main text (anchors in kept blocks
+    are citation-grade; nav/aside anchors are template edges)."""
+    html = _DROP_SUBTREE_RE.sub(" ", html)
+    out: list[tuple] = []
+    stack: list[str] = []
+    boiler_depth = 0
+    for part in _BLOCK_SPLIT_RE.split(html):
+        m = _TAG_NAME_RE.match(part)
+        if m is not None:
+            name = m.group(1).lower()
+            if part.startswith("</"):
+                if name in stack:
+                    while stack:
+                        top = stack.pop()
+                        if top in _BOILER_ANCESTORS:
+                            boiler_depth -= 1
+                        if top == name:
+                            break
+            elif not part.rstrip(">").endswith("/"):
+                stack.append(name)
+                if name in _BOILER_ANCESTORS:
+                    boiler_depth += 1
+            continue
+        links = _A_HREF_RE.findall(part)
+        if not links:
+            continue
+        text, linked = _block_text(part)
+        text = text.strip("\n").strip()
+        n = len(text)
+        density = linked / n if n else 1.0
+        keep = (
+            boiler_depth == 0
+            and n >= MIN_BLOCK_CHARS
+            and density <= MAX_LINK_DENSITY
+        )
+        for href, anchor in links:
+            a = _WS_RUN_RE.sub(" ", _unescape(_ANY_TAG_RE.sub("", anchor))).strip()
+            out.append((href, a, keep))
+    return out
+
+
+def heading_outline(html: str) -> list[tuple]:
+    """(ord, level, title) per <h1>-<h6> in document order — the
+    section-hierarchy projection (the HTML analog of the PDF
+    /Outlines tree; same row shape as Document.outlines())."""
+    html = _DROP_SUBTREE_RE.sub(" ", html)
+    out: list[tuple] = []
+    for m in _H_RE.finditer(html):
+        title = _WS_RUN_RE.sub(
+            " ", _unescape(_ANY_TAG_RE.sub("", m.group(2)))
+        ).strip()
+        if title:
+            out.append((len(out), int(m.group(1)), title))
+    return out

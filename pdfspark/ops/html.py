@@ -19,7 +19,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernel.htmlops import MIN_BLOCK_CHARS, main_content_blocks, strip_boilerplate
+from ..kernel.htmlops import (
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_CHARS,
+    main_content_blocks,
+    strip_boilerplate,
+)
 
 CHUNK = 80  # article paragraph size — matches the PDF span chunking
 
@@ -164,10 +169,190 @@ LEFT JOIN (
 )
 
 
+# --- r7: link-graph + heading-outline projections -------------------
+# Separate page wrappers (wrap_html above must stay line-identical
+# for the rotated-out r6-green rows): the linked variant plants an
+# inline citation anchor in every third article paragraph, the
+# sectioned variant a deterministic h2/h3 hierarchy.
+
+
+def wrap_html_linked(doc_id: str, text: str) -> str:
+    """wrap_html's template with inline article citations: every
+    chunk j with j % 3 == 2 carries <a href="/ref/{doc_id}-{j}">."""
+    paras = []
+    for j, i in enumerate(range(0, len(text), CHUNK)):
+        c = _esc(text[i : i + CHUNK])
+        if j % 3 == 2:
+            paras.append(
+                f'<p>{c} <a href="/ref/{doc_id}-{j}">ref {j}</a></p>'
+            )
+        else:
+            paras.append(f"<p>{c}</p>")
+    body = "\n".join(paras)
+    return f"""<!DOCTYPE html>
+<html><head><title>doc {doc_id}</title></head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/docs">Docs</a></li>
+<li><a href="/about">About corp</a></li></ul></nav>
+<header><h1><a href="/d/{doc_id}">doc {doc_id}</a></h1></header>
+<aside><p>Subscribe to our newsletter <a href="/sub">Subscribe now</a>
+<a href="/promo">Special offer</a></p></aside>
+<article>
+{body}
+</article>
+<footer><p>&#169; 2024 corp</p></footer>
+</body></html>"""
+
+
+def wrap_html_sections(doc_id: str, text: str) -> str:
+    """Sectioned page: h2 every 4 chunks, h3 every 2 chunks — a
+    deterministic heading hierarchy over the article text."""
+    paras = []
+    for j, i in enumerate(range(0, max(len(text), 1), CHUNK)):
+        if j % 4 == 0:
+            paras.append(f"<h2>Section {j // 4 + 1}</h2>")
+        if j % 2 == 0:
+            paras.append(f"<h3>Part {j // 4 + 1}.{(j // 2) % 2 + 1}</h3>")
+        paras.append(f"<p>{_esc(text[i : i + CHUNK])}</p>")
+    body = "\n".join(paras)
+    return f"""<!DOCTYPE html>
+<html><head><title>doc {doc_id}</title></head><body>
+<header><h1>doc {doc_id}</h1></header>
+<article>
+{body}
+</article>
+<footer><p>&#169; 2024 corp</p></footer>
+</body></html>"""
+
+
+def html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ord, href, anchor, in_main): the outlink graph with
+    main-content classification — template (nav/header/aside) links
+    classify boilerplate, article citations classify in_main unless
+    their paragraph fails the density/length gate (short final chunks
+    flip to boilerplate ON MERIT; the oracle re-derives that edge).
+    One mapInPandas stage, zero shuffles."""
+    from ..kernel.htmlops import link_rows as _lr
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                for o, (href, anchor, keep) in enumerate(
+                    _lr(wrap_html_linked(str(d), t or ""))
+                ):
+                    rows.append((d, o, href, anchor, keep))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ord", "href", "anchor", "in_main"]
+            )
+
+    return _docs(spark, sf_dir).mapInPandas(
+        ker,
+        schema="doc_id bigint, ord int, href string, anchor string, "
+        "in_main boolean",
+    )
+
+
+def html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ord, level, title): heading hierarchy in document
+    order — the HTML analog of pdf_outlines. One mapInPandas stage."""
+    from ..kernel.htmlops import heading_outline as _ho
+
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                for o, lvl, title in _ho(wrap_html_sections(str(d), t or "")):
+                    rows.append((d, o, lvl, title))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ord", "level", "title"]
+            )
+
+    return _docs(spark, sf_dir).mapInPandas(
+        ker, schema="doc_id bigint, ord int, level int, title string"
+    )
+
+
+# boiler link rows: (ord, href-needs-id?, href, anchor-needs-id?, anchor)
+_BOILER_LINKS_SQL = """
+  SELECT d.doc_id, b.ord, b.href_pre || CASE WHEN b.with_id THEN CAST(d.doc_id AS VARCHAR) ELSE '' END AS href,
+         b.anchor_pre || CASE WHEN b.with_id THEN CAST(d.doc_id AS VARCHAR) ELSE '' END AS anchor,
+         FALSE AS in_main
+  FROM documents d, (
+    VALUES (0, '/', 'Home', FALSE), (1, '/docs', 'Docs', FALSE),
+           (2, '/about', 'About corp', FALSE), (3, '/d/', 'doc ', TRUE),
+           (4, '/sub', 'Subscribe now', FALSE),
+           (5, '/promo', 'Special offer', FALSE)
+  ) b(ord, href_pre, anchor_pre, with_id)
+"""
+
+HTML_LINKS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, i, trim(substr(text, CAST(i*{CHUNK}+1 AS INT), {CHUNK})) AS chunk
+  FROM (SELECT doc_id, text,
+               unnest(range(CAST(ceil(length(text)/{CHUNK}.0) AS BIGINT))) AS i
+        FROM documents)
+),
+art AS (
+  SELECT doc_id, i,
+         '/ref/' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS href,
+         'ref ' || CAST(i AS VARCHAR) AS anchor,
+         -- block text = trim(chunk) ' ' anchor (or anchor alone when
+         -- the chunk trims empty); keep = length + density gates
+         CASE WHEN length(chunk) = 0
+              THEN length('ref ' || CAST(i AS VARCHAR))
+              ELSE length(chunk) + 1 + length('ref ' || CAST(i AS VARCHAR))
+         END AS n,
+         length('ref ' || CAST(i AS VARCHAR)) AS linked
+  FROM c WHERE i % 3 = 2
+),
+artk AS (
+  SELECT doc_id, i, href, anchor,
+         (n >= {MIN_BLOCK_CHARS}
+          AND CAST(linked AS DOUBLE) / n <= {MAX_LINK_DENSITY}) AS in_main,
+         5 + row_number() OVER (PARTITION BY doc_id ORDER BY i) AS ord
+  FROM art
+)
+SELECT doc_id, CAST(ord AS INT) AS ord, href, anchor, in_main FROM (
+  {_BOILER_LINKS_SQL}
+  UNION ALL
+  SELECT doc_id, ord, href, anchor, in_main FROM artk
+)
+"""
+
+HTML_OUTLINE_SQL = f"""
+WITH ck AS (
+  SELECT doc_id,
+         unnest(range(CAST(greatest(1, ceil(length(text)/{CHUNK}.0)) AS BIGINT))) AS j
+  FROM documents
+),
+h AS (
+  SELECT doc_id, -1 AS j, 0 AS pri, 1 AS level,
+         'doc ' || CAST(doc_id AS VARCHAR) AS title
+  FROM documents
+  UNION ALL
+  SELECT doc_id, j, 0 AS pri, 2 AS level,
+         'Section ' || CAST(j // 4 + 1 AS VARCHAR) AS title
+  FROM ck WHERE j % 4 = 0
+  UNION ALL
+  SELECT doc_id, j, 1 AS pri, 3 AS level,
+         'Part ' || CAST(j // 4 + 1 AS VARCHAR) || '.' ||
+                    CAST((j // 2) % 2 + 1 AS VARCHAR) AS title
+  FROM ck WHERE j % 2 = 0
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY j, pri) - 1
+            AS INT) AS ord,
+       CAST(level AS INT) AS level, title
+FROM h
+"""
+
+
 def queries():
     return {
         "html_main_text": html_main_text,
         "html_block_stats": html_block_stats,
+        "html_links": html_links,
+        "html_outline": html_outline,
     }
 
 
@@ -175,4 +360,6 @@ def oracles():
     return {
         "html_main_text": HTML_MAIN_TEXT_SQL,
         "html_block_stats": HTML_BLOCK_STATS_SQL,
+        "html_links": HTML_LINKS_SQL,
+        "html_outline": HTML_OUTLINE_SQL,
     }

@@ -78,3 +78,41 @@ def test_short_blocks_dropped():
     html = "<html><body><p>OK</p><p>A genuinely long enough paragraph survives.</p></body></html>"
     blocks = main_content_blocks(html)
     assert [b["keep"] for b in blocks] == [False, True]
+
+
+def test_link_rows_classification_and_order():
+    """r7 outlink graph: template links classify boilerplate, a
+    citation inside a healthy paragraph classifies in_main, and a
+    link-dominated block (short final chunk) flips to boilerplate on
+    the density gate."""
+    from pdfspark.kernel.htmlops import link_rows
+    from pdfspark.ops.html import wrap_html_linked
+
+    rows = link_rows(wrap_html_linked("3", "word " * 50))  # 250 chars
+    assert [r[:2] for r in rows[:6]] == [
+        ("/", "Home"), ("/docs", "Docs"), ("/about", "About corp"),
+        ("/d/3", "doc 3"), ("/sub", "Subscribe now"),
+        ("/promo", "Special offer"),
+    ]
+    assert all(not r[2] for r in rows[:6])
+    assert rows[6] == ("/ref/3-2", "ref 2", True)
+
+    # 161 chars -> 3 chunks, last chunk 1 char: block "d ref 2" is 7
+    # chars (< MIN_BLOCK_CHARS) -> the citation is boilerplate
+    short = link_rows(wrap_html_linked("9", "w" * 160 + " d"))
+    assert short[6][0] == "/ref/9-2" and short[6][2] is False
+
+
+def test_heading_outline_hierarchy():
+    from pdfspark.kernel.htmlops import heading_outline
+    from pdfspark.ops.html import wrap_html_sections
+
+    out = heading_outline(wrap_html_sections("5", "x" * 400))  # 5 chunks
+    assert out == [
+        (0, 1, "doc 5"),
+        (1, 2, "Section 1"),
+        (2, 3, "Part 1.1"),
+        (3, 3, "Part 1.2"),
+        (4, 2, "Section 2"),
+        (5, 3, "Part 2.1"),
+    ]

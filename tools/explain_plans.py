@@ -191,6 +191,18 @@ COMMENTARY = {
         "vectors n_cells rises to N/lambda for a constant target "
         "cell size and the per-cell kernel is unchanged."
     ),
+    "html_links": (
+        "Scan prunes to (doc_id, text); wrap + walk run in ONE "
+        "mapInPandas stage — zero shuffles, and the outlink rows are "
+        "the only thing that materializes. At 10^12 docs this is "
+        "embarrassingly parallel; the downstream link-graph groupBy "
+        "(not part of this query) would be the first shuffle."
+    ),
+    "html_outline": (
+        "Same zero-shuffle single-stage shape as html_links: the "
+        "heading walk emits (ord, level, title) rows straight out of "
+        "the Arrow batch."
+    ),
     "pdf_page_labels": (
         "Scan prunes to (doc_id, text); the ONE Exchange is the "
         "deliberate parallelism repartition of the lightweight source "
@@ -222,10 +234,12 @@ def main() -> None:
         # keep the operator tree + scan details; drop the verbose middle
         lines = plan.splitlines()
         keep = []
+        prev_was_header = False
         for ln in lines:
             s = ln.strip()
             if (
                 s.startswith(("*", "+", ":", "AdaptiveSparkPlan", "=="))
+                or prev_was_header  # the root operator of a non-AQE plan
                 or any(
                     k in s
                     for k in (
@@ -237,6 +251,7 @@ def main() -> None:
                 )
             ):
                 keep.append(ln)
+            prev_was_header = s == "== Physical Plan =="
         out.append(f"\n## {name}\n\n{note}\n\n```\n" + "\n".join(keep) + "\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
