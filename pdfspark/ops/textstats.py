@@ -861,56 +861,120 @@ FROM r JOIN tk USING (source) WHERE r.rn <= tk.take
 """
 
 
-# --- r7: BPE merge-candidate counting (Sennrich et al. 2016 §3.2,
-# the distributed inner loop of byte-pair-encoding tokenizer
-# training): count every adjacent token pair corpus-wide and rank the
-# top candidates — the argmax of this table IS the next BPE merge.
-# At 10^12 documents this is the step that matters (each of the ~32k
-# merge rounds re-runs it over the shrinking symbol stream); one
-# map-side-combinable groupBy per round, never a global sort.
+# --- r7: BPE merge learning (Sennrich et al. 2016 §3.2, the
+# distributed inner loop of byte-pair-encoding tokenizer training),
+# TWO rounds end-to-end: round 1 counts every adjacent token pair
+# corpus-wide (the argmax IS the first merge), the winning pair is
+# then applied corpus-wide (greedy left-to-right, exactly what a BPE
+# trainer does) and round 2 recounts over the merged symbol stream.
+# At 10^12 documents this per-round single shuffle is the step that
+# matters (a production trainer runs ~32k of them over a shrinking
+# stream); the merge application is a sentinel-delimited literal
+# replace — token boundaries become \x1f\x1f, so a pair match can
+# never start or end mid-token, and consecutive occurrences merge
+# exactly as the greedy trainer would ("a a a" -> ["a\x1ea", "a"]).
 BPE_TOP = 20
+_SEN = "\x1f"  # token boundary sentinel (never in corpus tokens)
+_MRG = "\x1e"  # joiner inside a merged symbol
 
 
-def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-BPE_TOP adjacent-pair counts over whitespace tokens.
-
-    Plan: pairs are generated inside a single projection
-    (transform over sequence — JVM codegen, no UDF), counted with one
-    partial-agg shuffle on the pair string, and the top-k resolves to
-    TakeOrderedAndProject (k rows per partition reach the driver,
-    never the full pair table). Pair-key skew (stopword bigrams) is
-    exactly what map-side combine absorbs."""
-    docs = _docs(spark, sf_dir).select(F.split("text", " ").alias("w"))
-    pairs = (
-        docs.where(F.size("w") >= 2)
+def _pairs_of(docs: DataFrame, col: str) -> DataFrame:
+    """Adjacent-pair rows of a token-array column — a codegen'd
+    transform/sequence projection, no UDF."""
+    return (
+        docs.where(F.size(col) >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(w) - 2),"
-                    " i -> concat(w[i], ' ', w[i + 1]))"
+                    f"transform(sequence(0, size({col}) - 2),"
+                    f" i -> concat({col}[i], ' ', {col}[i + 1]))"
                 )
             ).alias("pair")
         )
     )
-    return (
-        pairs.groupBy("pair")
+
+
+def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, pair, cnt): top-BPE_TOP pairs for round 1 (raw token
+    stream) and round 2 (after the round-1 argmax merge is applied
+    corpus-wide).
+
+    Plan: each round is ONE partial-agg shuffle on the pair string
+    (map-side combine absorbs stopword-bigram skew) + a top-k that
+    resolves to TakeOrderedAndProject; the winning merge travels as a
+    broadcast 1-row crossJoin — the driver never sees the pair table.
+    The corpus scan runs once per round, exactly like the production
+    trainer's per-round pass over the (re-encoded) symbol stream."""
+    docs = _docs(spark, sf_dir).select("text", F.split("text", " ").alias("w"))
+    r1 = (
+        _pairs_of(docs, "w")
+        .groupBy("pair")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("pair"))
+    )
+    top1 = r1.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).select("pair")
+    # sentinel-wrap, apply the merge literally, re-split
+    merged = (
+        docs.crossJoin(F.broadcast(top1))
+        .select(
+            F.expr(
+                f"split(trim(BOTH '{_SEN}' FROM replace("
+                f"  concat('{_SEN}', replace(text, ' ', '{_SEN}{_SEN}'), '{_SEN}'),"
+                f"  concat('{_SEN}', split_part(pair, ' ', 1), '{_SEN}{_SEN}',"
+                f"         split_part(pair, ' ', 2), '{_SEN}'),"
+                f"  concat('{_SEN}', split_part(pair, ' ', 1), '{_MRG}',"
+                f"         split_part(pair, ' ', 2), '{_SEN}')"
+                f")), '{_SEN}{_SEN}')"
+            ).alias("w2")
+        )
+    )
+    r2 = (
+        _pairs_of(merged, "w2")
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        r1.orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(BPE_TOP)
+        .select(F.lit(1).alias("round"), "pair", "cnt")
+        .unionAll(
+            r2.orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_TOP)
+            .select(F.lit(2).alias("round"), "pair", "cnt")
+        )
     )
 
 
-BPE_PAIR_SQL = f"""
-WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
-p AS (
-  SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS pair
-  FROM d WHERE len(w) >= 2
-)
-SELECT pair, CAST(count(*) AS BIGINT) AS cnt
-FROM p GROUP BY pair
-ORDER BY cnt DESC, pair ASC
-LIMIT {BPE_TOP}
+def _bpe_sql() -> str:
+    sen, mrg = "chr(31)", "chr(30)"
+    pairs1 = "[w[i] || ' ' || w[i + 1] for i in range(1, len(w))]"
+    return f"""
+WITH d AS (SELECT text, string_split(text, ' ') AS w FROM documents),
+p1 AS (
+  SELECT unnest({pairs1}) AS pair FROM d WHERE len(w) >= 2
+),
+r1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p1 GROUP BY pair),
+top1 AS (SELECT pair FROM r1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+m AS (
+  SELECT string_split(trim(replace(
+           {sen} || replace(d.text, ' ', {sen} || {sen}) || {sen},
+           {sen} || split_part(t.pair, ' ', 1) || {sen} || {sen}
+                 || split_part(t.pair, ' ', 2) || {sen},
+           {sen} || split_part(t.pair, ' ', 1) || {mrg}
+                 || split_part(t.pair, ' ', 2) || {sen}
+         ), {sen}), {sen} || {sen}) AS w
+  FROM d, top1 t
+),
+p2 AS (
+  SELECT unnest({pairs1}) AS pair FROM m WHERE len(w) >= 2
+),
+r2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p2 GROUP BY pair)
+SELECT CAST(1 AS INT) AS round, pair, cnt FROM
+  (SELECT pair, cnt FROM r1 ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOP})
+UNION ALL
+SELECT CAST(2 AS INT) AS round, pair, cnt FROM
+  (SELECT pair, cnt FROM r2 ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOP})
 """
+
 
 
 def queries():
@@ -949,5 +1013,5 @@ def oracles():
         "unigram_rarity": UNIGRAM_RARITY_SQL,
         "corpus_split": _corpus_split_sql(),
         "corpus_mix": _corpus_mix_sql(),
-        "bpe_pair_topk": BPE_PAIR_SQL,
+        "bpe_pair_topk": _bpe_sql(),
     }

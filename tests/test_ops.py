@@ -1156,9 +1156,10 @@ def test_pq_adc_recall_and_compression(spark):
 
 
 def test_bpe_pair_topk_planted(spark, tmp_path):
-    """BPE merge-candidate counting: 'a b' occurs 3x corpus-wide (the
-    would-be first merge), single-token docs contribute nothing, and
-    ties rank lexicographically."""
+    """Two BPE rounds: 'a b' wins round 1 (3 occurrences) and merges
+    greedily left-to-right — "a b a b" becomes two merged symbols
+    (adjacent occurrences both merge), single-token docs contribute
+    nothing, and round 2 counts pairs of the merged stream."""
     from pdfspark.ops import textstats as ts
 
     docs = spark.createDataFrame(
@@ -1167,8 +1168,18 @@ def test_bpe_pair_topk_planted(spark, tmp_path):
     )
     path = str(tmp_path / "bpe_docs")
     docs.write.parquet(f"{path}/documents.parquet")
-    got = [(r.pair, r.cnt) for r in ts.bpe_pair_topk(spark, path).collect()]
-    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+    got = sorted(
+        (r.round, r.pair, r.cnt)
+        for r in ts.bpe_pair_topk(spark, path).collect()
+    )
+    ab = "a\x1eb"
+    assert got == [
+        (1, "a b", 3),
+        (1, "b a", 1),
+        (1, "b c", 1),
+        (2, f"{ab} {ab}", 1),
+        (2, f"{ab} c", 1),
+    ]
 
 
 def test_semantic_dedup_matches_local_replica(spark):

@@ -172,14 +172,17 @@ COMMENTARY = {
         "(dedup_skipped_buckets)."
     ),
     "bpe_pair_topk": (
-        "Scan prunes to the single text column; pair generation is a "
-        "codegen'd transform/sequence projection (no UDF); "
-        "partial_count runs BEFORE the one Exchange (map-side combine "
-        "absorbs stopword-bigram skew) and the top-20 resolves to "
-        "TakeOrderedAndProject — k rows per partition reach the "
-        "driver, never the pair table. This is one round of the BPE "
-        "merge loop; at 10^12 docs each round is this same single "
-        "shuffle."
+        "Two full BPE rounds. Per round: pair generation is a "
+        "codegen'd transform/sequence projection (no UDF), "
+        "partial_count runs BEFORE the Exchange (map-side combine "
+        "absorbs stopword-bigram skew), top-k resolves to "
+        "TakeOrderedAndProject. The round-1 argmax merge travels as "
+        "a BROADCAST 1-row crossJoin into the round-2 scan — the "
+        "driver never touches the pair table — and the merge itself "
+        "is a sentinel-delimited literal replace (greedy "
+        "left-to-right, token-boundary safe). At 10^12 docs a "
+        "production trainer runs ~32k of exactly this round shape "
+        "over the shrinking symbol stream."
     ),
     "semantic_dedup": (
         "ONE scan, ONE shuffle: the cell-assignment MapInPandas "
