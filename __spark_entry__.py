@@ -401,10 +401,16 @@ def _roman_lower(v):
     return "".join(out)
 
 
-ROM_MAX = 64  # v <= St_max(3) + n_pages - 1; n_pages <= ~8 at sf0.1
+ROM_MAX = 1024  # v <= St_max(3) + n_pages - 1; today's corpora cap at
+# n_pages ~8 (sf0.1, PL_REP=4) but the kernel formats ANY value, so the
+# oracle's table must outrun plausible page counts — 1024 covers texts
+# up to ~82k chars; beyond that DuckDB's out-of-range index yields NULL
+# and the driver hash catches the divergence loudly rather than silently
 
 
 def _page_labels_oracle_sql() -> str:
+    from pdfspark.engine import PL_REP
+
     rom = "[" + ",".join(f"'{_roman_lower(i)}'" for i in range(1, ROM_MAX + 1)) + "]"
     styles = "['D','R','r','A','a']"
 
@@ -424,7 +430,7 @@ WITH pc AS (
   SELECT doc_id,
          CAST(greatest(1, ceil((k + k // 3) / 5.0)) AS BIGINT) AS n_pages
   FROM (SELECT doc_id,
-               CAST(ceil((length(text) * {__import__('pdfspark.engine', fromlist=['PL_REP']).PL_REP}) / 80.0) AS BIGINT) AS k
+               CAST(ceil((length(text) * {PL_REP}) / 80.0) AS BIGINT) AS k
         FROM documents)
 ),
 pages AS (

@@ -479,7 +479,7 @@ class Document:
             start, d = ranges[ri]
             style = d.get_name("S", None, res)
             prefix = d.get_str("P", "", res)
-            st = d.get("St")
+            st = d.deref(d.get("St"), res)  # /St may be indirect
             st = st if isinstance(st, int) and not isinstance(st, bool) else 1
             out.append(prefix + _format_page_label(str(style) if style else None,
                                                    st + (idx - start)))

@@ -261,3 +261,32 @@ def test_page_labels_no_tree_and_missing_range():
                         catalog_extra={"PageLabels": root})
     labs = parse_document(payload).page_labels()
     assert labs[0] == "" and labs[1] == "1" and labs[-1] == str(len(labs) - 1)
+
+
+def test_page_labels_indirect_st_resolved():
+    """/St stored as an indirect reference (legal per §7.3.10) must
+    resolve like /S and /P do — review-round pin."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /PageLabels"
+           b" << /Nums [0 << /S /D /St 5 0 R >>] >> >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+           b" /Contents 4 0 R >>",
+        4: b"<< /Length 0 >>\nstream\n\nendstream",
+        5: b"9",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n, b in objs.items():
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for n in sorted(objs):
+        out += b"%d 1\n%010d 00000 n \n" % (n, offs[n])
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    )
+    from pdfspark.kernel.extract import parse_document
+
+    assert parse_document(bytes(out)).page_labels() == ["9"]
