@@ -19,12 +19,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..kernel.htmlops import (
-    MAX_LINK_DENSITY,
-    MIN_BLOCK_CHARS,
-    main_content_blocks,
-    strip_boilerplate,
-)
+from ..kernel.htmlops import MIN_BLOCK_CHARS, main_content_blocks, strip_boilerplate
+from ..kernel.htmlops import MAX_LINK_DENSITY  # r7: html_links oracle
 
 CHUNK = 80  # article paragraph size — matches the PDF span chunking
 
