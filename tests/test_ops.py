@@ -994,19 +994,28 @@ def test_corpus_split_content_keyed(spark):
 
 
 def test_ivf_geometry_probe_fraction_shrinks_with_n():
-    """r7 probe-fraction scaling: 50% at toy N (cell fragmentation
-    floor), constant-candidate shrink once cells are populated, and
-    the √n_cells floor at production N — pinned at the exact values
-    the sf corpora and the scale extrapolation use."""
+    """r7/r8 geometry scaling: 50% probe at toy N (cell fragmentation
+    floor), constant-candidate shrink once cells are populated,
+    √n_cells probe floor at production N, and the r8 N/λ cell branch
+    (expected cell population pins at CELL_TARGET past N = λ²) up to
+    the 2^20 one-broadcast ceiling — pinned at the exact values the
+    sf corpora and the scale extrapolation use."""
     assert ann._geometry(500) == (22, 11)     # sf0.001/0.01: unchanged 50%
     assert ann._geometry(2000) == (44, 20)    # sf0.1: shrink ACTIVE (was 22)
     assert ann._geometry(10_000) == (100, 10)  # √-floor takes over
-    assert ann._geometry(1_000_000) == (1000, 32)
-    assert ann._geometry(10**12) == (4096, 64)  # clamp + √ floor
-    # formula invariants: probe never exceeds cells, never below 4
-    for n in (1, 17, 99, 3000, 12345, 10**7):
+    assert ann._geometry(1_000_000) == (1000, 32)  # isqrt ≈ N/λ crossover
+    assert ann._geometry(1_200_000) == (1172, 35)  # N/λ branch ACTIVE
+    assert ann._geometry(10**9) == (976_563, 989)  # cell size pinned at λ
+    assert ann._geometry(10**12) == (1_048_576, 1024)  # broadcast ceiling
+    # formula invariants: probe never exceeds cells, never below 4;
+    # expected cell population never exceeds max(√N, λ) below the cap
+    for n in (1, 17, 99, 3000, 12345, 10**7, 10**8, 10**9):
         c, p = ann._geometry(n)
         assert 4 <= p <= c
+        if c < ann.N_CELLS_MAX:
+            import math
+
+            assert n / c <= max(math.isqrt(n), ann.CELL_TARGET)
 
 
 def test_ivf_recall_holds_at_sf01_with_shrunk_probe():
@@ -1030,7 +1039,7 @@ def test_ivf_recall_holds_at_sf01_with_shrunk_probe():
 
     qz = lambda A: np.floor((A + ann.KM_OFF) * ann.KM_SCALE).astype(np.int64)
     C = qz(X[ids % ann.CENT_MOD == ann.CENT_RES][:n_cells])
-    samp = qz(X[ids % ann.KM_MOD == ann.KM_RES][: ann.KM_CAP])
+    samp = qz(X[ids % ann.KM_MOD == ann.KM_RES])  # full stride (r8)
     for _ in range(ann.KM_ITERS):
         d2 = ((samp[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = d2.argmin(axis=1)
@@ -1219,3 +1228,48 @@ def test_semantic_dedup_matches_local_replica(spark):
             exp[int(cid[j])] = (int(c), dup < 0, dup)
     assert out == exp
     assert sum(1 for v in out.values() if not v[1]) > 0  # corpus has dups
+
+
+def test_ivf_cell_population_bounded_at_1e6(spark, tmp_path):
+    """The r8 scale pin the r7 verdict asked for: on a ≥10⁶-vector
+    corpus the N/λ geometry branch is ACTIVE and holds the max
+    trained-cell population ≤ 8·CELL_TARGET (deterministic synthetic
+    unit-sphere corpus; dim 8 keeps the pytest under a minute — every
+    operator in the path is dimension-agnostic). Exercises the REAL
+    r8 distributed machinery end-to-end: broadcast-centroid integer
+    Lloyd rounds with map-side partial sums, tiled broadcast cosine
+    assignment, per-cell accounting."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    N, D, FILES = 1_200_000, 8, 16
+    rng = np.random.default_rng(8)
+    out = tmp_path / "embeddings.parquet"
+    out.mkdir()
+    per = N // FILES
+    for f in range(FILES):
+        X = rng.standard_normal((per, D)).astype(np.float32)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        offs = np.arange(0, (per + 1) * D, D, dtype=np.int32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.arange(f * per, (f + 1) * per), type=pa.int64()
+                ),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(X.reshape(-1))
+                ),
+            }
+        )
+        pq.write_table(tbl, out / f"part-{f:02d}.parquet")
+
+    n_cells, _ = ann._geometry(N)
+    assert n_cells == 1172  # N/λ branch: ceil(1.2e6/1024) > isqrt
+    cells = ann.ann_ivf_cells(spark, str(tmp_path)).collect()
+    assert sum(r.n_members for r in cells) == N
+    assert all(0 <= r.cell < n_cells for r in cells)
+    biggest = max(r.n_members for r in cells)
+    assert biggest <= 8 * ann.CELL_TARGET, (
+        f"max cell population {biggest} breaches the 8λ skew bound"
+    )
