@@ -78,6 +78,31 @@ def _q_roundtrip(variant: str):
     return q
 
 
+def _q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-PDF logical reading order (r8, ISO 32000-1 §14.7-14.8):
+    the generator paints each span as its own marked-content section
+    in SCRAMBLED (two-column) order and records the logical sequence
+    only in the structure tree; extraction re-sequences by
+    /StructTreeRoot traversal. The spans identity holds iff the
+    structure walk — not the content paint order — drives span order."""
+    from pdfspark.engine import roundtrip_rows
+
+    return roundtrip_rows(spark, sf_dir, variant="tagged", reading_order=True)
+
+
+def _q_nospace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary inference (r8, §9.10-adjacent): the generator
+    paints NO space glyph anywhere — every ' ' is a positioning-only
+    gap (TJ −500 kern on even spans, Td jump on odd). Extraction with
+    infer_spaces=True re-inserts one space per gap event strictly
+    exceeding half the word-space displacement (θ=1/2, exact binary
+    fractions). The spans identity holds iff the heuristic fires on
+    every real gap and never on a kern (−250 lands ON the boundary)."""
+    from pdfspark.engine import roundtrip_rows
+
+    return roundtrip_rows(spark, sf_dir, variant="nospace", infer_spaces=True)
+
+
 def _q_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfspark.engine import salvage_rows
 
@@ -361,6 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip_forms": _q_roundtrip("forms"),
         "pdf_roundtrip_type3": _q_roundtrip("type3"),
         "pdf_roundtrip_pubsec": _q_roundtrip("pubsec"),
+        "pdf_reading_order": _q_reading_order,
+        "pdf_roundtrip_nospace": _q_nospace,
         "pdf_salvage": _q_salvage,
         "pdf_salvage_encrypted": _q_salvage_encrypted,
         "pdf_span_geometry": _q_geometry,
@@ -613,6 +640,14 @@ FROM k
         # collection table (kernel/cidcollections.py) recovers the
         # text, so plain spans identity IS the check
         "pdf_roundtrip_japan1": _SPANS_ORACLE_SQL,
+        # tagged reading order (r8): content paints sections in
+        # scrambled two-column order; the identity holds only when
+        # extraction re-sequences spans by structure-tree traversal
+        # (§14.8) — so plain spans identity IS the reading-order check
+        "pdf_reading_order": _SPANS_ORACLE_SQL,
+        # no space glyphs painted (r8): every ' ' is a positioning
+        # gap; identity holds only via the word-boundary heuristic
+        "pdf_roundtrip_nospace": _SPANS_ORACLE_SQL,
         # r7 collection breadth: GB1/CNS1/Korea1 — ASCII rides the
         # proportional-Roman CIDs 1-95; a-z transliterates into each
         # collection's 26-glyph CJK/hangul block carried by

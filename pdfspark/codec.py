@@ -402,6 +402,7 @@ def _content_for(
     form_sink=None,
     type3: bool = False,
     coll_show: Optional[Callable[[str], Optional[bytes]]] = None,
+    nospace: bool = False,
 ) -> tuple[bytes, bool]:
     if (
         _CTOK_EMIT_CONTENT is not None
@@ -410,6 +411,7 @@ def _content_for(
         and form_sink is None
         and not type3
         and coll_show is None
+        and not nospace
     ):
         # C fast path (structural corpus): byte-parity with the loop
         # below is fuzz-pinned; None = punt (e.g. lone surrogates)
@@ -422,7 +424,46 @@ def _content_for(
     return _content_for_py(
         spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
         form_sink=form_sink, type3=type3, coll_show=coll_show,
+        nospace=nospace,
     )
+
+
+def _nospace_block(text: str, y: int, ordinal: int) -> Optional[bytes]:
+    """One span's BT..ET block with NO space glyphs: words painted
+    with positioning-only gaps of exactly one space width. Even
+    ordinals ride a single TJ array with −500 kern numbers at each
+    former ' ' (gap = 500/1000·12·Th₁ = 6 = the w₃₂=500 space
+    displacement); odd ordinals ride per-word Tj shows separated by
+    `6·len(prev)+6 0 Td` jumps (6 past the shown width). Consecutive
+    spaces become consecutive gap events — the extractor's
+    one-event-one-space rule reconstructs runs exactly. Returns None
+    when any word is not WinAnsi-encodable (caller falls back to a
+    plain show WITH spaces)."""
+    words = text.split(" ")
+    enc = []
+    for w in words:
+        e = _show_bytes_simple(w)
+        if e is None:
+            return None
+        enc.append(e)
+    if ordinal % 2 == 0:
+        items: list[bytes] = []
+        for k, w in enumerate(words):
+            if k:
+                items.append(b"-500")
+            if w:
+                items.append(enc[k])
+        return b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz 10 %d Td [%s] TJ ET" % (
+            y, b" ".join(items),
+        )
+    ops = [b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz 10 %d Td" % y]
+    for k, w in enumerate(words):
+        if k:
+            ops.append(b"%d 0 Td" % (6 * len(words[k - 1]) + 6))
+        if w:
+            ops.append(b"%s Tj" % enc[k])
+    ops.append(b"ET")
+    return b" ".join(ops)
 
 
 def _content_for_py(
@@ -433,8 +474,14 @@ def _content_for_py(
     form_sink=None,
     type3: bool = False,
     coll_show: Optional[Callable[[str], Optional[bytes]]] = None,
+    return_parts: bool = False,
+    nospace: bool = False,
 ) -> tuple[bytes, bool]:
-    """Returns (content bytes, used_cid_font). Show-operator form
+    """Returns (content bytes, used_cid_font) — or (parts list, ...)
+    with ``return_parts=True``: exactly ONE part per span, in span
+    order (the `tagged` variant wraps each part in its own
+    marked-content section before scrambling the paint order).
+    Show-operator form
     rotates by ordinal to exercise Tj / TJ / ' (ISO 32000-1 §9.4.3).
     ``cjk`` routes GBK-encodable text through /F3 (Type0 + predefined
     GBK-EUC-H CMap, no ToUnicode); ``embedded_code_of`` routes ALL
@@ -453,6 +500,20 @@ def _content_for_py(
             parts.append(b"q 100 0 0 50 10 %d cm /%s Do Q" % (y, res_name.encode()))
             y -= 60
             continue
+        if nospace:
+            # r8 word-boundary corpus: NO space glyph is ever shown —
+            # every ' ' becomes a positioning-only gap of exactly one
+            # space width (6 units at Tf 12 / w₃₂=500 / Th=1), even
+            # ordinals as TJ kern numbers (−500), odd ordinals as Td
+            # jumps past the shown width (6·len+6). Only infer_spaces
+            # extraction recovers the text. Non-WinAnsi spans fall to
+            # a plain Tj WITH spaces (no gap events fire on a bare
+            # show, so the identity still holds for them).
+            block = _nospace_block(text or "", y, ordinal)
+            if block is not None:
+                parts.append(block)
+                y -= 16
+                continue
         simple = _show_bytes_simple(text or "")
         if coll_show is not None and text:
             # character-collection codes: every encodable span rides
@@ -534,6 +595,8 @@ def _content_for_py(
         else:
             parts.append(block)
         y -= 16
+    if return_parts:
+        return parts, used_cid
     return b"\n".join(parts), used_cid
 
 
@@ -1244,6 +1307,8 @@ def build_object_graph(
     type3: bool = False,
     acroform: bool = False,
     cid_collection: Optional[str] = None,
+    tagged: bool = False,
+    nospace: bool = False,
 ) -> tuple[_Graph, int, int]:
     """spans → COS object graph. Returns (graph, catalog_num, info_num)."""
     g = _Graph()
@@ -1511,11 +1576,33 @@ def build_object_graph(
     page_nums: list[int] = []
     for p0 in range(0, max(len(spans), 1), SPANS_PER_PAGE):
         page_spans = spans[p0 : p0 + SPANS_PER_PAGE]
-        body, _ = _content_for(
-            page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
-            form_sink=form_sink if forms else None, type3=type3,
-            coll_show=coll_show,
-        )
+        if tagged:
+            # Tagged PDF (r8, ISO 32000-1 §14.6-14.7): each span's
+            # block becomes its own marked-content section
+            # `/P <</MCID j>> BDC … EMC` (j = the WITHIN-PAGE LOGICAL
+            # index — positions/forms stay tied to it), and the page
+            # paints the sections in a SCRAMBLED order (evens then
+            # odds — the two-column painting order of a real layout).
+            # Only the structure tree built below recovers the
+            # logical sequence; raw content order is wrong by
+            # construction.
+            parts, _ = _content_for_py(
+                page_spans, image_names, return_parts=True
+            )
+            secs = []
+            for j, part in enumerate(parts):
+                tag = b"/Figure" if page_spans[j][0] == "media" else b"/P"
+                secs.append(
+                    b"%s <</MCID %d>> BDC\n%s\nEMC" % (tag, j, part)
+                )
+            paint = list(range(0, len(secs), 2)) + list(range(1, len(secs), 2))
+            body = b"\n".join(secs[j] for j in paint)
+        else:
+            body, _ = _content_for(
+                page_spans, image_names, cjk=cjk, embedded_code_of=embedded_code_of,
+                form_sink=form_sink if forms else None, type3=type3,
+                coll_show=coll_show, nospace=nospace,
+            )
         cnum = g.add(_encode_content(body, content_filters))
         g.content_nums.append(cnum)
         # MediaBox/Resources are INHERITED from the pages root (ISO
@@ -1576,6 +1663,50 @@ def build_object_graph(
         g.objs[pn][_N_PARENT] = root_ref
 
     catalog = CDict(_CATALOG_TEMPLATE)
+    if tagged:
+        # structure tree (ISO 32000-1 §14.7): /StructTreeRoot →
+        # /Document → per-page /Sect → one /P (or /Figure) element
+        # per span IN LOGICAL ORDER. Leaves rotate between the two
+        # §14.7.4.2 marked-content reference forms: an integer MCID
+        # under an element carrying /Pg (even j) and an explicit
+        # /MCR dict (odd j). No /ParentTree: that inverse mapping
+        # serves renderers resolving content→structure; extraction
+        # walks structure→content only (documented gap).
+        sect_refs = []
+        for pidx, pnum in enumerate(page_nums):
+            pg_spans = spans[pidx * SPANS_PER_PAGE : (pidx + 1) * SPANS_PER_PAGE]
+            kid_refs2 = []
+            for j, (k, _t, _m, _o) in enumerate(pg_spans):
+                el = CDict()
+                el[_N_TYPE] = Name("StructElem")
+                el[Name("S")] = Name("Figure") if k == "media" else Name("P")
+                if j % 2 == 0:
+                    el[Name("Pg")] = Ref(pnum, 0)
+                    el[Name("K")] = j
+                else:
+                    mcr = CDict()
+                    mcr[_N_TYPE] = Name("MCR")
+                    mcr[Name("Pg")] = Ref(pnum, 0)
+                    mcr[Name("MCID")] = j
+                    el[Name("K")] = mcr
+                kid_refs2.append(Ref(g.add(el), 0))
+            sect = CDict()
+            sect[_N_TYPE] = Name("StructElem")
+            sect[Name("S")] = Name("Sect")
+            sect[Name("Pg")] = Ref(pnum, 0)
+            sect[Name("K")] = kid_refs2
+            sect_refs.append(Ref(g.add(sect), 0))
+        docel = CDict()
+        docel[_N_TYPE] = Name("StructElem")
+        docel[Name("S")] = Name("Document")
+        docel[Name("K")] = sect_refs
+        stroot = CDict()
+        stroot[_N_TYPE] = Name("StructTreeRoot")
+        stroot[Name("K")] = Ref(g.add(docel), 0)
+        catalog[Name("StructTreeRoot")] = Ref(g.add(stroot), 0)
+        mark_info = CDict()
+        mark_info[Name("Marked")] = True
+        catalog[Name("MarkInfo")] = mark_info
     if navigation:
         # /Outlines tree (ISO 32000-1 §12.3.3): 1-3 top-level items,
         # every EVEN item carries two children — deterministic in
@@ -2376,6 +2507,19 @@ def build_pdf(
         # /AcroForm with 1-5 fields, nested /Kids + inherited /FT
         layout = "classic"
         acroform = True
+    tagged = False
+    if variant == "tagged":
+        # Tagged PDF: content paints sections in scrambled order;
+        # /StructTreeRoot carries the logical reading order (r8)
+        layout = "classic"
+        tagged = True
+    nospace = False
+    if variant == "nospace":
+        # r8: no space glyph anywhere — spaces are positioning-only
+        # gaps (TJ kerns / Td jumps); only infer_spaces extraction
+        # recovers the text (§9.10-adjacent word-boundary heuristic)
+        layout = "classic"
+        nospace = True
     type3 = False
     if variant == "type3":
         # AGL-encodable text renders through a /Subtype /Type3
@@ -2409,6 +2553,7 @@ def build_pdf(
         cjk=cjk, cjk_embedded=cjk_embedded, cjk_chained=cjk_chained,
         forms=forms, attachments=attachments, navigation=navigation,
         type3=type3, acroform=acroform, cid_collection=cid_collection,
+        tagged=tagged, nospace=nospace,
     )
     if layout == "classic":
         return _assemble_classic(g, cat, info, doc_id, encryption=encryption)

@@ -251,7 +251,12 @@ def extract(payloads: DataFrame) -> DataFrame:
 FLAT_SCHEMA = "doc_id bigint, offset int, kind string, text string, media_ref string"
 
 
-def extract_flat(payloads: DataFrame, lenient: bool = False) -> DataFrame:
+def extract_flat(
+    payloads: DataFrame,
+    lenient: bool = False,
+    reading_order: bool = False,
+    infer_spaces: bool = False,
+) -> DataFrame:
     """Row-oriented extraction: emits exploded span rows directly.
 
     Functionally extract() + explode, but the kernel stage yields FLAT
@@ -261,7 +266,12 @@ def extract_flat(payloads: DataFrame, lenient: bool = False) -> DataFrame:
     grouped (spans[]) form for document-shaped sinks.
 
     ``lenient=True`` turns on §C.2 xref reconstruction (broken or
-    missing startxref chains salvaged by whole-file object scan)."""
+    missing startxref chains salvaged by whole-file object scan).
+    ``reading_order=True`` (r8) orders tagged documents' spans by
+    structure-tree traversal (ISO 32000-1 §14.8 logical reading
+    order) instead of content paint order; untagged docs unchanged.
+    ``infer_spaces=True`` (r8) turns on §9.10-adjacent word-boundary
+    inference (spaces from positioning-only glyph gaps)."""
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel import extract_spans
@@ -272,7 +282,10 @@ def extract_flat(payloads: DataFrame, lenient: bool = False) -> DataFrame:
         for pdf in batches:
             ids, offs, kinds, texts, refs = [], [], [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                status, _err, spans = extract_spans(bytes(payload), settings)
+                status, _err, spans = extract_spans(
+                    bytes(payload), settings, reading_order=reading_order,
+                    infer_spaces=infer_spaces,
+                )
                 if status != "ok":
                     continue
                 for (k, t, m, o) in spans:
@@ -344,10 +357,17 @@ def roundtrip_rows(
     sf_dir: str,
     variant: str = "mixed",
     salt: bool = True,
+    reading_order: bool = False,
+    infer_spaces: bool = False,
 ) -> DataFrame:
     """Flagship pipeline: synth → generate → (salt) → extract →
     exploded span rows. Correct iff output == synth_spans rows (the
-    round-trip identity; oracle = the same synthesis in DuckDB SQL)."""
+    round-trip identity; oracle = the same synthesis in DuckDB SQL).
+
+    With ``variant='tagged', reading_order=True`` the identity is the
+    READING-ORDER contract (r8): the generator paints marked-content
+    sections in scrambled (two-column) order, so the identity holds
+    only when extraction re-sequences by structure-tree traversal."""
     from .scale import salt_spans_by_size
 
     docs = load_documents(spark, sf_dir)
@@ -357,7 +377,9 @@ def roundtrip_rows(
         # shuffle total; generate → extract then pipeline in one stage
         spans = salt_spans_by_size(spans)
     payloads = generate_payloads(spans, variant, ensure=not salt)
-    return extract_flat(payloads)
+    return extract_flat(
+        payloads, reading_order=reading_order, infer_spaces=infer_spaces
+    )
 
 
 GEO_SCHEMA = (

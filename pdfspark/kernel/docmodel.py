@@ -515,6 +515,74 @@ class Document:
         walk(root.get_dict("First", None, res), 0)
         return out
 
+    def struct_order(self) -> Optional[list]:
+        """Logical reading order from the structure tree (ISO 32000-1
+        §14.7, r8): depth-first walk over /StructTreeRoot → /K,
+        emitting (page_idx, MCID) per marked-content leaf in
+        traversal order — THE order a tagged document's text is meant
+        to be read in, independent of content-stream paint order
+        (multi-column pages). Both §14.7.4.2 leaf forms resolve: an
+        integer MCID takes its page from the nearest ancestor's /Pg;
+        an /MCR dict carries its own /Pg. /OBJR leaves (annotations)
+        carry no content and are skipped. Returns None when the
+        document is untagged (no /StructTreeRoot). Cycle-, depth- and
+        fanout-guarded like the outline walk; malformed nodes are
+        skipped (PERMISSIVE)."""
+        res = self.parser._resolve
+        root = self.catalog.get_dict("StructTreeRoot", None, res)
+        if root is None:
+            return None
+        page_of = {p.obj_num: i for i, p in enumerate(self.pages())}
+        out: list = []
+        seen: set[int] = set()
+
+        def pg_of(node: CDict) -> Optional[int]:
+            v = node.get("Pg", None)
+            if isinstance(v, Ref):
+                return page_of.get(v.num)
+            # a direct (non-Ref) /Pg can't be matched to a page object
+            # number — treated as absent (§7.7.3.3 pages are always
+            # indirect in practice; the generator emits Refs)
+            return None
+
+        def walk_k(v, pg: Optional[int], depth: int) -> None:
+            if depth > 64 or len(out) > 100000:
+                return  # runaway guard
+            if isinstance(v, bool):
+                return
+            if isinstance(v, int):
+                if pg is not None:
+                    out.append((pg, v))
+                return
+            if isinstance(v, Ref):
+                v = res(v)
+            if isinstance(v, list):
+                for item in v:
+                    walk_k(item, pg, depth + 1)
+                return
+            if not isinstance(v, CDict):
+                return
+            if id(v) in seen or len(seen) > 10000:
+                return  # cycle guard
+            seen.add(id(v))
+            here = pg_of(v)
+            if here is None:
+                here = pg
+            t = v.get_name("Type", None, res)
+            if t == "MCR":
+                m = v.get_int("MCID", -1, res)
+                if m >= 0 and here is not None:
+                    out.append((here, m))
+                return
+            if t == "OBJR":
+                return
+            kk = v.get("K", None)
+            if kk is not None:
+                walk_k(kk, here, depth + 1)
+
+        walk_k(root.get("K", None), None, 0)
+        return out
+
     def form_fields(self) -> list[tuple]:
         """AcroForm field extraction (ISO 32000-1 §12.7): DFS over
         /AcroForm → /Fields → /Kids, emitting one row per TERMINAL

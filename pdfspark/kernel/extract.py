@@ -46,6 +46,8 @@ def extract_spans_doc(
     settings: Optional[ParserSettings] = None,
     geometry: bool = False,
     tj_kerning: bool = False,
+    reading_order: bool = False,
+    infer_spaces: bool = False,
     _want_doc: bool = False,
 ) -> list[tuple]:
     """One document → ordered [(kind, text, media_ref, offset)], or
@@ -55,6 +57,16 @@ def extract_spans_doc(
     Page order = page-tree DFS (M4); within a page, content streams in
     /Contents order are concatenated (ISO 32000-1 §7.8.2: multiple
     streams form one logical stream); offset = global emission ordinal.
+
+    ``reading_order=True`` (r8): when the document is TAGGED
+    (/StructTreeRoot present), spans are ordered by structure-tree
+    traversal instead of raw content order — the §14.8 logical
+    reading order a multi-column page needs. Content is split into
+    marked-content sections (textops.split_marked_sections), each
+    interpreted independently, then sequenced by the (page, MCID)
+    walk; marked content the tree never references follows in
+    (page, MCID) order, and untagged content comes last in content
+    order. Untagged documents fall back to content order unchanged.
     """
     doc = parse_document(payload, settings)
     if doc.parser.is_encrypted and doc.parser.security.key is None:
@@ -64,37 +76,82 @@ def extract_spans_doc(
         # AES-128); passworded docs route to the error bucket
         raise EParseError("encrypted document: password required")
     resolver = doc.parser._resolve
-    out: list[tuple] = []
-    ordinal = 0
+    order = doc.struct_order() if reading_order else None
     font_cache: dict = {}
-    for page in doc.pages():
-        if not page.contents:
-            continue
-        # §7.8.2: division between streams is only ever at a lexical
-        # token boundary → join with a newline
-        data = b"\n".join(
-            decode_stream(c.data, c.dict, resolver) for c in page.contents
-        )
-        for sp in interpret_content(
-            data, page.resources, resolver, doc_font_cache=font_cache,
-            tj_kerning=tj_kerning,
-        ):
-            if geometry:
-                out.append((sp[0], sp[1], sp[2], ordinal, sp[3], sp[4], sp[5], sp[6]))
-            else:
-                out.append((sp[0], sp[1], sp[2], ordinal))
-            ordinal += 1
+    if order is not None:
+        from .textops import split_marked_sections
+
+        tagged: dict[tuple, list] = {}
+        untagged: list = []
+        for pidx, page in enumerate(doc.pages()):
+            if not page.contents:
+                continue
+            data = b"\n".join(
+                decode_stream(c.data, c.dict, resolver) for c in page.contents
+            )
+            for mcid, seg in split_marked_sections(data):
+                sps = interpret_content(
+                    seg, page.resources, resolver, doc_font_cache=font_cache,
+                    tj_kerning=tj_kerning, infer_spaces=infer_spaces,
+                )
+                if mcid is None:
+                    untagged.extend(sps)
+                else:
+                    tagged.setdefault((pidx, mcid), []).extend(sps)
+        ordered: list = []
+        emitted: set = set()
+        for key in order:  # the logical sequence (first ref wins)
+            if key in tagged and key not in emitted:
+                ordered.extend(tagged[key])
+                emitted.add(key)
+        for key in sorted(tagged):  # unreferenced marked content
+            if key not in emitted:
+                ordered.extend(tagged[key])
+        ordered.extend(untagged)
+        spans_seq = ordered
+    else:
+        spans_seq = []
+        for page in doc.pages():
+            if not page.contents:
+                continue
+            # §7.8.2: division between streams is only ever at a
+            # lexical token boundary → join with a newline
+            data = b"\n".join(
+                decode_stream(c.data, c.dict, resolver) for c in page.contents
+            )
+            spans_seq.extend(
+                interpret_content(
+                    data, page.resources, resolver, doc_font_cache=font_cache,
+                    tj_kerning=tj_kerning, infer_spaces=infer_spaces,
+                )
+            )
+    out: list[tuple] = []
+    for ordinal, sp in enumerate(spans_seq):
+        if geometry:
+            out.append((sp[0], sp[1], sp[2], ordinal, sp[3], sp[4], sp[5], sp[6]))
+        else:
+            out.append((sp[0], sp[1], sp[2], ordinal))
     if _want_doc:
         return (doc, out)
     return out
 
 
 def extract_spans(
-    payload: bytes, settings: Optional[ParserSettings] = None
+    payload: bytes,
+    settings: Optional[ParserSettings] = None,
+    reading_order: bool = False,
+    infer_spaces: bool = False,
 ) -> tuple[str, Optional[str], list[tuple]]:
     """PERMISSIVE wrapper → (status, error, spans)."""
     try:
-        return ("ok", None, extract_spans_doc(payload, settings))
+        return (
+            "ok",
+            None,
+            extract_spans_doc(
+                payload, settings, reading_order=reading_order,
+                infer_spaces=infer_spaces,
+            ),
+        )
     except Exception as e:  # per-row fault policy (§2.8)
         return ("error", f"{type(e).__name__}: {e}", [])
 

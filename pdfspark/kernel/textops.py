@@ -730,6 +730,22 @@ class Font:
         s = raw.decode("latin-1")
         return s if tr is _IDENTITY_TRANS else s.translate(tr)
 
+    def space_width(self) -> Optional[float]:
+        """Width (1000-em units) of the word-space glyph — the
+        single-byte code 32 (§9.3.3) — used as the yardstick by the
+        §9.10-adjacent word-boundary heuristic (infer_spaces). None
+        when the font carries no simple-font metrics (two-byte CID
+        fonts: word gaps in generated corpora always ride a
+        single-byte font, and a heuristic without a yardstick must
+        stay silent rather than guess)."""
+        if self.two_byte or self.widths is None:
+            return None
+        i = 32 - self.first_char
+        w = self.widths[i] if 0 <= i < len(self.widths) else self.default_width
+        if self.t3_scale is not None:
+            return w * self.t3_scale  # glyph space → 1000-em
+        return float(w)
+
     def show_info(self, raw: bytes) -> tuple:
         """The per-show-string font work, consolidated into ONE call:
         (decoded_text, advance_1000 | None, nglyphs, nsp).
@@ -1094,6 +1110,97 @@ _CTOK_CMAP_CODES = _load_ctok_attr("cmap_codes_w")
 _CTOK_TADV = _load_ctok_attr("table_advance")
 
 
+def split_marked_sections(data: bytes) -> list:
+    """Split one decoded content stream into [(mcid_or_None, bytes)]
+    runs at the TOP marked-content level (ISO 32000-1 §14.6): a
+    top-level ``/Tag <props> BDC``/``BMC`` opens a section closed by
+    its depth-matched ``EMC``; the /MCID integer is read from an
+    inline BDC property dict. Bytes outside any section come back
+    with mcid=None in content order. Nested marked content stays
+    INSIDE its outer section (the per-section interpreter sees it as
+    ordinary skippable operators). Tokenization uses the real COS
+    token rules — an 'EMC' inside a string/hex literal never splits —
+    and the lexer's BI..EI rule (binary image data may contain 'EMC'
+    bytes). PERMISSIVE: an unterminated section runs to EOF; a stray
+    EMC at depth 0 is ignored.
+
+    Used by the reading-order extraction path (extract.py): each
+    section is interpreted independently, so sections must be
+    text-state self-contained — exactly what the tagged generator
+    emits (every block sets Tf/Tc/Tw/Tz explicitly) and what
+    producers that emit tagged output in practice do per ISO
+    14289-1 conformance; a cross-section Tf dependency would fall
+    back to default-font decoding (documented)."""
+    r = Raw(data)
+    end = r.length
+    segs: list = []
+    operands: list = []
+    operands_start: Optional[int] = None
+    depth = 0
+    sec: Optional[tuple] = None  # (mcid, content_start) at depth entry
+    gap_start = 0
+    while True:
+        r.skip_ws_and_comments()
+        tok_start = r.pos
+        if tok_start >= end:
+            break
+        tok = _next_token(r)
+        if tok is None:
+            break
+        if not isinstance(tok, bytes):  # a COS operand
+            if operands_start is None:
+                operands_start = tok_start
+            operands.append(tok)
+            continue
+        if tok == b"BI":
+            # inline image: skip to the token-boundary EI (the
+            # content lexer's rule — bare 'EI' bytes inside binary
+            # data must not terminate)
+            d = r.data
+            idx = r.pos
+            r.pos = end
+            while True:
+                idx = d.find(b"EI", idx)
+                if idx < 0:
+                    break
+                if (idx == 0 or is_ws(d[idx - 1])) and (
+                    idx + 2 >= end
+                    or is_ws(d[idx + 2])
+                    or is_delim(d[idx + 2])
+                ):
+                    r.pos = idx + 2
+                    break
+                idx += 1
+        elif tok in (b"BDC", b"BMC"):
+            if depth == 0:
+                gap_end = operands_start if operands_start is not None else tok_start
+                if data[gap_start:gap_end].strip():
+                    segs.append((None, data[gap_start:gap_end]))
+                mcid = None
+                if tok == b"BDC" and operands:
+                    props = operands[-1]
+                    if isinstance(props, CDict):
+                        v = props.get("MCID")
+                        if isinstance(v, int) and not isinstance(v, bool):
+                            mcid = v
+                sec = (mcid, r.pos)
+            depth += 1
+        elif tok == b"EMC":
+            if depth > 0:
+                depth -= 1
+                if depth == 0 and sec is not None:
+                    segs.append((sec[0], data[sec[1] : tok_start]))
+                    sec = None
+                    gap_start = r.pos
+        operands = []
+        operands_start = None
+    if sec is not None:  # unterminated section — PERMISSIVE tail
+        segs.append((sec[0], data[sec[1] :]))
+    elif data[gap_start:].strip():
+        segs.append((None, data[gap_start:]))
+    return segs
+
+
 class Span(tuple):
     """(kind, text, media_ref, x, y, w, h) — offset assigned by the
     caller. Geometry is the span-START position in device space
@@ -1158,11 +1265,27 @@ def _interpret_content_py(
     doc_font_cache: Optional[dict] = None,
     _ctm: tuple = _MAT_ID,
     tj_kerning: bool = False,
+    infer_spaces: bool = False,
 ) -> list[Span]:
     """Interpret one (decoded) content stream → ordered spans — the
     pure-Python interpreter; `_ctok.interpret_content` is the fused
     C twin with identical semantics (differential parity in
     tests/test_ctok_parity.py).
+
+    ``infer_spaces=True`` (r8, §9.10-adjacent): word-boundary
+    inference for text painted WITHOUT space glyphs (positioning-only
+    gaps). Each rightward gap EVENT — a TJ kerning number, or a
+    same-baseline Td/Tm jump past the end of the text shown since the
+    last positioning op — inserts one ' ' into the open span when the
+    text-space gap strictly exceeds HALF the word-space displacement
+    ((w₃₂/1000·Tfs + Tc + Tw)·Th, §9.3.2). θ = 1/2 exactly: the mixed
+    corpus's −250 TJ kern (¼ em against a 500-unit space) lands ON
+    the boundary and stays a kern; a full space-width gap (−500)
+    clears it. All factors are exact binary fractions, so the
+    threshold compare is bit-deterministic. One event ⇒ one space:
+    consecutive gap events yield consecutive spaces (runs of spaces
+    in the source text). Python-only path (the C twin punts to this
+    interpreter when the flag is set).
 
     Operators handled: BT/ET (text objects, §9.4.1), Tf (font select),
     Td/TD/Tm/T*/TL (positioning — projected into per-span (x, y)
@@ -1224,9 +1347,36 @@ def _interpret_content_py(
         return f
 
     trm_c: Optional[tuple] = None  # lazily computed tm×ctm (show ops)
+    # infer_spaces tracking: text-space advance since tm was last set
+    # by a positioning op (the expected pen x relative to tm), valid
+    # only while every show since then had known metrics
+    tm_adv = 0.0
+    tm_adv_known = True
+
+    def gap_event(gap_text: float) -> None:
+        """One rightward positioning gap → one inferred ' ' when the
+        gap strictly exceeds θ=1/2 of the word-space displacement."""
+        if not in_text or gap_text <= 0.0:
+            return
+        sw = cur_font.space_width()
+        if sw is None:
+            return
+        space_disp = ((sw * cur_size) / 1000.0 + tc + tw) * th
+        if space_disp > 0.0 and gap_text * 2.0 > space_disp:
+            text_parts.append(" ")
+
+    def tm_moved(new_tm: tuple) -> None:
+        """Positioning op set a new tm: fire a gap event when the jump
+        stays on the same baseline, then reset the advance tracker."""
+        nonlocal tm_adv, tm_adv_known
+        if in_text and tm_adv_known and new_tm[5] == tm[5]:
+            gap_event(new_tm[4] - (tm[4] + tm_adv))
+        tm_adv = 0.0
+        tm_adv_known = True
 
     def show(s) -> None:
         nonlocal span_xy, span_h, span_adv, span_w_known, trm_c
+        nonlocal tm_adv, tm_adv_known
         if isinstance(s, CString):
             if trm_c is None:
                 trm_c = _matmul(tm, ctm)
@@ -1242,17 +1392,24 @@ def _interpret_content_py(
             text, adv, nglyphs, nsp = cur_font.show_info(s.raw)
             if adv is None:
                 span_w_known = False
+                tm_adv_known = False
             else:
                 span_adv += (
                     (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
                 ) * th * trm_c[0]
+                if infer_spaces:
+                    tm_adv += (
+                        (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
+                    ) * th
             text_parts.append(text)
 
     def next_line() -> None:
-        nonlocal tlm, tm, trm_c
+        nonlocal tlm, tm, trm_c, tm_adv, tm_adv_known
         tlm = _matmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm)
         tm = tlm
         trm_c = None
+        tm_adv = 0.0  # new line: never a same-baseline gap
+        tm_adv_known = True
 
     events = (
         _CTOK_LEX(data)
@@ -1267,6 +1424,7 @@ def _interpret_content_py(
             span_xy, span_h = None, None
             span_adv, span_w_known = 0.0, True
             trm_c = None
+            tm_adv, tm_adv_known = 0.0, True
         elif op == b"ET":
             if in_text:
                 x, y = span_xy if span_xy is not None else (None, None)
@@ -1285,11 +1443,15 @@ def _interpret_content_py(
                 if op == b"TD":
                     leading = -v[1]
                 tlm = _matmul((1.0, 0.0, 0.0, 1.0, v[0], v[1]), tlm)
+                if infer_spaces:
+                    tm_moved(tlm)
                 tm = tlm
                 trm_c = None
         elif op == b"Tm":
             v = _nums(operands, 6)
             if v is not None:
+                if infer_spaces:
+                    tm_moved(tuple(v))
                 tm = tlm = tuple(v)
                 trm_c = None
         elif op == b"T*":
@@ -1328,6 +1490,13 @@ def _interpret_content_py(
             if operands and isinstance(operands[-1], list):
                 for item in operands[-1]:
                     t = type(item)
+                    if infer_spaces and (t is int or t is float):
+                        # §9.4.3 kern t moves by (−t/1000·Tfs)·Th —
+                        # a gap event for the boundary heuristic, and
+                        # tracked so a later Td gap stays exact
+                        d = ((-item * cur_size) / 1000.0) * th
+                        gap_event(d)
+                        tm_adv += d
                     if tj_kerning and (t is int or t is float):
                         # §9.4.3: a TJ number t moves the text position
                         # by tx = (−t/1000·Tfs)·Th — with the flag on,
@@ -1389,6 +1558,7 @@ def _interpret_content_py(
                             interpret_content(
                                 decoded, sub_res, resolver, _depth + 1, font_cache,
                                 _ctm=sub_ctm, tj_kerning=tj_kerning,
+                                infer_spaces=infer_spaces,
                             )
                         )
         elif op == b"BI":
@@ -1511,16 +1681,24 @@ def interpret_content(
     doc_font_cache: Optional[dict] = None,
     _ctm: tuple = _MAT_ID,
     tj_kerning: bool = False,
+    infer_spaces: bool = False,
 ) -> list[Span]:
     """Interpret one (decoded) content stream → ordered spans (see
     _interpret_content_py for the operator contract). Dispatches to
     the fused C interpreter when the extension is available
     (PDFSPARK_NO_CTOK=1 or any compile failure falls back to the
-    authoritative pure-Python implementation)."""
-    if _CTOK_INTERP is not None and data.__class__ is bytes:
+    authoritative pure-Python implementation). infer_spaces (the
+    §9.10 word-boundary heuristic) runs on the Python interpreter —
+    it's an opt-in per-query path, not the default hot path."""
+    if (
+        _CTOK_INTERP is not None
+        and data.__class__ is bytes
+        and not infer_spaces
+    ):
         return _interpret_content_c(
             data, resources, resolver, _depth, doc_font_cache, _ctm, tj_kerning
         )
     return _interpret_content_py(
-        data, resources, resolver, _depth, doc_font_cache, _ctm, tj_kerning
+        data, resources, resolver, _depth, doc_font_cache, _ctm, tj_kerning,
+        infer_spaces=infer_spaces,
     )
