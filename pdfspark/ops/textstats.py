@@ -944,6 +944,100 @@ def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 8  # full merge-learning loop length (r8; was 2 rounds)
+
+
+def _merge_applied(text, pair_a: str, pair_b: str):
+    """Apply ONE learned merge corpus-wide: every adjacency
+    `pair_a pair_b` in the space-joined symbol stream becomes the
+    single symbol `pair_a<MRG>pair_b`. Sentinel-wrap → literal
+    replace → unwrap, all Column API (no SQL-literal escaping
+    hazards), exactly mirrored in the DuckDB oracle."""
+    sen, sen2 = F.lit(_SEN), F.lit(_SEN + _SEN)
+    wrapped = F.concat(sen, F.replace(text, F.lit(" "), sen2), sen)
+    merged = F.replace(
+        wrapped,
+        F.lit(_SEN + pair_a + _SEN + _SEN + pair_b + _SEN),
+        F.lit(_SEN + pair_a + _MRG + pair_b + _SEN),
+    )
+    return F.replace(F.btrim(merged, sen), sen2, F.lit(" "))
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, pair, cnt): the ARGMAX merge learned in each of
+    BPE_ROUNDS rounds of the real BPE training loop — count adjacent
+    pairs over the current symbol stream, take the winner (ties →
+    lexicographically smallest), re-encode the whole corpus with it,
+    repeat. Symbols merged in earlier rounds participate in later
+    pairs (the <MRG> joiner keeps them atomic), so round k's winner
+    can itself be a 3+-token phrase.
+
+    Scale posture: each round is ONE distributed partial-agg shuffle
+    over the pair stream followed by a TakeOrderedAndProject(1); only
+    the single winning (pair, cnt) row comes to the driver — the
+    bounded-driver-data posture of the k-means trainer (≤ BPE_ROUNDS
+    rows total), never the pair table. The winner re-enters the plan
+    as a LITERAL in the next round's re-encode, so round k's lineage
+    is scan → k-1 chained codegen replaces → shuffle: R linear scans
+    total, no nested-aggregate recompute blowup. At 100 TB you'd
+    persist the re-encoded corpus between rounds; at bench SF the
+    chained-replace recompute is cheaper than the materialization."""
+    docs = _docs(spark, sf_dir).select("text")
+    rows = []
+    cur = docs
+    for rnd in range(1, BPE_ROUNDS + 1):
+        counts = (
+            _pairs_of(cur.select(F.split("text", " ").alias("w")), "w")
+            .groupBy("pair")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        win = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not win:
+            break
+        pair, cnt = win[0].pair, win[0].cnt
+        rows.append((rnd, pair, cnt))
+        if rnd < BPE_ROUNDS:
+            a, b = pair.split(" ", 1)
+            cur = cur.select(_merge_applied(F.col("text"), a, b).alias("text"))
+    return spark.createDataFrame(
+        rows, schema="round int, pair string, cnt bigint"
+    )
+
+
+def _bpe_merges_sql() -> str:
+    """DuckDB mirror: the same loop unrolled into chained CTEs — the
+    per-round top-1 joins back as a 1-row cross join for the next
+    re-encode (identical string ops in identical order, so overlap
+    and tie semantics match by construction)."""
+    sen, mrg = "chr(31)", "chr(30)"
+    pairs = "[w[i] || ' ' || w[i + 1] for i in range(1, len(w))]"
+    ctes = ["d1 AS (SELECT text FROM documents)"]
+    sels = []
+    for k in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"t{k} AS (\n"
+            f"  SELECT pair, CAST(count(*) AS BIGINT) AS cnt\n"
+            f"  FROM (SELECT unnest({pairs}) AS pair\n"
+            f"        FROM (SELECT string_split(text, ' ') AS w FROM d{k})\n"
+            f"        WHERE len(w) >= 2)\n"
+            f"  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1\n)"
+        )
+        if k < BPE_ROUNDS:
+            ctes.append(
+                f"d{k + 1} AS (\n"
+                f"  SELECT replace(trim(replace(\n"
+                f"           {sen} || replace(d.text, ' ', {sen} || {sen}) || {sen},\n"
+                f"           {sen} || split_part(t.pair, ' ', 1) || {sen} || {sen}\n"
+                f"                 || split_part(t.pair, ' ', 2) || {sen},\n"
+                f"           {sen} || split_part(t.pair, ' ', 1) || {mrg}\n"
+                f"                 || split_part(t.pair, ' ', 2) || {sen}\n"
+                f"         ), {sen}), {sen} || {sen}, ' ') AS text\n"
+                f"  FROM d{k} d, t{k} t\n)"
+            )
+        sels.append(f"SELECT CAST({k} AS INT) AS round, pair, cnt FROM t{k}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def _bpe_sql() -> str:
     sen, mrg = "chr(31)", "chr(30)"
     pairs1 = "[w[i] || ' ' || w[i + 1] for i in range(1, len(w))]"
@@ -994,6 +1088,7 @@ def queries():
         "corpus_split": corpus_split,
         "corpus_mix": corpus_mix,
         "bpe_pair_topk": bpe_pair_topk,
+        "bpe_merges": bpe_merges,
     }
 
 
@@ -1014,4 +1109,5 @@ def oracles():
         "corpus_split": _corpus_split_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "bpe_pair_topk": _bpe_sql(),
+        "bpe_merges": _bpe_merges_sql(),
     }

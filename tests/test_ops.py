@@ -1191,6 +1191,27 @@ def test_bpe_pair_topk_planted(spark, tmp_path):
     ]
 
 
+def test_bpe_merges_chain_planted(spark, tmp_path):
+    """N-round merge learning (r8): merged symbols participate in
+    later rounds, so the trainer can grow multi-token phrases. Corpus
+    of 'a b c' ×3 + 'a b' ×1: round 1 merges (a,b) cnt 4; round 2
+    merges (a·b, c) cnt 3 — a 3-token phrase built ON the round-1
+    symbol; later rounds go pairless and the loop stops early."""
+    from pdfspark.ops import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bpem_docs")
+    docs.write.parquet(f"{path}/documents.parquet")
+    got = [(r.round, r.pair, r.cnt) for r in ts.bpe_merges(spark, path).collect()]
+    ab = "a\x1eb"
+    assert got[:2] == [(1, "a b", 4), (2, f"{ab} c", 3)]
+    # after round 2 every doc is a single symbol — no pairs remain
+    assert len(got) == 2
+
+
 def test_semantic_dedup_matches_local_replica(spark):
     """SemDeDup keep/drop against a serial numpy replica of the exact
     contract (same trained cells, same tie rules): every dropped row
