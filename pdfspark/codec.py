@@ -991,6 +991,64 @@ def _jpeg_bytes(w: int, h: int, mcu_color) -> bytes:
     )
 
 
+def _jpeg_420_bytes(w: int, h: int, mcu_color) -> bytes:
+    """Baseline JPEG with 4:2:0 chroma subsampling (r8) — the
+    dominant real-world JPEG shape: Y sampled 2×2, Cb/Cr 1×1, MCU =
+    16×16 pixels carrying 4 Y blocks + Cb + Cr (T.81 A.2.3). Same
+    solid-MCU lossless contract as `_jpeg_bytes` (DC-only blocks,
+    all-ones quant): MCU (i,j) is the solid RGB color
+    ``mcu_color(j, i)``; downsampled solid chroma upsamples back to
+    the identical pixel, so the decoder's means stay the exact
+    YCbCr fixed-point roundtrip the SQL oracle mirrors."""
+    import struct
+
+    dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    pred = [0, 0, 0]
+    for j in range(my):
+        for i in range(mx):
+            ycc = _jpeg_ycc(*mcu_color(j, i))
+            yv = 8 * (ycc[0] - 128)
+            for _ in range(4):  # 4 solid Y blocks per MCU
+                _jpeg_put_dc(bw, dc, yv - pred[0])
+                pred[0] = yv
+                bw.put(*ac[0x00])
+            for c in (1, 2):  # one Cb + one Cr block
+                v = 8 * (ycc[c] - 128)
+                _jpeg_put_dc(bw, dc, v - pred[c])
+                pred[c] = v
+                bw.put(*ac[0x00])
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",  # Y 2×2, Cb/Cr 1×1
+    )
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 # Progressive AC table: the EOBn symbols n<<4 for n = 0..6 (EOB runs
 # up to 64+extra blocks — covers every geometry the generator emits),
 # all at canonical length 3.
@@ -1102,6 +1160,18 @@ def _media_jpeg_bytes(media_ref: str) -> bytes:
     ht = 1 + h[1] % 8
     color = (h[2], h[3], h[4])
     return _jpeg_bytes(w, ht, lambda j, i: color)
+
+
+def _media_jpeg_420_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) 4:2:0-subsampled baseline JPEG (r8), same
+    dims/color contract as the other twins: dims ≤8 keep it a single
+    16×16 MCU, solid color, so chroma downsample→replicate is
+    lossless and the means oracle is the same YCbCr roundtrip."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = (h[2], h[3], h[4])
+    return _jpeg_420_bytes(w, ht, lambda j, i: color)
 
 
 def _media_avi_bytes(media_ref: str) -> bytes:

@@ -13,8 +13,10 @@ WAV — with struct parsing and numpy pixel/sample statistics; the
 against closed-form oracles. r6 closes the last stub: AVI video
 (uncompressed DIB and MJPEG frames) decodes to real per-frame
 pixels via `_avi_decode` — the multimodal triad (image/audio/video)
-is fully real. Non-baseline JPEG (progressive, subsampled) falls
-back to header-only dims; codecs beyond DIB/MJPEG (H.264…)
+is fully real. r7 adds progressive JPEG (SOF2 multi-scan), r8 adds
+chroma-subsampled frames (4:2:0/4:2:2 — general sampling-factor MCU
+geometry); exotic frame types (arithmetic, lossless, hierarchical)
+fall back to header-only dims; codecs beyond DIB/MJPEG (H.264…)
 genuinely need libraries absent from this container, and
 ``_fake_decode`` (deterministic metadata from the payload's embedded
 digest) stands in for them — swapping it for PIL/ffmpeg on a real
@@ -47,8 +49,9 @@ def decode_image_real(payload: bytes) -> dict:
     """REAL decode for formats that need no codec library (r4-r5):
     BMP (BI_RGB 24-bit), PNG (stdlib zlib + scanline unfiltering),
     GIF (pure GIF-LZW), TIFF (baseline none/LZW + predictor),
-    baseline JPEG (SOF0/SOF1 4:4:4 — full entropy decode + IDCT in
-    pure numpy; non-baseline frames fall back to SOF header dims),
+    JPEG (SOF0/SOF1 baseline + SOF2 progressive, any integer-ratio
+    sampling incl. 4:2:0 — full entropy decode + IDCT in pure numpy;
+    unsupported frame types fall back to SOF header dims),
     PGM/PPM (P5/P6 binary), WAV (PCM), AVI video (uncompressed DIB +
     MJPEG frames, r6) — struct + numpy + zlib only.  Returns typed
     metadata + integer channel/sample statistics (per-frame for
@@ -521,10 +524,17 @@ def _jpeg_decode(payload: bytes) -> dict:
     point transform, refinement appends raw bits), per-component
     spectral-selection AC bands with EOBn run accounting (G.1.2.2),
     and AC refinement with correction bits (G.1.2.3).  A baseline
-    scan is the degenerate case Ss=0/Se=63/Ah=Al=0.  Supported:
-    4:4:4 (all sampling factors 1×1) or grayscale, no restart
-    intervals; anything else raises NotImplementedError and the
-    caller falls back to header-only dims."""
+    scan is the degenerate case Ss=0/Se=63/Ah=Al=0.
+
+    Sampling (r8): general per-component factors h_i×v_i (≤4, with
+    integer upsampling ratios) — 4:4:4, 4:2:2 and the dominant
+    real-world 4:2:0 all decode. Interleaved scans walk MCUs of
+    8·hmax × 8·vmax pixels with h_i·v_i blocks per component per MCU
+    (T.81 A.2.3); non-interleaved scans walk the component's OWN
+    block grid ceil(cw/8)×ceil(ch/8), cw = ceil(w·h_i/hmax) (A.2.2).
+    Subsampled chroma planes upsample by pixel replication. No
+    restart intervals; anything unsupported raises
+    NotImplementedError and the caller falls back to header dims."""
     import struct
 
     import numpy as np
@@ -584,9 +594,10 @@ def _jpeg_decode(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG")
-                comps.append({"id": cid, "tq": tq})
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise NotImplementedError("bad JPEG sampling factor")
+                comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             frame = (w, h, comps)
         elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
             raise NotImplementedError("unsupported JPEG frame type")
@@ -623,60 +634,95 @@ def _jpeg_decode(payload: bytes) -> dict:
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
 
-    mx, my = (w + 7) // 8, (h + 7) // 8
-    nblocks = mx * my
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["cw"] = (w * c["h"] + hmax - 1) // hmax  # component pixels
+        c["ch"] = (h * c["v"] + vmax - 1) // vmax
+        c["bx"] = (c["cw"] + 7) // 8  # own (non-interleaved) grid
+        c["by"] = (c["ch"] + 7) // 8
+        c["pbx"] = mcux * c["h"]  # MCU-padded (interleaved) grid
+        c["pby"] = mcuy * c["v"]
     cidx = {comp["id"]: ci for ci, comp in enumerate(comps)}
-    # zigzag-order coefficient accumulator, per component per block
+    # zigzag-order coefficient accumulator, per component per padded-
+    # grid block (the padded grid is a superset of the own grid)
     coefs = [
-        np.zeros((nblocks, 64), dtype=np.int64) for _ in comps
+        np.zeros((c["pby"] * c["pbx"], 64), dtype=np.int64) for c in comps
     ]
+
+    def _own_blocks(c):
+        """Non-interleaved raster order over the component's OWN grid,
+        as padded-array indexes (T.81 A.2.2)."""
+        for by in range(c["by"]):
+            for bx in range(c["bx"]):
+                yield by * c["pbx"] + bx
+
     for order, sel, ss, se, ah, al, off in scans:
         rd = _JpegBitReader(payload, off)
         if ss == 0:
             # DC scan (baseline when se == 63: AC rides the same
-            # block loop); interleaved in `order`, 1×1 sampling → one
-            # block per component per MCU
+            # block loop); interleaved in `order` (h·v blocks per
+            # component per MCU) or the single component's own grid
             pred = {cid: 0 for cid in order}
-            for b in range(nblocks):
-                for cid in order:
-                    cf = coefs[cidx[cid]][b]
-                    dc_tid, ac_tid = sel[cid]
-                    if ah == 0:
-                        cat = rd.huff(htables[(0, dc_tid)])
-                        pred[cid] += _jpeg_extend(rd.bits(cat), cat)
-                        cf[0] = pred[cid] << al
-                    elif rd.bit():
-                        cf[0] |= 1 << al
-                    if se >= 1:  # baseline AC
-                        k = 1
-                        while k <= se:
-                            sym = rd.huff(htables[(1, ac_tid)])
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run == 0:
-                                    break  # EOB
-                                if run != 15:
-                                    # EOBn symbols are progressive-
-                                    # only (T.81 G.1.2.2); in a
-                                    # sequential scan they're corrupt
-                                    # data -> header-dims fallback,
-                                    # never silent wrong pixels
-                                    raise NotImplementedError(
-                                        f"bad JPEG AC symbol {sym:#x}"
-                                    )
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise NotImplementedError("JPEG AC overrun")
-                            cf[k] = _jpeg_extend(rd.bits(size), size)
-                            k += 1
+
+            def _dc_block(cf, cid):
+                dc_tid, ac_tid = sel[cid]
+                if ah == 0:
+                    cat = rd.huff(htables[(0, dc_tid)])
+                    pred[cid] += _jpeg_extend(rd.bits(cat), cat)
+                    cf[0] = pred[cid] << al
+                elif rd.bit():
+                    cf[0] |= 1 << al
+                if se >= 1:  # baseline AC
+                    k = 1
+                    while k <= se:
+                        sym = rd.huff(htables[(1, ac_tid)])
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run == 0:
+                                break  # EOB
+                            if run != 15:
+                                # EOBn symbols are progressive-
+                                # only (T.81 G.1.2.2); in a
+                                # sequential scan they're corrupt
+                                # data -> header-dims fallback,
+                                # never silent wrong pixels
+                                raise NotImplementedError(
+                                    f"bad JPEG AC symbol {sym:#x}"
+                                )
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise NotImplementedError("JPEG AC overrun")
+                        cf[k] = _jpeg_extend(rd.bits(size), size)
+                        k += 1
+
+            if len(order) > 1:
+                for m in range(mcux * mcuy):
+                    mby, mbx = divmod(m, mcux)
+                    for cid in order:
+                        c = comps[cidx[cid]]
+                        for dv in range(c["v"]):
+                            for dh in range(c["h"]):
+                                idx = (mby * c["v"] + dv) * c["pbx"] + (
+                                    mbx * c["h"] + dh
+                                )
+                                _dc_block(coefs[cidx[cid]][idx], cid)
+            else:
+                cid = order[0]
+                c = comps[cidx[cid]]
+                for idx in _own_blocks(c):
+                    _dc_block(coefs[cidx[cid]][idx], cid)
             continue
         # progressive AC scan: single component (T.81 G.1.1)
         if len(order) != 1:
             raise NotImplementedError("interleaved progressive AC scan")
         cid = order[0]
         carr = coefs[cidx[cid]]
+        ccomp = comps[cidx[cid]]
         actab = htables[(1, sel[cid][1])]
         p1, m1 = 1 << al, -1 << al
         eobrun = 0
@@ -686,7 +732,7 @@ def _jpeg_decode(payload: bytes) -> dict:
             if rd.bit() and not (cf[k] & p1):
                 cf[k] += p1 if cf[k] > 0 else m1
 
-        for b in range(nblocks):
+        for b in _own_blocks(ccomp):
             cf = carr[b]
             if ah == 0:  # AC first pass
                 if eobrun:
@@ -753,22 +799,31 @@ def _jpeg_decode(payload: bytes) -> dict:
                     k += 1
 
     basis = _jpeg_idct_basis()
-    planes = [
-        np.zeros((my * 8, mx * 8), dtype=np.int64) for _ in comps
-    ]
     dezig = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    planes = []
     for ci, comp in enumerate(comps):
         q = np.array(qtables[comp["tq"]], dtype=np.int64)
-        for b in range(nblocks):
-            coef = np.zeros(64, dtype=np.float64)
-            coef[dezig] = coefs[ci][b] * q
-            block = basis.T @ coef.reshape(8, 8) @ basis
-            px = np.rint(block).astype(np.int64) + 128
-            by, bx = divmod(b, mx)
-            planes[ci][
-                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-            ] = np.clip(px, 0, 255)
-    planes = [p[:h, :w] for p in planes]
+        plane = np.zeros((comp["pby"] * 8, comp["pbx"] * 8), dtype=np.int64)
+        for by in range(comp["by"]):
+            for bx in range(comp["bx"]):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[dezig] = coefs[ci][by * comp["pbx"] + bx] * q
+                block = basis.T @ coef.reshape(8, 8) @ basis
+                px = np.rint(block).astype(np.int64) + 128
+                plane[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = np.clip(px, 0, 255)
+        # crop to the component's own pixels, then replicate up to
+        # full resolution (integer ratios only)
+        plane = plane[: comp["ch"], : comp["cw"]]
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy * comp["v"] != vmax or fx * comp["h"] != hmax:
+            raise NotImplementedError("non-integer JPEG upsampling ratio")
+        if fy > 1:
+            plane = plane.repeat(fy, axis=0)
+        if fx > 1:
+            plane = plane.repeat(fx, axis=1)
+        planes.append(plane[:h, :w])
     n = w * h
     if len(comps) == 1:
         mean = int(planes[0].sum() // n)
@@ -1084,20 +1139,20 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
 
         from ..codec import (
-            _media_bmp_bytes, _media_gif_bytes, _media_jpeg_bytes,
-            _media_jpeg_progressive_bytes, _media_png_bytes,
-            _media_tiff_bytes,
+            _media_bmp_bytes, _media_gif_bytes, _media_jpeg_420_bytes,
+            _media_jpeg_bytes, _media_jpeg_progressive_bytes,
+            _media_png_bytes, _media_tiff_bytes,
         )
 
         makers = (
             _media_bmp_bytes, _media_png_bytes, _media_gif_bytes,
             _media_tiff_bytes, _media_jpeg_bytes,
-            _media_jpeg_progressive_bytes,
+            _media_jpeg_progressive_bytes, _media_jpeg_420_bytes,
         )
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 6]
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 7]
                 m = decode_image_real(maker(mref))
                 rows.append(
                     {
@@ -1309,11 +1364,12 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) % 6
-    # (indexes 4 AND 5 are both jpeg: baseline and progressive share
-    # the fmt tag and the YCbCr-roundtrip means)
+    # format rotation: digest byte 5 (hex chars 11-12) % 7
+    # (indexes 4-6 are all jpeg: baseline, progressive and 4:2:0
+    # subsampled share the fmt tag and the YCbCr-roundtrip means —
+    # the single-MCU solid color survives chroma downsample exactly)
     fmt = (
-        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 6 "
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 7 "
         "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' "
         "WHEN 3 THEN 'tiff' ELSE 'jpeg' END"
     )

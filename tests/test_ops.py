@@ -574,6 +574,52 @@ def test_jpeg_baseline_decode_real():
     )
 
 
+def test_jpeg_420_subsampled_decode_real():
+    """r8: 4:2:0 chroma subsampling — MCU = 16×16 px with 4 Y blocks
+    + Cb + Cr (T.81 A.2.3). Single-MCU solid payloads must land on
+    EXACTLY the 4:4:4 twin's pixels (solid chroma survives the
+    downsample), and a multi-MCU varying-color image with odd dims
+    must equal the per-tile YCbCr roundtrip with pixel-replication
+    upsampling + crop — interleaved block order, per-component DC
+    prediction and the padded-vs-own grid split all exercised."""
+    import numpy as np
+
+    from pdfspark.codec import (
+        _jpeg_420_bytes, _jpeg_rgb, _jpeg_ycc, _media_jpeg_420_bytes,
+        _media_jpeg_bytes,
+    )
+
+    for i in range(50):
+        ref = f"mj420_{i}"
+        p = _media_jpeg_420_bytes(ref)
+        assert b"\x01\x22\x00" in p  # Y sampling 2×2 in SOF
+        ms = multimodal.decode_image_real(p)
+        mb = multimodal.decode_image_real(_media_jpeg_bytes(ref))
+        ms.pop("n_bytes"), mb.pop("n_bytes")
+        assert ms == mb
+
+    W, H = 37, 21  # 3×2 MCUs, both axes cropped
+
+    def color(j, i):
+        return ((17 * i + 31 * j) % 256, (91 * i + 7 * j) % 256,
+                (3 * i + 201 * j) % 256)
+
+    m = multimodal.decode_image_real(_jpeg_420_bytes(W, H, color))
+    exp = np.zeros((H, W, 3), dtype=np.int64)
+    for j in range((H + 15) // 16):
+        for i in range((W + 15) // 16):
+            exp[j * 16:(j + 1) * 16, i * 16:(i + 1) * 16] = _jpeg_rgb(
+                *_jpeg_ycc(*color(j, i))
+            )
+    n = W * H
+    assert (m["width"], m["height"]) == (W, H)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (
+        int(exp[..., 0].sum() // n),
+        int(exp[..., 1].sum() // n),
+        int(exp[..., 2].sum() // n),
+    )
+
+
 def test_jpeg_progressive_decode_real():
     """r7: REAL progressive (SOF2) decode — DC successive
     approximation (first pass Al=1 + raw-LSB refinement), per
