@@ -732,7 +732,20 @@ def mutation_rows(spark, sf_dir: str) -> DataFrame:
     error deterministically, with the error CLASS part of the row —
     the reference's must-not-crash contract
     (FileHandlingTest.java:45-55) under web-crawl failure modes.
+
+    r8 breadth: the reference corpus is all classic-layout
+    unencrypted, so 8 generator-variant seeds (objstream,
+    incremental, hybrid, encrypted, forms, tagged, nospace, classic
+    control — fuzz.GEN_FUZZ_VARIANTS) union in, built AND mutated
+    in-executor from just their variant names.
     ``sf_dir`` unused (fixed real inputs; driver calling contract)."""
+    from .fuzz import GEN_FUZZ_VARIANTS
+
+    schema = (
+        "fname string, kind string, seed int, status string,"
+        " err_class string, n_spans bigint"
+    )
+    cols = ["fname", "kind", "seed", "status", "err_class", "n_spans"]
     paths = [os.path.join(REFERENCE_PDF_DIR, f) for f in REFERENCE_PDFS]
     payloads = spark.read.format("binaryFile").load(paths)
 
@@ -747,17 +760,25 @@ def mutation_rows(spark, sf_dir: str) -> DataFrame:
                 rows.extend(
                     mutant_rows_for(_os.path.basename(path), bytes(content))
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "fname", "kind", "seed", "status", "err_class", "n_spans",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return payloads.mapInPandas(
-        ker,
-        schema="fname string, kind string, seed int, status string,"
-        " err_class string, n_spans bigint",
+    def gen_ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import build_pdf, synth_spans_py
+        from .fuzz import GEN_FUZZ_TEXT, mutant_rows_for
+
+        for pdf in batches:
+            rows = []
+            for v in pdf["variant"]:
+                did = f"fz_{v}"
+                payload = build_pdf(did, synth_spans_py(did, GEN_FUZZ_TEXT), v)
+                rows.extend(mutant_rows_for(f"gen:{v}", payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    gen_seeds = spark.createDataFrame(
+        [(v,) for v in GEN_FUZZ_VARIANTS], "variant string"
+    ).repartition(len(GEN_FUZZ_VARIANTS))
+    return payloads.mapInPandas(ker, schema=schema).unionByName(
+        gen_seeds.mapInPandas(gen_ker, schema=schema)
     )
 
 

@@ -27,6 +27,32 @@ import hashlib
 MUTATION_KINDS = ("truncate", "xref_offset", "bitflip")
 MUTATION_SEEDS = (1, 2, 3, 4)
 
+# r8 breadth: generator-variant seed payloads — the structural shapes
+# the salvage / crypt / ObjStm / structure-tree code actually faces
+# (the reference corpus is all classic-layout unencrypted). One
+# deterministic doc per variant; each expands into the same 12-mutant
+# grid, outcomes pinned in the manifest like the reference rows.
+GEN_FUZZ_VARIANTS = (
+    "classic", "objstream", "incremental", "hybrid",
+    "encrypted", "forms", "tagged", "nospace",
+)
+GEN_FUZZ_TEXT = (
+    "seeded mutation corpus for structural fuzz rounds " * 18
+)  # ~900 chars → 12 text spans over 3+ pages
+
+
+def generator_seed_files() -> list[tuple[str, bytes]]:
+    """[(pseudo-fname, payload)] — deterministic generator-variant
+    seeds, named ``gen:<variant>`` so manifest rows sort next to the
+    reference files they complement."""
+    from .codec import build_pdf, synth_spans_py
+
+    out = []
+    for v in GEN_FUZZ_VARIANTS:
+        did = f"fz_{v}"
+        out.append((f"gen:{v}", build_pdf(did, synth_spans_py(did, GEN_FUZZ_TEXT), v)))
+    return out
+
 
 def _digest(fname: str, kind: str, seed: int, salt: int = 0) -> bytes:
     key = f"{fname}:{kind}:{seed}:{salt}".encode()

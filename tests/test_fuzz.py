@@ -183,11 +183,13 @@ def test_mutation_corpus_matches_pinned_manifest():
     """Every seeded mutant of the reference corpus lands in its pinned
     ok/salvaged/error bucket with the pinned span count — the
     serial twin of driver query pdf_mutation_golden."""
-    from pdfspark.fuzz import mutant_rows_for
+    from pdfspark.fuzz import generator_seed_files, mutant_rows_for
     from pdfspark.fuzz_manifest import MUTATION_MANIFEST
 
     got = []
     for fname, data in _reference_corpus():
+        got.extend(mutant_rows_for(fname, data))
+    for fname, data in generator_seed_files():  # r8 variant seeds
         got.extend(mutant_rows_for(fname, data))
     assert got == list(MUTATION_MANIFEST)
 
