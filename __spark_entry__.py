@@ -272,97 +272,81 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round this list rotates: queries whose code CHANGED this round
 # (or that have never been driver-checked) come first; the tail —
 # rotated outside the window — must stay byte-identical to the commit
-# of their last green row.  r7 window (VERDICT r6 ask #6): ALL 33
-# queries outside the r6 window lead — the 4 NEW r7 surfaces
-# (pdf_roundtrip_gb1/cns1/korea1 through the cid2code loader,
-# pdf_mutation_golden over the seeded mutation corpus), the 2
-# IVF queries (r7 probe-fraction shrink changed ops/ann.py), and the
-# 27 two-round-stale r4/r5-green rows (relational, curate, textstats,
-# stream_window/user_counts).  The remaining 16 slots carry this
-# round's changed code: media_decode_real (progressive-JPEG rotation,
-# ops/multimodal.py + codec.py), the CID-loader-dependent CJK rows
-# (hanzi/japan1), and the PDF pipelines the r7 structural-parse
-# kernel work touches (interleaved/objstream/incremental/filters/
-# encrypted/cjk_embedded/forms/type3/pubsec/salvage ×2/reference/
-# malformed ×2).  Late-r7 swap: the 3 session additions
-# (semantic_dedup, bpe_pair_topk, pdf_page_labels — never checked)
-# displace pdf_roundtrip_hanzi / pdf_roundtrip_japan1 /
-# pdf_salvage_encrypted, whose r6-green surfaces stay covered
-# in-window by siblings exercising the same changed code paths
-# (gb1/cns1/korea1 drive the identical CID-collection machinery,
-# salvage + encrypted cover the salvage_encrypted composition; see
-# COVERAGE.md r7 map).  Second late-r7 swap: html_links/html_outline
-# (new) displace pdf_roundtrip_filters (its distinct surface — the
-# non-Flate codec chains — is line-untouched in r7; both r7
-# filters.py changes, the single-Flate shortcut and the small-Up
-# predictor path, are exercised by every other in-window pdf row and
-# by objstream/incremental's xref streams respectively, plus the
-# codec parity fuzz suite) and pdf_malformed_policy (its 4-tier
-# policy code is driver-checked in-window by the stricter real-file
-# surfaces pdf_malformed_golden + pdf_mutation_golden).
-# Rotated OUT (all r6-green, one round stale):
-# pdf_roundtrip_cjk, span_geometry ×4, attachments/outlines/links/
-# form_fields, metadata/dates/span_stats/catalog_fields,
-# media_meta/frames/audio, html ×2, dedup exact/simhash/minhash/
-# clusters/jaccard, ann cosine/lsh, embed_neardup, text_quality,
-# lang_id, corpus_split, stream_dedup_events, pdf_stream_extract,
-# stream_append_counts.
+# of their last green row.  r8 window: the 3 NEW r8 surfaces
+# (pdf_reading_order — structure-tree traversal, pdf_roundtrip_nospace
+# — word-boundary inference, bpe_merges — the N-round trainer), then
+# the 6 r8-changed rows (pdf_mutation_golden: manifest grew 84→180
+# with generator-variant seeds; media_decode_real: 4:2:0 rotation %7;
+# ann_ivf_topk/ann_ivf_cells/semantic_dedup: distributed integer
+# k-means trainer + N/λ geometry; pdf_roundtrip_interleaved: the
+# flagship through the r8 extract.py reading-order refactor), then
+# ALL 41 two-round-stale r6-green rows (every registered query is
+# driver-checked in r7 or r8 — the ≤2-round invariant, exactly 50).
+# Rotated OUT (all r7-green, one round stale, code untouched since
+# their green row except the shared-kernel rows re-proven by the
+# in-window pdf set): gb1/cns1/korea1, page_labels, html_links/
+# outline, dedup_substring/skipped_buckets/incremental, corpus_mix/
+# sample/profile/quantiles/curate, chunk_boilerplate, bpe_pair_topk,
+# ann_pq_topk, token_count/fingerprint/normalize/windows, bm25_topk,
+# gopher_quality_flags, rep_signals, pack_sequences, unigram_rarity,
+# benchmark_contamination, relational ×7, stream_window/user_counts,
+# pdf_roundtrip_objstream/incremental/encrypted/cjk_embedded,
+# pdf_salvage, pdf_reference_golden, pdf_malformed_golden,
+# top_documents.
 _DRIVER_WINDOW = [
-    # --- NEW in r7 --------------------------------------------------
-    "semantic_dedup",
-    "bpe_pair_topk",
-    "pdf_page_labels",
-    "html_links",
-    "html_outline",
-    "dedup_substring",
-    "corpus_mix",
-    "pdf_roundtrip_gb1",
-    "pdf_roundtrip_cns1",
-    "pdf_roundtrip_korea1",
+    # --- NEW in r8 ---------------------------------------------------
+    "pdf_reading_order",
+    "pdf_roundtrip_nospace",
+    "bpe_merges",
+    # --- changed in r8 -----------------------------------------------
     "pdf_mutation_golden",
-    # --- changed in r7: IVF probe-fraction shrink -------------------
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivf_cells",
-    # --- changed in r7: progressive JPEG in the decode rotation -----
     "media_decode_real",
-    # --- two-round-stale refresh (outside the r6 window) ------------
-    "dedup_skipped_buckets",
-    "chunk_boilerplate",
-    "dedup_incremental",
-    "token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "bm25_topk",
-    "corpus_sample",
-    "text_windows",
-    "gopher_quality_flags",
-    "rep_signals",
-    "pack_sequences",
-    "unigram_rarity",
-    "corpus_curate",
-    "benchmark_contamination",
-    "corpus_profile",
-    "corpus_quantiles",
-    "events_range_join",
-    "lineitem_pricing_summary",
-    "orders_revenue_by_nation",
-    "events_latest_dedup",
-    "events_sessionize",
-    "events_window_agg",
-    "events_asof_click",
-    "top_documents",
-    "stream_window_counts",
-    "stream_user_counts",
-    # --- r7 structural-parse kernel + CID-loader surfaces -----------
+    "ann_ivf_topk",
+    "ann_ivf_cells",
+    "semantic_dedup",
     "pdf_roundtrip_interleaved",
-    "pdf_roundtrip_objstream",
-    "pdf_roundtrip_incremental",
-    "pdf_roundtrip_encrypted",
-    "pdf_roundtrip_cjk_embedded",
-    "pdf_salvage",
-    "pdf_reference_golden",
-    "pdf_malformed_golden",
+    # --- two-round-stale refresh (r6-green, outside the r7 window) ---
+    "pdf_roundtrip_filters",
+    "pdf_roundtrip_cjk",
+    "pdf_roundtrip_hanzi",
+    "pdf_roundtrip_japan1",
+    "pdf_roundtrip_forms",
+    "pdf_roundtrip_type3",
+    "pdf_roundtrip_pubsec",
+    "pdf_salvage_encrypted",
+    "pdf_span_geometry",
+    "pdf_span_geometry_cid",
+    "pdf_span_geometry_kerned",
+    "pdf_span_geometry_type3",
+    "pdf_attachments",
+    "pdf_outlines",
+    "pdf_links",
+    "pdf_form_fields",
+    "pdf_malformed_policy",
+    "pdf_metadata",
+    "pdf_dates",
+    "pdf_span_stats",
+    "pdf_catalog_fields",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embed_neardup_pairs",
+    "text_quality",
+    "lang_id",
+    "corpus_split",
+    "media_meta",
+    "media_frames",
+    "media_audio_meta",
+    "media_video_frames",
+    "html_main_text",
+    "html_block_stats",
+    "pdf_stream_extract",
+    "stream_append_counts",
+    "stream_dedup_events",
 ]
 
 
