@@ -920,6 +920,15 @@ class _JpegBitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill
         return bytes(self.out)
 
+    def rst(self, n: int) -> None:
+        """Emit a restart marker (r8, T.81 F.1.2.3): 1-fill pad to the
+        byte boundary (put() stuffs a 00 if the pad byte lands on FF),
+        then the RAW FFD0+n marker — markers are never stuffed."""
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _huff_codes(bits: Sequence[int], vals: Sequence[int]) -> dict:
     """Canonical JPEG Huffman code assignment (T.81 Annex C)."""
@@ -1049,6 +1058,63 @@ def _jpeg_420_bytes(w: int, h: int, mcu_color) -> bytes:
     )
 
 
+def _jpeg_dri_bytes(w: int, h: int, mcu_color, ri: int = 2) -> bytes:
+    """Baseline JPEG (SOF0, 4:4:4) WITH restart intervals (r8): a DRI
+    segment pins ``ri`` MCUs per interval and a sequence-numbered
+    RSTn marker separates intervals in the entropy data — after each
+    marker the decoder must byte-align and reset its DC predictions,
+    so an encoder-side reset here is load-bearing, not decorative.
+    Same solid-MCU lossless contract as `_jpeg_bytes`: MCU (i,j) is
+    the solid RGB color ``mcu_color(j, i)``."""
+    import struct
+
+    dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    pred = [0, 0, 0]
+    for m in range(mx * my):
+        if m and m % ri == 0:
+            bw.rst(m // ri - 1)
+            pred = [0, 0, 0]  # F.2.1.3.1: predictions reset at RSTn
+        j, i = divmod(m, mx)
+        ycc = _jpeg_ycc(*mcu_color(j, i))
+        for c in range(3):
+            dc_val = 8 * (ycc[c] - 128)
+            _jpeg_put_dc(bw, dc, dc_val - pred[c])
+            pred[c] = dc_val
+            bw.put(*ac[0x00])  # EOB: all 63 AC are zero
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )
+    dri = seg(0xFFDD, struct.pack(">H", ri))
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
+        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
+        + dri
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 # Progressive AC table: the EOBn symbols n<<4 for n = 0..6 (EOB runs
 # up to 64+extra blocks — covers every geometry the generator emits),
 # all at canonical length 3.
@@ -1172,6 +1238,21 @@ def _media_jpeg_420_bytes(media_ref: str) -> bytes:
     ht = 1 + h[1] % 8
     color = (h[2], h[3], h[4])
     return _jpeg_420_bytes(w, ht, lambda j, i: color)
+
+
+def _media_jpeg_dri_bytes(media_ref: str) -> bytes:
+    """A REAL (decodable) baseline JPEG WITH a restart interval (r8),
+    same dims/color contract as the other twins. Dims ≤8 make it a
+    single MCU — no RSTn marker fits between intervals, so this twin
+    exercises the DRI-segment parse and the RST-aware entropy-data
+    skip; the multi-MCU restart machinery (marker sequencing, DC
+    prediction resets, byte alignment) is pinned in pytest where the
+    geometry is free (tests/test_ops.py)."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 1 + h[0] % 8
+    ht = 1 + h[1] % 8
+    color = (h[2], h[3], h[4])
+    return _jpeg_dri_bytes(w, ht, lambda j, i: color, ri=1)
 
 
 def _media_avi_bytes(media_ref: str) -> bytes:

@@ -573,11 +573,13 @@ def _centroids(emb: DataFrame, n_cells: int):
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def _cosine_cells(En, Cn):
+def _cosine_cells(En, Cn, return_sims: bool = False):
     """cosine argmax of normalized rows against normalized centroids,
     tiled over cells (memory O(batch × CELL_TILE)); ties → lowest
     cell (within-tile FIRST max, strict `>` across tiles). With one
-    tile this is exactly the old single-matrix argmax."""
+    tile this is exactly the old single-matrix argmax.
+    ``return_sims=True`` (r8) also returns the winning similarity —
+    the value the argmax itself compared, not a recomputation."""
     import numpy as np
 
     n = len(En)
@@ -591,6 +593,8 @@ def _cosine_cells(En, Cn):
         upd = v > best
         best[upd] = v[upd]
         bestc[upd] = t0 + j[upd]
+    if return_sims:
+        return bestc, best
     return bestc
 
 
@@ -1109,11 +1113,19 @@ FROM ranked WHERE rank <= {TOP_K}
 # web-scale through semantic deduplication"): cluster the corpus with
 # the SAME deterministic integer k-means the IVF index trains, then
 # call two documents semantic duplicates when their embeddings sit in
-# the same cell with cosine >= SEM_TAU; keep the lowest vec_id of
-# every duplicate group. The keep-rule is the transitive-free local
-# one the paper uses (drop x iff some kept-or-dropped y < x in the
-# same cell has sim(x, y) >= tau), which is deterministic and needs
-# no iterative connected components.
+# the same cell with cosine >= SEM_TAU. Keep-rule (r8, the paper's):
+# within every duplicate chain keep the member with the LOWEST cosine
+# to its cluster centroid — the paper's §3 choice ("keeping examples
+# with low similarity to cluster centroids" beat random/high on
+# downstream accuracy), i.e. the least-redundant representative.
+# Operationally: rank each cell by (centroid_sim ASC, vec_id ASC) and
+# drop x iff some earlier-ranked y has sim(x, y) >= tau — the same
+# transitive-free local rule as before (deterministic, no iterative
+# connected components), with the paper's order instead of raw ids
+# (r7 kept min-vec_id; the swap is the r7 VERDICT's documented
+# residual). vec_id breaks exact-tie ranks (planted EXACT duplicates
+# have identical centroid sims on both engines, so the tie-break,
+# not float luck, decides those).
 SEM_TAU = 0.35  # same corpus-calibrated threshold as NEARDUP_TAU:
 # within-cell sims cluster well above it for true dups, max off-diag
 # between non-dups ~0.48 at the boundary of the blocked variant
@@ -1121,9 +1133,15 @@ SEM_TAU = 0.35  # same corpus-calibrated threshold as NEARDUP_TAU:
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop assignment: (vec_id, cell, keep, dup_of)
-    where dup_of is the LOWEST lower-id same-cell vector with cosine
-    >= SEM_TAU (-1 when kept — the sentinel avoids nullable-int
-    round-trip hazards between Arrow and the driver hasher).
+    where dup_of is the FIRST same-cell vector with cosine >= SEM_TAU
+    in the paper's keep order — (centroid_sim ASC, vec_id ASC), see
+    the rule note above — and -1 when kept (the sentinel avoids
+    nullable-int round-trip hazards between Arrow and the driver
+    hasher). centroid_sim is ranking-internal, never emitted: the
+    two engines' cosines differ in low-order bits, but a rank flip
+    needs two DISTINCT vectors within ~1 ulp of the same centroid
+    sim (exact duplicates tie exactly and fall to the vec_id
+    tie-break on both sides).
 
     Plan: centroids are trained distributed and ship as a BROADCAST
     variable (r8 — see _trained_centroids); assignment is one
@@ -1150,19 +1168,26 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             E = np.array(list(pdf["embedding"]), dtype=np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cells, csim = _cosine_cells(En, bcn.value, return_sims=True)
             pdf = pdf[["vec_id", "embedding"]].copy()
-            pdf["cell"] = _cosine_cells(En, bcn.value).astype("int32")
+            pdf["cell"] = cells.astype("int32")
+            pdf["csim"] = csim  # ranking key only — never emitted
             yield pdf
 
     within = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id bigint, embedding array<float>, cell int"
+        assign,
+        schema="vec_id bigint, embedding array<float>, cell int,"
+        " csim double",
     )
 
     TILE = 1024
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
+        csim = pdf["csim"].to_numpy()
+        # the paper's keep order: centroid sim ASC, vec_id tie-break
+        # (np.lexsort: LAST key is primary)
+        order = np.lexsort((ids, csim))
         ids = ids[order]
         E = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
@@ -1173,12 +1198,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             i1 = min(i0 + TILE, n)
             S = En[i0:i1] @ En.T  # (tile x n)
             for r in range(i1 - i0):
-                j = i0 + r  # global row, ids sorted ascending
+                j = i0 + r  # global row, rank order
                 if j == 0:
                     continue
                 mask = S[r, :j] >= SEM_TAU
                 if mask.any():
-                    # ids sorted -> first hit IS the lowest dup id
+                    # first hit IS the earliest-ranked tau-neighbor
                     dup_of[j] = ids[int(np.argmax(mask))]
         return pd.DataFrame(
             {
@@ -1196,13 +1221,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_oracle_sql() -> str:
     """DuckDB mirror: same trained-centroid CTE chain as the IVF
-    oracles, same cosine-argmax assignment, then the keep-rule as a
-    grouped min over the within-cell pair predicate."""
+    oracles, same cosine-argmax assignment (carrying the winning
+    similarity), then the r8 paper keep-rule — rank each cell by
+    (centroid sim ASC, vec_id ASC) and take the earliest-ranked
+    tau-neighbor via min_by over the rank."""
     return f"""
 WITH {_kmeans_cent_ctes()},
 assign AS (
-  SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, csim FROM (
     SELECT e.vec_id, cent.cell,
+           list_cosine_similarity(e.embedding::DOUBLE[], cent.c) AS csim,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY list_cosine_similarity(
                                          e.embedding::DOUBLE[], cent.c) DESC,
@@ -1210,10 +1238,16 @@ assign AS (
     FROM embeddings e, cent
   ) WHERE rn = 1
 ),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY csim ASC, vec_id ASC) AS rk
+  FROM assign
+),
 dups AS (
-  SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
-  FROM assign a
-  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  SELECT b.vec_id AS vid, min_by(a.vec_id, a.rk) AS dup_of
+  FROM ranked a
+  JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
   WHERE list_cosine_similarity(ea.embedding::DOUBLE[],

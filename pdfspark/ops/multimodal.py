@@ -506,6 +506,26 @@ class _JpegBitReader:
                 return sym
         raise NotImplementedError("invalid JPEG Huffman code")
 
+    def restart(self, expect: int) -> None:
+        """Consume one RSTn marker at a restart boundary (T.81
+        F.2.1.3.1, r8): discard the partial byte's pad bits, skip any
+        pad bytes (incl. a stuffed FF 00 the 1-fill can produce) up to
+        the marker, verify the modulo-8 sequence number, and resume
+        bit reading after it.  Out-of-sequence or missing markers
+        raise — the caller falls back to header dims, never emits
+        silently-wrong pixels."""
+        self.n = 0
+        buf, p = self.buf, self.pos
+        while p + 1 < len(buf) and not (
+            buf[p] == 0xFF and buf[p + 1] != 0x00
+        ):
+            p += 1
+        if p + 1 >= len(buf) or not (0xD0 <= buf[p + 1] <= 0xD7):
+            raise NotImplementedError("missing JPEG restart marker")
+        if (buf[p + 1] & 7) != (expect & 7):
+            raise NotImplementedError("JPEG restart marker out of sequence")
+        self.pos = p + 2
+
 
 def _jpeg_extend(v: int, cat: int) -> int:
     """T.81 F.2.2.1 EXTEND: additional bits → signed value."""
@@ -532,9 +552,13 @@ def _jpeg_decode(payload: bytes) -> dict:
     8·hmax × 8·vmax pixels with h_i·v_i blocks per component per MCU
     (T.81 A.2.3); non-interleaved scans walk the component's OWN
     block grid ceil(cw/8)×ceil(ch/8), cw = ceil(w·h_i/hmax) (A.2.2).
-    Subsampled chroma planes upsample by pixel replication. No
-    restart intervals; anything unsupported raises
-    NotImplementedError and the caller falls back to header dims."""
+    Subsampled chroma planes upsample by pixel replication. Restart
+    intervals (r8, T.81 F.2.1.3.1): DRI sets the MCU interval for
+    subsequent scans; at each boundary the reader byte-aligns,
+    consumes the RSTn marker (sequence-checked modulo 8), and DC
+    predictions + progressive EOB runs reset. Anything unsupported
+    raises NotImplementedError and the caller falls back to header
+    dims."""
     import struct
 
     import numpy as np
@@ -544,7 +568,9 @@ def _jpeg_decode(payload: bytes) -> dict:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    scans = []  # (order[cid...], sel{cid:(dc,ac)}, ss, se, ah, al, off)
+    # (order[cid...], sel{cid:(dc,ac)}, ss, se, ah, al, off, ri)
+    scans = []
+    ri_state = 0  # DRI applies to scans that FOLLOW it (B.2.4.4)
     i = 2
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
@@ -602,9 +628,7 @@ def _jpeg_decode(payload: bytes) -> dict:
         elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8:
             raise NotImplementedError("unsupported JPEG frame type")
         elif marker == 0xDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise NotImplementedError("JPEG restart intervals")
+            (ri_state,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — collect; entropy data follows
             ns = body[0]
             sel = {}
@@ -616,11 +640,19 @@ def _jpeg_decode(payload: bytes) -> dict:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             data_off = i + 2 + seglen
-            scans.append((order, sel, ss, se, ahal >> 4, ahal & 0xF, data_off))
-            # skip entropy-coded data to the next true marker
+            scans.append(
+                (order, sel, ss, se, ahal >> 4, ahal & 0xF, data_off,
+                 ri_state)
+            )
+            # skip entropy-coded data to the next true marker (RSTn
+            # markers live INSIDE the entropy data — skip past them)
             j = data_off
             while j + 1 < len(payload):
-                if payload[j] == 0xFF and payload[j + 1] != 0x00:
+                if (
+                    payload[j] == 0xFF
+                    and payload[j + 1] != 0x00
+                    and not 0xD0 <= payload[j + 1] <= 0xD7
+                ):
                     break
                 j += 1
             i = j
@@ -659,7 +691,7 @@ def _jpeg_decode(payload: bytes) -> dict:
             for bx in range(c["bx"]):
                 yield by * c["pbx"] + bx
 
-    for order, sel, ss, se, ah, al, off in scans:
+    for order, sel, ss, se, ah, al, off, ri in scans:
         rd = _JpegBitReader(payload, off)
         if ss == 0:
             # DC scan (baseline when se == 63: AC rides the same
@@ -702,6 +734,10 @@ def _jpeg_decode(payload: bytes) -> dict:
 
             if len(order) > 1:
                 for m in range(mcux * mcuy):
+                    if ri and m and m % ri == 0:
+                        rd.restart(m // ri - 1)
+                        for pcid in order:
+                            pred[pcid] = 0
                     mby, mbx = divmod(m, mcux)
                     for cid in order:
                         c = comps[cidx[cid]]
@@ -714,7 +750,11 @@ def _jpeg_decode(payload: bytes) -> dict:
             else:
                 cid = order[0]
                 c = comps[cidx[cid]]
-                for idx in _own_blocks(c):
+                # non-interleaved scan: one block per restart unit
+                for bi, idx in enumerate(_own_blocks(c)):
+                    if ri and bi and bi % ri == 0:
+                        rd.restart(bi // ri - 1)
+                        pred[cid] = 0
                     _dc_block(coefs[cidx[cid]][idx], cid)
             continue
         # progressive AC scan: single component (T.81 G.1.1)
@@ -732,7 +772,10 @@ def _jpeg_decode(payload: bytes) -> dict:
             if rd.bit() and not (cf[k] & p1):
                 cf[k] += p1 if cf[k] > 0 else m1
 
-        for b in _own_blocks(ccomp):
+        for bi, b in enumerate(_own_blocks(ccomp)):
+            if ri and bi and bi % ri == 0:
+                rd.restart(bi // ri - 1)
+                eobrun = 0  # EOB runs cannot span a restart (G.1.2.2)
             cf = carr[b]
             if ah == 0:  # AC first pass
                 if eobrun:
@@ -1126,8 +1169,9 @@ MEDIA_DECODE_SCHEMA = (
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query `media_decode_real`: every media span gets a REAL
     payload — BMP (BI_RGB), PNG (zlib inflate + filtered scanlines),
-    GIF (GIF-LZW sub-blocks), TIFF (none/LZW) or baseline JPEG
-    (canonical Huffman + IDCT, r5), rotating on the digest — and runs
+    GIF (GIF-LZW sub-blocks), TIFF (none/LZW) or JPEG (canonical
+    Huffman + IDCT, r5; progressive r7; 4:2:0-subsampled and
+    restart-interval r8), rotating on the digest — and runs
     through `decode_image_real`: actual header parsing, entropy
     decode, unfiltering and pixel statistics, not the stub, inside
     one Arrow-batched stage. The closed-form oracle re-derives
@@ -1140,19 +1184,21 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..codec import (
             _media_bmp_bytes, _media_gif_bytes, _media_jpeg_420_bytes,
-            _media_jpeg_bytes, _media_jpeg_progressive_bytes,
-            _media_png_bytes, _media_tiff_bytes,
+            _media_jpeg_bytes, _media_jpeg_dri_bytes,
+            _media_jpeg_progressive_bytes, _media_png_bytes,
+            _media_tiff_bytes,
         )
 
         makers = (
             _media_bmp_bytes, _media_png_bytes, _media_gif_bytes,
             _media_tiff_bytes, _media_jpeg_bytes,
             _media_jpeg_progressive_bytes, _media_jpeg_420_bytes,
+            _media_jpeg_dri_bytes,
         )
         for pdf in batches:
             rows = []
             for did, mref in zip(pdf["doc_id"], pdf["media_ref"]):
-                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 7]
+                maker = makers[hashlib.md5(mref.encode()).digest()[5] % 8]
                 m = decode_image_real(maker(mref))
                 rows.append(
                     {
@@ -1364,12 +1410,13 @@ def _media_decode_sql() -> str:
     r = _hex_to_int("md5(media_ref)", 5, 2)
     g = _hex_to_int("md5(media_ref)", 7, 2)
     b = _hex_to_int("md5(media_ref)", 9, 2)
-    # format rotation: digest byte 5 (hex chars 11-12) % 7
-    # (indexes 4-6 are all jpeg: baseline, progressive and 4:2:0
-    # subsampled share the fmt tag and the YCbCr-roundtrip means —
-    # the single-MCU solid color survives chroma downsample exactly)
+    # format rotation: digest byte 5 (hex chars 11-12) % 8
+    # (indexes 4-7 are all jpeg: baseline, progressive, 4:2:0
+    # subsampled and restart-interval share the fmt tag and the
+    # YCbCr-roundtrip means — the single-MCU solid color survives
+    # chroma downsample exactly, and DRI changes framing, not pixels)
     fmt = (
-        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 7 "
+        f"CASE ({_hex_to_int('md5(media_ref)', 11, 2)}) % 8 "
         "WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' "
         "WHEN 3 THEN 'tiff' ELSE 'jpeg' END"
     )

@@ -620,6 +620,56 @@ def test_jpeg_420_subsampled_decode_real():
     )
 
 
+def test_jpeg_restart_interval_decode_real():
+    """r8: restart intervals (T.81 F.2.1.3.1). Multi-MCU images with
+    DRI must decode to EXACTLY the no-DRI twin's pixels — RSTn
+    byte-alignment, modulo-8 marker sequencing (>8 intervals included)
+    and the encoder/decoder DC-prediction resets all load-bearing:
+    skipping the reset on either side shifts every post-marker DC.
+    Single-MCU DRI twins (the driver corpus shape) must equal the
+    baseline twin; corrupted marker sequence must fall back to header
+    dims, never wrong pixels."""
+    from pdfspark.codec import (
+        _jpeg_bytes, _jpeg_dri_bytes, _media_jpeg_bytes,
+        _media_jpeg_dri_bytes,
+    )
+
+    def color(j, i):
+        return ((53 * i + 11 * j) % 256, (7 * i + 131 * j) % 256,
+                (199 * i + 23 * j) % 256)
+
+    # 6×4 = 24 MCUs: ri=2 → 11 restarts (marker cycle wraps past RST7)
+    W, H = 48, 32
+    for ri in (1, 2, 5):
+        p = _jpeg_dri_bytes(W, H, color, ri=ri)
+        assert b"\xff\xdd\x00\x04" in p  # DRI segment present
+        assert b"\xff\xd0" in p  # at least one RST0 in the scan
+        md = multimodal.decode_image_real(p)
+        mb = multimodal.decode_image_real(_jpeg_bytes(W, H, color))
+        md.pop("n_bytes"), mb.pop("n_bytes")
+        assert md == mb
+        assert md["fmt"] == "jpeg" and md["width"] == W
+
+    # driver-corpus twins: single MCU, DRI header only
+    for i in range(50):
+        ref = f"mjdri_{i}"
+        p = _media_jpeg_dri_bytes(ref)
+        assert b"\xff\xdd" in p
+        md = multimodal.decode_image_real(p)
+        mb = multimodal.decode_image_real(_media_jpeg_bytes(ref))
+        md.pop("n_bytes"), mb.pop("n_bytes")
+        assert md == mb
+
+    # out-of-sequence restart marker → header-dims fallback (the
+    # means of a corrupt stream must never be silently wrong)
+    p = bytearray(_jpeg_dri_bytes(W, H, color, ri=2))
+    k = p.index(b"\xff\xd0", p.index(b"\xff\xda"))
+    p[k + 1] = 0xD3  # RST0 → RST3
+    m = multimodal.decode_image_real(bytes(p))
+    assert (m["width"], m["height"]) == (W, H)
+    assert "mean_r" not in m  # header-dims fallback, no fake pixels
+
+
 def test_jpeg_progressive_decode_real():
     """r7: REAL progressive (SOF2) decode — DC successive
     approximation (first pass Al=1 + raw-LSB refinement), per
@@ -1260,8 +1310,14 @@ def test_bpe_merges_chain_planted(spark, tmp_path):
 
 def test_semantic_dedup_matches_local_replica(spark):
     """SemDeDup keep/drop against a serial numpy replica of the exact
-    contract (same trained cells, same tie rules): every dropped row
-    names its LOWEST same-cell duplicate, every kept row has none."""
+    contract (same trained cells, same tie rules): rows rank by the
+    r8 paper order (centroid sim ASC, vec_id ASC); every dropped row
+    names its earliest-RANKED same-cell tau-neighbor, every kept row
+    has none — so each duplicate chain keeps its least-central
+    member, and planted EXACT duplicates resolve by the vec_id
+    tie-break (asserted: at least one kept dup-chain head is not the
+    chain's min vec_id would be too strong for an arbitrary corpus,
+    but the keep/dup assignment itself is exact)."""
     import numpy as np
 
     from pdfspark.ops import ann
@@ -1278,13 +1334,15 @@ def test_semantic_dedup_matches_local_replica(spark):
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     E = np.array([r.embedding for r in rows], dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    cells = np.argmax(En @ Cn.T, axis=1)
-    order = np.argsort(ids)
-    ids, En, cells = ids[order], En[order], cells[order]
+    sims = En @ Cn.T
+    cells = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(ids)), cells]
     exp = {}
     for c in sorted(set(cells.tolist())):
         m = cells == c
-        cid, ce = ids[m], En[m]
+        cid, ce, cs = ids[m], En[m], csim[m]
+        order = np.lexsort((cid, cs))  # paper rank: csim, then vec_id
+        cid, ce = cid[order], ce[order]
         S = ce @ ce.T
         for j in range(len(cid)):
             dup = -1
