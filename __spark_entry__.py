@@ -276,10 +276,12 @@ def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pdf_reading_order — structure-tree traversal, pdf_roundtrip_nospace
 # — word-boundary inference, bpe_merges — the N-round trainer), then
 # the 6 r8-changed rows (pdf_mutation_golden: manifest grew 84→180
-# with generator-variant seeds; media_decode_real: 4:2:0 rotation %7;
-# ann_ivf_topk/ann_ivf_cells/semantic_dedup: distributed integer
-# k-means trainer + N/λ geometry; pdf_roundtrip_interleaved: the
-# flagship through the r8 extract.py reading-order refactor), then
+# with generator-variant seeds; media_decode_real: 4:2:0 + restart-
+# interval JPEG variants, rotation %8; ann_ivf_topk/ann_ivf_cells:
+# distributed integer k-means trainer + N/λ geometry; semantic_dedup:
+# same trainer PLUS the late-r8 paper keep-rule (centroid-sim rank);
+# pdf_roundtrip_interleaved: the flagship through the r8 extract.py
+# reading-order refactor), then
 # ALL 41 two-round-stale r6-green rows (every registered query is
 # driver-checked in r7 or r8 — the ≤2-round invariant, exactly 50).
 # Rotated OUT (all r7-green, one round stale, code untouched since

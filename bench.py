@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # run ALSO executes a pinned previous-round commit in a throwaway git
 # worktree, interleaved subprocess-vs-subprocess (tools/ab_bench.py),
 # and embeds per-query cur/prev ratios as `vs_prev_ratio`.
-PREV_ROUND_COMMIT = "6345672301bc3f9fda62c0c241a7717838ccb891"  # round-6 final
+PREV_ROUND_COMMIT = "0431469cc1ec7961b452792b807005132a6376d8"  # round-7 final
 AB_QUERIES = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_filters",
@@ -54,6 +54,11 @@ HEADLINE = [
     "pdf_roundtrip_interleaved",
     "pdf_roundtrip_objstream",
     "pdf_roundtrip_filters",
+    # r8 surfaces: structure-tree re-sequencing; word-boundary
+    # inference (deliberately the pure-Python interpreter — measures
+    # the documented opt-in slow path honestly)
+    "pdf_reading_order",
+    "pdf_roundtrip_nospace",
     "pdf_roundtrip_encrypted",
     "pdf_roundtrip_cjk_embedded",
     "pdf_salvage",
