@@ -215,6 +215,37 @@ COMMENTARY = {
         "explosion happens inside the kernel stage, so only final "
         "(doc_id, page_idx, label) rows ever materialize."
     ),
+    "pdf_reading_order": (
+        "r8: same shape as the flagship — scan pruned to (doc_id, "
+        "text), ONE deliberate size-salt Exchange ahead of the Python "
+        "stages, generate (scrambled tagged pages) + extract "
+        "(structure-tree re-sequencing) pipelined back-to-back in a "
+        "single MapInPandas stage pair. The §14.8 tree walk is "
+        "per-document work INSIDE the kernel stage: re-ordering spans "
+        "never shuffles them, so logical reading order costs zero "
+        "extra Exchanges at any corpus size."
+    ),
+    "pdf_roundtrip_nospace": (
+        "r8: identical plan skeleton again (one salt Exchange, "
+        "pipelined generate+extract); the word-boundary inference "
+        "runs on the documented pure-Python interpreter path, a "
+        "per-row kernel flag — the PLAN is indistinguishable from "
+        "the flagship, which is the point: opt-in extraction "
+        "features must not change the distribution strategy."
+    ),
+    "bpe_merges": (
+        "r8: the N-round trainer is N sequential aggregation plans, "
+        "each a partial-agg (map-side combine) into ONE Exchange "
+        "carrying only (pair, count) partials, topped by "
+        "TakeOrderedAndProject(1) — the argmax never materializes "
+        "the pair distribution on the driver (that per-round shape "
+        "is the bpe_pair_topk plan above; this query's SHOWN plan is "
+        "just the N-row merge list the loop returns). The winning "
+        "merge re-encodes the corpus as a literal chained replace, "
+        "so each round shuffles counts, never text — one merged "
+        "pair (a string) crosses the driver per round, the k-means "
+        "posture."
+    ),
 }
 
 
