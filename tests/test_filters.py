@@ -74,6 +74,43 @@ def test_rl_roundtrip(data):
     assert rl_decode(rl_encode(data)) == data
 
 
+def test_rl_encode_vectorized_matches_reference():
+    """r8: the numpy rl_encode must be BYTE-identical to the
+    reference loop (_rl_encode_py) — run chunking at 128, the
+    128k+1-group trailing single joining the following literal span,
+    literal 128-caps, replicate groups at data edges."""
+    import random
+
+    from pdfspark.kernel.filters import _rl_encode_py
+
+    structured = [
+        b"", b"a", b"aa", b"a" * 127, b"a" * 128, b"a" * 129,
+        b"a" * 130, b"a" * 256, b"a" * 257, b"a" * 258,
+        bytes(range(256)) * 2, b"ab" * 300,
+        b"a" * 129 + b"bb" + b"a" * 129,
+        b"x" * 500 + bytes(range(200)) + b"y" * 3,
+        b"q" * 129 + b"r" * 129,  # two leftover singles never adjacent
+    ]
+    rng = random.Random(8)
+    for _ in range(400):
+        n = rng.randrange(0, 1200)
+        parts = []
+        while sum(map(len, parts)) < n:
+            if rng.random() < 0.5:
+                parts.append(
+                    bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+                )
+            else:
+                parts.append(
+                    bytes(rng.randrange(256) for _ in range(rng.randrange(1, 50)))
+                )
+        structured.append(b"".join(parts)[:n])
+    for c in structured:
+        enc = rl_encode(c)
+        assert enc == _rl_encode_py(c)
+        assert rl_decode(enc) == c
+
+
 def test_rl_spec_semantics():
     # spec-correct literal copy (the reference's :436 off-by-one is a
     # documented divergence in an untested path, SURVEY §5 policy)
