@@ -952,12 +952,57 @@ def _jpeg_put_dc(w: _JpegBitWriter, codes: dict, diff: int) -> None:
         w.put(diff if diff >= 0 else diff - 1, cat)  # T.81 F.1.2.1
 
 
+_JPEG_444_SAMPLING = b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+_JPEG_420_SAMPLING = b"\x01\x22\x00\x02\x11\x00\x03\x11\x00"  # Y 2×2
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_assemble(
+    w: int,
+    h: int,
+    scan: bytes,
+    sampling: bytes = _JPEG_444_SAMPLING,
+    dri: Optional[int] = None,
+) -> bytes:
+    """Shared baseline (SOF0) framing for the generator twins — the
+    r8-review dedup of three byte-identical assemblers: all-ones DQT
+    table 0, SOF0 with the given per-component sampling bytes, the
+    canonical DC+AC DHT pair, an optional DRI segment, the
+    single-scan SOS, then the entropy data. Twins differ ONLY in
+    sampling / DRI / how they built the scan."""
+    import struct
+
+    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
+        return _jpeg_seg(
+            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    parts = [
+        b"\xff\xd8",
+        _jpeg_seg(0xFFDB, b"\x00" + b"\x01" * 64),  # table 0, all ones
+        _jpeg_seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sampling),
+        dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS),
+        dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS),
+    ]
+    if dri is not None:
+        parts.append(_jpeg_seg(0xFFDD, struct.pack(">H", dri)))
+    parts += [
+        _jpeg_seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"),
+        scan,
+        b"\xff\xd9",
+    ]
+    return b"".join(parts)
+
+
 def _jpeg_bytes(w: int, h: int, mcu_color) -> bytes:
     """Baseline JPEG (SOF0, 4:4:4, all-ones quant): w×h image where
     MCU (i,j) is the solid RGB color ``mcu_color(j, i)``.  Real
     marker segments + real canonical-Huffman entropy data."""
-    import struct
-
     dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     bw = _JpegBitWriter()
@@ -971,33 +1016,7 @@ def _jpeg_bytes(w: int, h: int, mcu_color) -> bytes:
                 _jpeg_put_dc(bw, dc, dc_val - pred[c])
                 pred[c] = dc_val
                 bw.put(*ac[0x00])  # EOB: all 63 AC are zero
-    scan = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
-        return seg(
-            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
-        )
-
-    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)  # table 0, all ones
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
-    )
-    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    return (
-        b"\xff\xd8"
-        + dqt
-        + sof
-        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
-        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
-        + sos
-        + scan
-        + b"\xff\xd9"
-    )
+    return _jpeg_assemble(w, h, bw.flush())
 
 
 def _jpeg_420_bytes(w: int, h: int, mcu_color) -> bytes:
@@ -1009,8 +1028,6 @@ def _jpeg_420_bytes(w: int, h: int, mcu_color) -> bytes:
     ``mcu_color(j, i)``; downsampled solid chroma upsamples back to
     the identical pixel, so the decoder's means stay the exact
     YCbCr fixed-point roundtrip the SQL oracle mirrors."""
-    import struct
-
     dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     bw = _JpegBitWriter()
@@ -1029,33 +1046,7 @@ def _jpeg_420_bytes(w: int, h: int, mcu_color) -> bytes:
                 _jpeg_put_dc(bw, dc, v - pred[c])
                 pred[c] = v
                 bw.put(*ac[0x00])
-    scan = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
-        return seg(
-            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
-        )
-
-    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",  # Y 2×2, Cb/Cr 1×1
-    )
-    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    return (
-        b"\xff\xd8"
-        + dqt
-        + sof
-        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
-        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
-        + sos
-        + scan
-        + b"\xff\xd9"
-    )
+    return _jpeg_assemble(w, h, bw.flush(), sampling=_JPEG_420_SAMPLING)
 
 
 def _jpeg_dri_bytes(w: int, h: int, mcu_color, ri: int = 2) -> bytes:
@@ -1066,8 +1057,6 @@ def _jpeg_dri_bytes(w: int, h: int, mcu_color, ri: int = 2) -> bytes:
     so an encoder-side reset here is load-bearing, not decorative.
     Same solid-MCU lossless contract as `_jpeg_bytes`: MCU (i,j) is
     the solid RGB color ``mcu_color(j, i)``."""
-    import struct
-
     dc = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
     bw = _JpegBitWriter()
@@ -1084,35 +1073,7 @@ def _jpeg_dri_bytes(w: int, h: int, mcu_color, ri: int = 2) -> bytes:
             _jpeg_put_dc(bw, dc, dc_val - pred[c])
             pred[c] = dc_val
             bw.put(*ac[0x00])  # EOB: all 63 AC are zero
-    scan = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(cls: int, tid: int, bits: Sequence[int], vals) -> bytes:
-        return seg(
-            0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
-        )
-
-    dqt = seg(0xFFDB, b"\x00" + b"\x01" * 64)
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
-    )
-    dri = seg(0xFFDD, struct.pack(">H", ri))
-    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    return (
-        b"\xff\xd8"
-        + dqt
-        + sof
-        + dht(0, 0, JPEG_DC_BITS, JPEG_DC_VALS)
-        + dht(1, 0, JPEG_AC_BITS, JPEG_AC_VALS)
-        + dri
-        + sos
-        + scan
-        + b"\xff\xd9"
-    )
+    return _jpeg_assemble(w, h, bw.flush(), dri=ri)
 
 
 # Progressive AC table: the EOBn symbols n<<4 for n = 0..6 (EOB runs

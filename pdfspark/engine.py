@@ -763,15 +763,13 @@ def mutation_rows(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     def gen_ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codec import build_pdf, synth_spans_py
-        from .fuzz import GEN_FUZZ_TEXT, mutant_rows_for
+        from .fuzz import generator_seed_payload, mutant_rows_for
 
         for pdf in batches:
             rows = []
             for v in pdf["variant"]:
-                did = f"fz_{v}"
-                payload = build_pdf(did, synth_spans_py(did, GEN_FUZZ_TEXT), v)
-                rows.extend(mutant_rows_for(f"gen:{v}", payload))
+                fname, payload = generator_seed_payload(v)
+                rows.extend(mutant_rows_for(fname, payload))
             yield pd.DataFrame(rows, columns=cols)
 
     gen_seeds = spark.createDataFrame(

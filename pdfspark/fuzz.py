@@ -41,17 +41,26 @@ GEN_FUZZ_TEXT = (
 )  # ~900 chars → 12 text spans over 3+ pages
 
 
+def generator_seed_payload(variant: str) -> tuple[str, bytes]:
+    """One deterministic generator-variant seed: (pseudo-fname,
+    payload), named ``gen:<variant>``. The SINGLE construction site —
+    the pinned manifest, the serial twin and the Spark driver query
+    all build seeds through here, so the doc-id format / text
+    constant / naming can never desync between them."""
+    from .codec import build_pdf, synth_spans_py
+
+    did = f"fz_{variant}"
+    return (
+        f"gen:{variant}",
+        build_pdf(did, synth_spans_py(did, GEN_FUZZ_TEXT), variant),
+    )
+
+
 def generator_seed_files() -> list[tuple[str, bytes]]:
     """[(pseudo-fname, payload)] — deterministic generator-variant
     seeds, named ``gen:<variant>`` so manifest rows sort next to the
     reference files they complement."""
-    from .codec import build_pdf, synth_spans_py
-
-    out = []
-    for v in GEN_FUZZ_VARIANTS:
-        did = f"fz_{v}"
-        out.append((f"gen:{v}", build_pdf(did, synth_spans_py(did, GEN_FUZZ_TEXT), v)))
-    return out
+    return [generator_seed_payload(v) for v in GEN_FUZZ_VARIANTS]
 
 
 def _digest(fname: str, kind: str, seed: int, salt: int = 0) -> bytes:

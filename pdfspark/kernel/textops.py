@@ -1367,10 +1367,21 @@ def _interpret_content_py(
 
     def tm_moved(new_tm: tuple) -> None:
         """Positioning op set a new tm: fire a gap event when the jump
-        stays on the same baseline, then reset the advance tracker."""
+        stays on the same baseline, then reset the advance tracker.
+
+        tm_adv accumulates in TEXT-SPACE units while tm translations
+        live in the tlm coordinate frame, so the translation delta is
+        divided by the horizontal scale tm[0] before comparing
+        (r8 review fix — a '2 0 0 2 …' Tm otherwise halves real gaps
+        and doubles phantom ones). Rotated/skewed frames (tm[1] or
+        tm[2] nonzero) and mirrored ones (tm[0] <= 0) fire no event:
+        the heuristic stays conservative — a missed space over an
+        invented one."""
         nonlocal tm_adv, tm_adv_known
         if in_text and tm_adv_known and new_tm[5] == tm[5]:
-            gap_event(new_tm[4] - (tm[4] + tm_adv))
+            a = tm[0]
+            if tm[1] == 0.0 and tm[2] == 0.0 and a > 0.0:
+                gap_event((new_tm[4] - tm[4]) / a - tm_adv)
         tm_adv = 0.0
         tm_adv_known = True
 

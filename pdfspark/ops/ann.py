@@ -515,6 +515,11 @@ def _trained_centroids(emb: DataFrame, n_cells: int):
         .collect()
     )
     C = _quantize(np.array([r.embedding for r in seeds], dtype=np.float64))
+    # a tiny corpus can under-fill the seed stride (fewer than n_cells
+    # vec_ids hit %CENT_MOD) — train however many seeds exist, exactly
+    # like the oracle's seed0 CTE (row_number cap over AVAILABLE rows);
+    # reducer arrays below must match len(C), not the geometry ask
+    n_cells = len(C)
     dim = C.shape[1]
     samp = emb.where(F.col("vec_id") % KM_MOD == KM_RES).select("embedding")
     for _ in range(KM_ITERS):
@@ -678,8 +683,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = []
     for r, qid in zip(Qn @ Cn.T, [int(x.vec_id) for x in qrows]):
         # top-n_probe cells, ties → lowest cell (lexsort mirror of the
-        # oracle's ORDER BY sim DESC, cell ASC)
-        order = np.lexsort((np.arange(n_cells), -r))[:n_probe]
+        # oracle's ORDER BY sim DESC, cell ASC); len(Cn), not the
+        # geometry ask — the trainer caps at the available seeds
+        order = np.lexsort((np.arange(len(Cn)), -r))[:n_probe]
         probes += [(qid, int(c)) for c in order]
     probe_df = spark.createDataFrame(probes, "query_id long, cell int")
     qemb = spark.createDataFrame(

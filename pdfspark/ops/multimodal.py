@@ -774,8 +774,14 @@ def _jpeg_decode(payload: bytes) -> dict:
 
         for bi, b in enumerate(_own_blocks(ccomp)):
             if ri and bi and bi % ri == 0:
+                if eobrun:
+                    # G.1.2.2: an EOB run may not span a restart — a
+                    # stream that claims one is corrupt; fall back to
+                    # header dims rather than decode wrong pixels
+                    raise NotImplementedError(
+                        "JPEG EOB run spans a restart boundary"
+                    )
                 rd.restart(bi // ri - 1)
-                eobrun = 0  # EOB runs cannot span a restart (G.1.2.2)
             cf = carr[b]
             if ah == 0:  # AC first pass
                 if eobrun:

@@ -84,6 +84,40 @@ def test_threshold_is_exactly_half_space_width():
     assert txt(b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz [(a) 250 (b)] TJ ET") == "ab"
 
 
+def test_scaled_tm_gap_in_text_space():
+    """r8 review fix: Td translations are text-space values that land
+    in the tlm FRAME (operand × tm scale), while the advance tracker
+    accrues text-space units — the frame delta must be divided by
+    tm[0] before comparing. With '2 0 0 2' scale, (a) advances 6 text
+    units = 12 frame units; a '5 0 Td' (10 frame units) puts the pen
+    1 text unit LEFT of the glyph edge, but the pre-fix compare read
+    10−6=4 > θ=3 and invented a space. A 0.5-scale matrix mirrors
+    the converse (real gaps halved → missed). Rotated frames
+    conservatively never fire."""
+    from pdfspark import codec as C
+    from pdfspark.kernel.extract import parse_document
+    from pdfspark.kernel.textops import interpret_content
+
+    did = "thrscale"
+    doc = parse_document(build_pdf(did, synth_spans_py(did, "xy"), "classic"))
+    page = doc.pages()[0]
+    res, resolver = page.resources, doc.parser._resolve
+
+    def txt(content: bytes) -> str:
+        sps = interpret_content(content, res, resolver, infer_spaces=True)
+        return "".join(s[1] for s in sps if s[0] == "text")
+
+    up = b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz 2 0 0 2 50 700 Tm (a) Tj "
+    assert txt(up + b"5 0 Td (b) Tj ET") == "ab"     # pen moves LEFT
+    assert txt(up + b"6.5 0 Td (b) Tj ET") == "ab"   # gap 0.5 ≤ θ
+    assert txt(up + b"9.5 0 Td (b) Tj ET") == "a b"  # gap 3.5 > θ
+    down = b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz 0.5 0 0 0.5 50 700 Tm (a) Tj "
+    assert txt(down + b"9.5 0 Td (b) Tj ET") == "a b"  # gap 3.5 > θ
+    assert txt(down + b"6.5 0 Td (b) Tj ET") == "ab"   # gap 0.5 ≤ θ
+    rot = b"BT /F1 12 Tf 0 Tc 0 Tw 100 Tz 0 1 -1 0 50 700 Tm (a) Tj "
+    assert txt(rot + b"90 0 Td (b) Tj ET") == "ab"  # rotated: never
+
+
 def test_mixed_corpus_unchanged_by_inference():
     """infer_spaces on the ORDINARY mixed corpus is a no-op: real
     space glyphs are shown, the −250 form-1 kern sits exactly ON the

@@ -1355,6 +1355,47 @@ def test_semantic_dedup_matches_local_replica(spark):
     assert sum(1 for v in out.values() if not v[1]) > 0  # corpus has dups
 
 
+def test_ivf_trainer_tolerates_underfilled_seed_stride(spark, tmp_path):
+    """r8 review regression: a corpus so small the %7 seed stride
+    yields FEWER than the geometry's n_cells seeds (here 100 vectors:
+    n_cells = 16 but only ~14 seeds) must train on the available
+    seeds — exactly the oracle's row_number-capped seed0 CTE — not
+    IndexError in the partial-sum reducer. Both the trainer and the
+    IVF search path (probe ranking over len(C) cells) are pinned."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfspark.ops import ann
+
+    N, D = 100, 8
+    rng = np.random.default_rng(88)
+    X = rng.standard_normal((N, D)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    out = tmp_path / "embeddings.parquet"
+    out.mkdir()
+    offs = np.arange(0, (N + 1) * D, D, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(N), type=pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(X.reshape(-1))
+            ),
+        }
+    )
+    pq.write_table(tbl, out / "part0.parquet")
+    emb = ann._emb(spark, str(tmp_path))
+    n_cells, _ = ann._geometry(N)
+    n_seeds = sum(1 for v in range(N) if v % ann.CENT_MOD == ann.CENT_RES)
+    assert n_seeds < n_cells  # the regression's precondition
+    C = ann._centroids(emb, n_cells)
+    assert len(C) == n_seeds
+    rows = ann.ann_ivf_topk(spark, str(tmp_path)).collect()
+    assert len(rows) > 0
+    cells = {r.cell: r.n_members for r in ann.ann_ivf_cells(spark, str(tmp_path)).collect()}
+    assert sum(cells.values()) == N and max(cells) < n_seeds
+
+
 def test_ivf_cell_population_bounded_at_1e6(spark, tmp_path):
     """The r8 scale pin the r7 verdict asked for: on a ≥10⁶-vector
     corpus the N/λ geometry branch is ACTIVE and holds the max
