@@ -812,18 +812,24 @@ def _media_gif_bytes(media_ref: str) -> bytes:
 def _media_tiff_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) baseline TIFF, deterministic in media_ref:
     same dims/color contract as the BMP/PNG/GIF twins; compression
-    rotates none/LZW on digest byte 6 (TIFF-LZW IS the PDF-flavor
-    MSB early-change LZW, so kernel.filters.lzw_encode serves)."""
+    rotates none/LZW/PackBits on digest byte 6 (TIFF-LZW IS the
+    PDF-flavor MSB early-change LZW and TIFF PackBits IS PDF
+    RunLengthDecode — a trailing 0x80 is legal no-op filler there —
+    so kernel.filters serves both). The oracle is unchanged by the
+    rotation: fmt/dims/means derive from the digest, not the
+    compressor."""
     import struct
 
     h = hashlib.md5(media_ref.encode()).digest()
     w = 1 + h[0] % 8
     ht = 1 + h[1] % 8
     color = bytes((h[2], h[3], h[4]))
-    use_lzw = h[6] % 2 == 1
+    comp = (1, 5, 32773)[h[6] % 3]
     pixels = color * (w * ht)
-    if use_lzw:
+    if comp == 5:
         pixels = lzw_encode(pixels)
+    elif comp == 32773:
+        pixels = rl_encode(pixels)
     # layout: 8-byte header | pixel strip | IFD
     strip_off = 8
     ifd_off = strip_off + len(pixels)
@@ -831,7 +837,7 @@ def _media_tiff_bytes(media_ref: str) -> bytes:
         (256, 3, 1, w),            # ImageWidth
         (257, 3, 1, ht),           # ImageLength
         (258, 3, 3, None),         # BitsPerSample [8,8,8] (external)
-        (259, 3, 1, 5 if use_lzw else 1),  # Compression
+        (259, 3, 1, comp),         # Compression
         (262, 3, 1, 2),            # Photometric RGB
         (273, 4, 1, strip_off),    # StripOffsets
         (277, 3, 1, 3),            # SamplesPerPixel

@@ -378,15 +378,18 @@ def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
 
 def _tiff_decode(payload: bytes) -> dict:
     """REAL baseline-TIFF decode: IFD walk (both endiannesses),
-    strip assembly, Compression 1 (none) and 5 (TIFF-LZW — the SAME
+    strip assembly, Compression 1 (none), 5 (TIFF-LZW — the SAME
     MSB early-change algorithm as PDF LZWDecode, so the existing
-    decoder serves), horizontal-differencing predictor, 8-bit
-    gray/RGB; integer channel means. Exotic variants raise."""
+    decoder serves) and 32773 (PackBits, r8 — byte-identical to PDF
+    RunLengthDecode except 0x80 is a no-op filler instead of EOD;
+    rl_decode stops there, which for whole-strip data is the same
+    result), horizontal-differencing predictor, 8-bit gray/RGB;
+    integer channel means. Exotic variants raise."""
     import struct
 
     import numpy as np
 
-    from ..kernel.filters import lzw_decode
+    from ..kernel.filters import lzw_decode, rl_decode
 
     bo = "<" if payload[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
@@ -417,14 +420,21 @@ def _tiff_decode(payload: bytes) -> dict:
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])[0]
     pred = tags.get(317, [1])[0]
-    if bits != 8 or spp not in (1, 3) or comp not in (1, 5) or pred not in (1, 2):
+    if (
+        bits != 8
+        or spp not in (1, 3)
+        or comp not in (1, 5, 32773)
+        or pred not in (1, 2)
+    ):
         raise NotImplementedError(
-            f"TIFF variant beyond 8-bit gray/RGB none/LZW (bits {bits}, "
-            f"spp {spp}, comp {comp}, pred {pred})"
+            f"TIFF variant beyond 8-bit gray/RGB none/LZW/PackBits "
+            f"(bits {bits}, spp {spp}, comp {comp}, pred {pred})"
         )
     raw = b"".join(payload[o : o + c] for o, c in zip(offs, counts))
     if comp == 5:
         raw = lzw_decode(raw)
+    elif comp == 32773:
+        raw = rl_decode(raw)
     if len(raw) < w * h * spp:
         raise NotImplementedError("TIFF data shorter than geometry")
     px = np.frombuffer(raw, np.uint8, w * h * spp).astype(np.int64)

@@ -868,23 +868,53 @@ def test_gif_decode_and_lzw_roundtrip():
 
 
 def test_tiff_decode_and_jpeg_header():
-    """Real TIFF decode (none + LZW strips — TIFF-LZW is the PDF
-    early-change flavor) and real JPEG SOF header parsing."""
+    """Real TIFF decode (none + LZW + PackBits strips — TIFF-LZW is
+    the PDF early-change flavor, PackBits is PDF RunLengthDecode with
+    0x80 as no-op filler) and real JPEG SOF header parsing."""
     import hashlib
     import struct
 
     from pdfspark.codec import _media_tiff_bytes
 
     seen = set()
-    for i in range(10):
+    for i in range(30):
         ref = f"mtifx{i}"
         h = hashlib.md5(ref.encode()).digest()
-        seen.add("lzw" if h[6] % 2 else "none")
+        seen.add(("none", "lzw", "packbits")[h[6] % 3])
         m = multimodal.decode_image_real(_media_tiff_bytes(ref))
         assert m["fmt"] == "tiff"
         assert (m["width"], m["height"]) == (1 + h[0] % 8, 1 + h[1] % 8)
         assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
-    assert seen == {"none", "lzw"}
+    assert seen == {"none", "lzw", "packbits"}
+
+    # hand-built PackBits TIFF with VARIED pixels (literal + repeat
+    # runs both exercised) must match its uncompressed twin exactly
+    from pdfspark.kernel.filters import rl_encode
+
+    w, ht = 5, 3
+    px = bytes((7 * k) % 256 for k in range(w * ht * 3 - 6)) + b"\xaa" * 6
+
+    def tiff(comp: int, strip: bytes) -> bytes:
+        ifd_off = 8 + len(strip)
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, ht), (258, 3, 3, None),
+            (259, 3, 1, comp), (262, 3, 1, 2), (273, 4, 1, 8),
+            (277, 3, 1, 3), (278, 3, 1, ht), (279, 4, 1, len(strip)),
+        ]
+        bits_off = ifd_off + 2 + len(entries) * 12 + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + strip
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(
+                "<HHII", tag, typ, cnt, bits_off if tag == 258 else val
+            )
+        out += struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8)
+        return bytes(out)
+
+    plain = multimodal.decode_image_real(tiff(1, px))
+    packed = multimodal.decode_image_real(tiff(32773, rl_encode(px)))
+    plain.pop("n_bytes"), packed.pop("n_bytes")
+    assert packed == plain and packed["width"] == w
     jpeg = (
         b"\xff\xd8"
         + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
