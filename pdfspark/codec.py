@@ -787,17 +787,22 @@ def _media_gif_bytes(media_ref: str) -> bytes:
     """A REAL (decodable) GIF89a, deterministic in media_ref: same
     dims/color contract as the BMP/PNG twins (digest bytes 0-4) — a
     2-entry global palette whose entry 0 is the color, all pixels
-    index 0, real GIF-LZW data sub-blocks."""
+    index 0, real GIF-LZW data sub-blocks. Digest byte 7 rotates the
+    INTERLACE flag (late-r8): solid pixels make the pass-order row
+    permutation an identity, so the oracle is untouched while the
+    decoder's de-interlace branch runs on half the corpus (the
+    varied-pixel permutation itself is pinned in pytest)."""
     import struct
 
     h = hashlib.md5(media_ref.encode()).digest()
     w = 1 + h[0] % 8
     ht = 1 + h[1] % 8
     color = bytes((h[2], h[3], h[4]))
+    interlace = 0x40 if h[7] % 2 else 0
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, ht, 0x80, 0, 0)  # GCT, 2 entries
     out += color + b"\x00\x00\x00"
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, ht, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, ht, interlace)
     min_code = 2  # spec minimum
     out.append(min_code)
     data = _gif_lzw_encode(b"\x00" * (w * ht), min_code)

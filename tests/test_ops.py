@@ -866,6 +866,50 @@ def test_gif_decode_and_lzw_roundtrip():
         multimodal._gif_lzw_decode(_gif_lzw_encode(deep, 8), 8, len(deep))
     ) == deep
 
+    # both interlace rotations appear in the twin corpus and decode
+    # to the identical digest contract (solid pixels: permutation is
+    # an identity, but the flag path must parse and run)
+    import struct
+
+    seen = set()
+    for i in range(20):
+        ref = f"mgifint{i}"
+        h = hashlib.md5(ref.encode()).digest()
+        seen.add(bool(h[7] % 2))
+        m = multimodal.decode_image_real(_media_gif_bytes(ref))
+        assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (h[2], h[3], h[4])
+    assert seen == {True, False}
+
+    # varied-pixel de-interlace pinned: an interlaced GIF whose rows
+    # are stored in pass order (0,8.. 4,12.. 2,6.. 1,3..) must decode
+    # to the same pixels as its sequential twin
+    W, H = 3, 9
+    rows = [bytes([r % 4] * W) for r in range(H)]  # row r = palette r%4
+    order = (
+        list(range(0, H, 8)) + list(range(4, H, 8))
+        + list(range(2, H, 4)) + list(range(1, H, 2))
+    )
+    pal = b"\x10\x20\x30" + b"\x40\x50\x60" + b"\x70\x80\x90" + b"\xa0\xb0\xc0"
+
+    def gif(flag: int, row_seq) -> bytes:
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", W, H, 0x81, 0, 0)  # GCT, 4 entries
+        out += pal
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, W, H, flag)
+        out.append(2)  # min code size
+        data = _gif_lzw_encode(b"".join(row_seq), 2)
+        for k in range(0, len(data), 255):
+            blk = data[k : k + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    seq = multimodal.decode_image_real(gif(0, rows))
+    lace = multimodal.decode_image_real(gif(0x40, [rows[r] for r in order]))
+    seq.pop("n_bytes"), lace.pop("n_bytes")
+    assert lace == seq and lace["height"] == H
+
 
 def test_tiff_decode_and_jpeg_header():
     """Real TIFF decode (none + LZW + PackBits strips — TIFF-LZW is
