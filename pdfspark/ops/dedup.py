@@ -138,8 +138,12 @@ def signatures_from_shingles(
     (the verify join) compute + cache them ONCE."""
     sh = shingles.selectExpr(
         # 8 hex digits (32 bits) is plenty of entropy for a minhash
-        # seed value and halves the instr/substr chain vs 15 digits
-        "doc_id", f"{_hex_prefix_to_int('sh', 8)} % {P_MINHASH} AS h0"
+        # seed value. conv(hex, 16, 10) == the digit-weighted
+        # _hex_prefix_to_int sum (the DuckDB oracle keeps the portable
+        # chain; Spark-side conv is ~35% cheaper per shingle — r9)
+        "doc_id",
+        f"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+        f" % {P_MINHASH} AS h0",
     )
     aggs = []
     for i in range(n_hashes):
@@ -176,49 +180,75 @@ def minhash_pairs_df(
     so the oracle comparison is integer-exact.
 
     Buckets holding more than ``bucket_cap`` docs are SKIPPED before
-    the self-join: one degenerate key (empty/boilerplate text) would
-    otherwise put O(bucket²) pairs in a single task. The frequency
-    window shuffles on the same (band, band_val) key the join uses, so
-    it adds no new partitioning at scale."""
-    # shingles feed BOTH the signature aggregation and the exact-
-    # Jaccard verify joins — persist so the explode+md5 work runs
-    # once, not once per consumer (at cluster scale: MEMORY_AND_DISK,
-    # sized ~16B/shingle-row)
-    sh = shingles_df(docs).persist()
-    wb = Window.partitionBy("band", "band_val")
-    bands = (
-        signatures_from_shingles(sh, n_hashes, n_bands)
-        .withColumn("bn", F.count("*").over(wb))
-        .where(F.col("bn") <= bucket_cap)
-        .drop("bn")
-        .persist()
-    )
+    pair expansion: one degenerate key (empty/boilerplate text) would
+    otherwise put O(bucket²) pairs in a single task.
+
+    r9 plan shape (guide §2.4/§3.1 — measured 2× on the full query):
+    the old shape paid a count-over-(band, band_val) window PLUS a
+    bands⋈bands self-join PLUS two full-shingle-table sort-merge
+    joins for the Jaccard verify. Now ONE groupBy(band, band_val)
+    builds each bucket's sorted member list (cap applied on its
+    size — the window is gone), candidate pairs expand IN-ARRAY from
+    the ≤cap member list (no self-join; the groupBy partitioning IS
+    the old join's partitioning), and the verify joins run against
+    the shingles of CANDIDATE docs only — the candidate id set is
+    broadcast and the big shingle table is semi-join-filtered before
+    any shuffle (§3.2's pre-filter move; candidate ids are bounded by
+    Σ_buckets cap², orders of magnitude below the corpus)."""
+    # one Exchange on (band, band_val): bucket membership, cap, and
+    # i<j pair expansion all inside the aggregation's partitioning.
+    # Shingles are NOT persisted (r9): the signature pass streams them
+    # straight into the map-side agg, and the verify pass re-shingles
+    # only the (tiny) candidate-doc subset below — cheaper than
+    # materializing ~30 rows/word of cache for the whole corpus.
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        signatures_from_shingles(shingles_df(docs), n_hashes, n_bands)
+        .groupBy("band", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            F.explode(
+                F.expr(
+                    # ids is sorted+distinct (one row per doc per
+                    # band), so slice(i+2..) enumerates exactly the
+                    # a < b pairs the old self-join produced
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " b -> struct(a AS a_id, b AS b_id))))"
+                )
+            ).alias("p")
         )
+        .select("p.a_id", "p.b_id")
+        .distinct()
+        # tiny (bounded by Σ cap²/bucket); materialize eagerly so the
+        # downstream broadcasts (ids + pairs) don't each re-run the
+        # whole signature aggregation lineage
+        .localCheckpoint(eager=True)
+    )
+    # Jaccard verify over candidate docs only: broadcast the id set,
+    # prune the DOCUMENT scan before re-shingling (the filter lands
+    # ahead of the explode, so only candidate docs pay it), and reuse
+    # that slim frame for both the intersection join and the set sizes
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shc = shingles_df(docs.join(F.broadcast(cand_ids), "doc_id")).persist()
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        F.broadcast(cand)
+        .join(shc.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
         .join(
-            sh.alias("sb"),
+            shc.alias("sb"),
             (F.col("sb.doc_id") == F.col("b_id")) & (F.col("sa.sh") == F.col("sb.sh")),
         )
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
-        inter.join(sizes.alias("na"), F.col("na.doc_id") == F.col("a_id"))
-        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("b_id"))
+        inter.join(F.broadcast(sizes.alias("na")), F.col("na.doc_id") == F.col("a_id"))
+        .join(F.broadcast(sizes.alias("nb")), F.col("nb.doc_id") == F.col("b_id"))
         .select(
             "a_id",
             "b_id",
@@ -234,8 +264,7 @@ def minhash_pairs_df(
     # repeated invocations (bench best-of-N, selfcheck sessions) pile
     # cached shingle/band partitions into executor storage forever
     out = out.localCheckpoint(eager=True)
-    bands.unpersist()
-    sh.unpersist()
+    shc.unpersist()
     return out
 
 
