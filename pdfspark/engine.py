@@ -182,25 +182,50 @@ def ensure_parallelism(df: DataFrame, factor: int = 3) -> DataFrame:
 def generate_payloads(
     spans_df: DataFrame, variant: str = "mixed", ensure: bool = True
 ) -> DataFrame:
-    """(doc_id, spans) → (doc_id, payload, size_class).
+    """(doc_id, spans) or (doc_id, text) → (doc_id, payload, size_class).
+
+    Two accepted input shapes (r9, guide §4 — pass only the columns
+    the function needs):
+    - a spans frame (doc_id, spans[]): the interleaved input-hint
+      table; spans cross the Arrow boundary as struct arrays.
+    - a TEXT frame (doc_id, text) without a spans column: spans are
+      synthesized in-Python per document (codec.synth_spans_py — the
+      lockstep mirror of engine._SPANS_EXPR, so payload bytes are
+      identical), which skips the JVM struct synthesis and ships ~4×
+      fewer bytes through Arrow. The query wrappers below use this
+      path; external callers composing synth_spans_df →
+      generate_payloads keep the spans path unchanged.
 
     size_class = log4 bucket of payload length — the explicit skew
     column consumed by scale.salt_by_size when salting post-generation
-    (the checkpointed sink path); the flagship pipeline salts the
-    spans BEFORE this stage instead (scale.salt_spans_by_size)."""
+    (the checkpointed sink path); the flagship pipeline salts BEFORE
+    this stage instead (scale.salt_spans_by_size /
+    scale.salt_docs_by_size)."""
     # NB: ensure_parallelism inspects df.rdd, which under AQE
     # materializes upstream shuffle stages eagerly (the work then runs
     # twice). Callers that already repartitioned pass ensure=False.
+    from_text = "spans" not in spans_df.columns
+    if from_text:
+        spans_df = spans_df.select("doc_id", "text")
     if ensure:
         spans_df = ensure_parallelism(spans_df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import synth_spans_py
+
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
+            if from_text:
+                spans_seq = [
+                    synth_spans_py(str(did), text)
+                    for did, text in zip(ids, pdf["text"])
+                ]
+            else:
+                spans_seq = [_spans_to_tuples(s) for s in pdf["spans"]]
             payloads = []
-            for did, spans in zip(ids, pdf["spans"]):
+            for did, spans in zip(ids, spans_seq):
                 v = variant_for(int(did), variant)
-                payloads.append(build_pdf(str(did), _spans_to_tuples(spans), v))
+                payloads.append(build_pdf(str(did), spans, v))
             sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads, "size_class": sizes}
@@ -368,15 +393,19 @@ def roundtrip_rows(
     READING-ORDER contract (r8): the generator paints marked-content
     sections in scrambled (two-column) order, so the identity holds
     only when extraction re-sequences by structure-tree traversal."""
-    from .scale import salt_spans_by_size
+    from .scale import salt_docs_by_size
 
-    docs = load_documents(spark, sf_dir)
-    spans = synth_spans_df(docs)
+    # r9: ship (doc_id, text) to the Python stages — spans synthesize
+    # in-worker (generate_payloads text path, byte-identical payloads)
+    # instead of materializing struct arrays JVM-side and Arrow-
+    # transferring them. Same single pre-generation salt Exchange,
+    # ~4× fewer shuffled/transferred bytes.
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
     if salt:
-        # skew-salt the (cheap) spans rows BEFORE generation: one
+        # skew-salt the (cheap) text rows BEFORE generation: one
         # shuffle total; generate → extract then pipeline in one stage
-        spans = salt_spans_by_size(spans)
-    payloads = generate_payloads(spans, variant, ensure=not salt)
+        docs = salt_docs_by_size(docs)
+    payloads = generate_payloads(docs, variant, ensure=not salt)
     return extract_flat(
         payloads, reading_order=reading_order, infer_spaces=infer_spaces
     )
@@ -432,16 +461,15 @@ def salvage_rows(spark, sf_dir: str, encrypted: bool = False) -> DataFrame:
     ``encrypted=True`` (driver query `pdf_salvage_encrypted`) breaks
     cipher- and layout-rotated ENCRYPTED docs instead: reconstruction
     must harvest /Encrypt, unlock, then expand the object streams."""
-    from .scale import salt_spans_by_size
+    from .scale import salt_docs_by_size
 
     variant = (
         "malformed:no_startxref_encrypted"
         if encrypted
         else "malformed:no_startxref"
     )
-    docs = load_documents(spark, sf_dir)
-    spans = salt_spans_by_size(synth_spans_df(docs))
-    payloads = generate_payloads(spans, variant, ensure=False)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(salt_docs_by_size(docs), variant, ensure=False)
     return extract_flat(payloads, lenient=True)
 
 
@@ -451,11 +479,10 @@ def geometry_rows(
     """Span-geometry pipeline: the roundtrip path with the
     geometry-widened extractor (driver query `pdf_span_geometry`;
     `pdf_span_geometry_kerned` passes tj_kerning=True)."""
-    from .scale import salt_spans_by_size
+    from .scale import salt_docs_by_size
 
-    docs = load_documents(spark, sf_dir)
-    spans = salt_spans_by_size(synth_spans_df(docs))
-    payloads = generate_payloads(spans, variant, ensure=False)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(salt_docs_by_size(docs), variant, ensure=False)
     return extract_geometry(payloads, tj_kerning=tj_kerning)
 
 
@@ -463,25 +490,28 @@ def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
     """Malformed-family pipeline: every doc_id % modulo == 0 gets a
     malformed payload (kind rotates) — those must land status='error'
     with zero spans (FileHandlingTest contract §5.2)."""
-    docs = load_documents(spark, sf_dir)
-    spans = synth_spans_df(docs)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import synth_spans_py
+
         kinds = ("noise", "only_header", "header_eof", "zerosized", "no_startxref")
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             payloads = []
-            for did, spans_v in zip(ids, pdf["spans"]):
+            for did, text in zip(ids, pdf["text"]):
                 did = int(did)
                 if did % modulo == 0:
                     v = f"malformed:{kinds[(did // modulo) % len(kinds)]}"
                 else:
                     v = variant_for(did, "mixed")
-                payloads.append(build_pdf(str(did), _spans_to_tuples(spans_v), v))
+                payloads.append(
+                    build_pdf(str(did), synth_spans_py(str(did), text), v)
+                )
             sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "size_class": sizes})
 
-    payloads = ensure_parallelism(spans).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
     extracted = extract(payloads)
     return extracted.select(
         "doc_id", "status", F.size("spans").cast("int").alias("n_spans")
@@ -492,9 +522,8 @@ def metadata_rows(spark, sf_dir: str) -> DataFrame:
     """Metadata pipeline over classic-layout payloads; every output
     column is recomputable in ANSI SQL from the documents table (the
     M7/M3 oracle)."""
-    docs = load_documents(spark, sf_dir)
-    spans = synth_spans_df(docs)
-    payloads = generate_payloads(spans, "classic")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "classic")
     meta = extract_metadata(payloads)
     return meta.select(
         "doc_id", "status", "title", "author", "subject", "keywords",
@@ -514,9 +543,8 @@ def attachments_rows(spark, sf_dir: str) -> DataFrame:
     /EmbeddedFiles name tree (both §7.9.6 shapes, raw/flate rotating);
     the kernel walks the tree, decodes each embedded stream and emits
     (name, filename, size, md5) — all recomputable in SQL."""
-    docs = load_documents(spark, sf_dir)
-    spans = synth_spans_df(docs)
-    payloads = generate_payloads(spans, "attachments")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "attachments")
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -545,8 +573,8 @@ def outlines_rows(spark, sf_dir: str) -> DataFrame:
     generator plants a deterministic /Outlines tree (1-3 top items,
     even items carry two children); the kernel's /First→/Next DFS
     emits (pos, level, title) in display order — closed-form SQL."""
-    docs = load_documents(spark, sf_dir)
-    payloads = generate_payloads(synth_spans_df(docs), "navigation")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "navigation")
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -787,8 +815,8 @@ def form_fields_rows(spark, sf_dir: str) -> DataFrame:
     inheritable /FT the kids omit — the kernel's §12.7 DFS rebuilds
     dotted full names and the inheritance chain, emitting (pos, name,
     ftype, value) per terminal field, all closed-form in doc_id."""
-    docs = load_documents(spark, sf_dir)
-    payloads = generate_payloads(synth_spans_df(docs), "acroform")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "acroform")
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -824,8 +852,8 @@ def links_rows(spark, sf_dir: str) -> DataFrame:
     annotation with a /URI action per page; the kernel walks page
     /Annots and emits (page_idx, uri) — the hyperlink projection a
     web-scale pipeline extracts alongside text."""
-    docs = load_documents(spark, sf_dir)
-    payloads = generate_payloads(synth_spans_df(docs), "navigation")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "navigation")
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -1014,9 +1042,8 @@ def date_rows(spark, sf_dir: str) -> DataFrame:
     D:YYYYMMDDHHmmSS+02'00' CreationDate and normalizes to UTC; DuckDB
     re-derives the same instant from the md5 the generator used
     (codec._det_date)."""
-    docs = load_documents(spark, sf_dir)
-    spans = synth_spans_df(docs)
-    payloads = generate_payloads(spans, "classic")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "classic")
     meta = extract_metadata(payloads)
     return meta.select("doc_id", "creation_date", "creation_ts")
 

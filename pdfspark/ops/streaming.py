@@ -144,10 +144,10 @@ def stream_extract_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..engine import generate_payloads, load_documents, synth_spans_df
+    from ..engine import generate_payloads, load_documents
 
-    docs = load_documents(spark, sf_dir)
-    payloads = generate_payloads(synth_spans_df(docs), "classic")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    payloads = generate_payloads(docs, "classic")
     base = tempfile.mkdtemp(prefix="pdfspark-streamq-")
     landing = os.path.join(base, "landing")
     out = os.path.join(base, "out")

@@ -113,6 +113,38 @@ def salt_spans_by_size(
     return salted.repartition(n, "size_class", "salt").drop("salt", "size_class")
 
 
+def salt_docs_by_size(
+    docs_df: DataFrame,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 4096,
+) -> DataFrame:
+    """Text-frame twin of :func:`salt_spans_by_size` (r9, guide §4:
+    ship only the columns the Python stage needs). The span synthesis
+    is deterministic in ``text`` (engine._SPANS_EXPR ==
+    codec.synth_spans_py), so the per-doc size estimate — and with it
+    size_class, salt, and the resulting partitioning — is computed
+    CLOSED-FORM from the text length instead of materializing the
+    spans array first:
+
+        k       = ceil(len/CHUNK)            text chunks
+        n_media = k div 3                    media spans (i%3==2)
+        est     = len + 64·k + (32+64)·n_media
+
+    which is exactly aggregate(spans, acc + coalesce(length(text),32)
+    + 64) over the synthesized spans. Same shuffle, ~4× fewer bytes
+    (no struct array), and the generate stage synthesizes spans
+    in-Python from the text it already holds."""
+    sc = docs_df.sparkSession.sparkContext
+    n = num_partitions or max(sc.defaultParallelism, 8)
+    k = "CAST(ceil(length(text) / 80.0) AS BIGINT)"
+    est = F.expr(f"length(text) + 64L * {k} + 96L * ({k} DIV 3)")
+    salted = docs_df.withColumn(
+        "size_class",
+        F.floor(F.log2(F.greatest(est, F.lit(2))) / 2).cast("int"),
+    ).withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
+    return salted.repartition(n, "size_class", "salt").drop("salt", "size_class")
+
+
 def salt_by_size(
     payloads: DataFrame,
     num_partitions: Optional[int] = None,
