@@ -355,15 +355,20 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel import extract_meta
 
+        names = ("doc_id", "status", "error", *_META_COLS)
         for pdf in batches:
-            rows = []
+            # columnar assembly (r9): pd.DataFrame from per-column
+            # lists skips the per-row dict → per-cell inference path
+            data = {c: [] for c in names}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 status, err, meta = extract_meta(bytes(payload))
-                row = {"doc_id": did, "status": status, "error": err}
+                meta = meta or {}
+                data["doc_id"].append(did)
+                data["status"].append(status)
+                data["error"].append(err)
                 for c in _META_COLS:
-                    row[c] = (meta or {}).get(c)
-                rows.append(row)
-            yield pd.DataFrame(rows)
+                    data[c].append(meta.get(c))
+            yield pd.DataFrame(data)
 
     return payloads.mapInPandas(ker, schema=META_SCHEMA)
 
@@ -512,9 +517,25 @@ def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "size_class": sizes})
 
     payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
-    extracted = extract(payloads)
-    return extracted.select(
-        "doc_id", "status", F.size("spans").cast("int").alias("n_spans")
+
+    # r9: the query only needs (status, span COUNT) — emit them
+    # directly from the kernel stage instead of shipping every span as
+    # an Arrow struct array through Python→JVM just to size() it
+    # (guide §4: pass/return only what the consumer needs).
+    def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_spans
+
+        for pdf in batches:
+            ids, sts, ns = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                status, _err, spans = extract_spans(bytes(payload))
+                ids.append(did)
+                sts.append(status)
+                ns.append(len(spans))
+            yield pd.DataFrame({"doc_id": ids, "status": sts, "n_spans": ns})
+
+    return payloads.mapInPandas(
+        ker, schema="doc_id bigint, status string, n_spans int"
     )
 
 

@@ -74,7 +74,15 @@ def _unescape(s: str) -> str:
 
 def _block_text(fragment: str) -> tuple[str, int]:
     """(visible text, chars-inside-links) for one inter-boundary
-    fragment; inline tags (<a>, <b>, <span>…) are stripped in place."""
+    fragment; inline tags (<a>, <b>, <span>…) are stripped in place.
+
+    Fast path (r9): fragments with no '<' — the overwhelming case,
+    one per article paragraph — skip both tag regexes outright, and
+    '&'-free text skips entity decoding; both are identity rewrites
+    there, so the output is unchanged."""
+    if "<" not in fragment:
+        text = _unescape(fragment) if "&" in fragment else fragment
+        return _WS_RUN_RE.sub(" ", text).strip(" "), 0
     linked = sum(
         len(_ANY_TAG_RE.sub("", m)) for m in _A_TEXT_RE.findall(fragment)
     )
@@ -92,9 +100,15 @@ def main_content_blocks(html: str) -> list[dict]:
     parts = _BLOCK_SPLIT_RE.split(html)
     out: list[dict] = []
     stack: list[str] = []
-    boiler_depth = 0
+    # r9: the boiler ancestors currently on `stack`, in stack order —
+    # len() is the old boiler_depth, [-1] the old reversed-scan
+    # `ancestor`; maintained incrementally instead of re-scanning the
+    # stack per block
+    boiler_stack: list[str] = []
     for part in parts:
-        m = _TAG_NAME_RE.match(part)
+        # _TAG_NAME_RE can only match at '<' — skip the regex for
+        # plain text fragments (r9; behavior unchanged)
+        m = _TAG_NAME_RE.match(part) if part.startswith("<") else None
         if m is not None:  # a block boundary tag
             name = m.group(1).lower()
             if part.startswith("</"):
@@ -103,13 +117,13 @@ def main_content_blocks(html: str) -> list[dict]:
                     while stack:
                         top = stack.pop()
                         if top in _BOILER_ANCESTORS:
-                            boiler_depth -= 1
+                            boiler_stack.pop()
                         if top == name:
                             break
             elif not part.rstrip(">").endswith("/"):  # ignore <br/>-style
                 stack.append(name)
                 if name in _BOILER_ANCESTORS:
-                    boiler_depth += 1
+                    boiler_stack.append(name)
             continue
         text, linked = _block_text(part)
         # a leading stripped-space block boundary leaves '' — skip
@@ -119,7 +133,7 @@ def main_content_blocks(html: str) -> list[dict]:
         n = len(text)
         density = linked / n if n else 1.0
         keep = (
-            boiler_depth == 0
+            not boiler_stack
             and n >= MIN_BLOCK_CHARS
             and density <= MAX_LINK_DENSITY
         )
@@ -129,9 +143,7 @@ def main_content_blocks(html: str) -> list[dict]:
                 "n_chars": n,
                 "n_linked": linked,
                 "link_density": density,
-                "ancestor": next(
-                    (t for t in reversed(stack) if t in _BOILER_ANCESTORS), ""
-                ),
+                "ancestor": boiler_stack[-1] if boiler_stack else "",
                 "keep": keep,
             }
         )

@@ -26,7 +26,15 @@ KEEP_LANG = "en"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r9 scan-parallelism floor (guide §6) — see ops/dedup.py
+    # _docs_parallel: the 5-gram explode + lang-marker array filters
+    # otherwise run in 1-2 scan tasks locally (no-op at real scale).
+    # Pruned to the two columns both queries use before the exchange.
+    from ..engine import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
 
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 scan-parallelism floor (guide §6), applied ONLY to the
+    # minhash family: its shingle explode + 64-column partial
+    # aggregation run in the SCAN stage, which on the sandbox's
+    # single-row-group parquet is 1-2 tasks regardless of cores.
+    # Repartitioning on doc_id fans that out AND pre-clusters rows by
+    # the signature aggregation's grouping key, so the partial agg
+    # output stays one row per doc (no map-task × group inflation) —
+    # measured bands stage 10.7s → 2.2s at sf1.0. The cheap operators
+    # (exact/simhash/ngram/boilerplate) measurably LOSE from the extra
+    # full-width shuffle, so they stay on the raw scan.
+    # ensure_parallelism is a no-op at real scale (many splits).
+    from ..engine import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. Exact dedup: hash-groupBy on content fingerprint
 # ---------------------------------------------------------------------------
@@ -166,7 +185,7 @@ def signatures_from_shingles(
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs_df(_docs(spark, sf_dir))
+    return minhash_pairs_df(_docs_parallel(spark, sf_dir))
 
 
 def minhash_pairs_df(
@@ -408,7 +427,7 @@ def dedup_clusters(
     adversarial-diameter graphs — both produce the identical labeling
     (same DuckDB oracle; pinned equal in tests/test_ops.py)."""
     docs = _docs(spark, sf_dir)
-    pairs = minhash_pairs_df(docs).select("a_id", "b_id")
+    pairs = minhash_pairs_df(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
     labels, _rounds = connected_components(docs, pairs, algorithm)
     return labels.select(
         "doc_id",
@@ -525,7 +544,7 @@ def dedup_skipped_buckets(
     rows those buckets held — the denominator for 'how much of the
     corpus was never pair-checked in this band'. Same single shuffle
     key as the pair join; tiny output (n_bands rows)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     bstat = (
         minhash_signatures(docs, n_hashes, n_bands)
         .groupBy("band", "band_val")

@@ -60,7 +60,17 @@ N_TEMPLATE_BOILER_BLOCKS = 6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # r9 scan-parallelism floor (guide §6): these queries are one
+    # mapInPandas over the scan with no shuffle anywhere — correct at
+    # 10^12 docs (thousands of splits) but SERIAL on the sandbox's
+    # single-row-group parquet. ensure_parallelism conditionally
+    # repartitions on doc_id so the Python stage fans out; row-wise
+    # computation, so results are partition-invariant.
+    from ..engine import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
 
 
 def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,11 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 note: a scan-parallelism floor (repartition after the 1-2
+    # split sandbox scan) was MEASURED here and reverted — every
+    # textstats query is either already shuffle-bound or too cheap
+    # for the extra full-width exchange to pay (gopher 0.27→0.68s,
+    # bm25 flat). See OPTIMIZATION_r09.md.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
