@@ -26,10 +26,16 @@ KEEP_LANG = "en"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 scan-parallelism floor (guide §6) — see ops/dedup.py
-    # _docs_parallel: the 5-gram explode + lang-marker array filters
-    # otherwise run in 1-2 scan tasks locally (no-op at real scale).
-    # Pruned to the two columns both queries use before the exchange.
+    # _docs_parallel: the 5-gram explode otherwise runs in 1-2 scan
+    # tasks locally (no-op at real scale). Interleaved A/B: the floor
+    # pays for benchmark_contamination (0.26× vs round start) but
+    # HURTS corpus_curate (1.9× — already bound by its md5 window
+    # shuffle), so only the contamination query uses it.
     from ..engine import ensure_parallelism
 
     return ensure_parallelism(
@@ -141,7 +147,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at corpus scale: benchmark grams are a BROADCAST (eval sets
     are small by construction), so the only shuffle is the per-doc
     groupBy count — training grams never co-shuffle with each other."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", "text", F.split("text", " ").alias("w")
     )
     grams = docs.select(

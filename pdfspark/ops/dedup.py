@@ -606,7 +606,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    h = F.expr(_hex4_to_int("w")).alias("h")
+    # conv == the digit-weighted chain (r9, see signatures_from_shingles);
+    # the DuckDB oracle keeps the portable _hex4_to_int text
+    h = F.expr("CAST(conv(substr(md5(w), 1, 4), 16, 10) AS INT)").alias("h")
     words = words.select("doc_id", "c", h)
     bit_sums = [
         F.sum(

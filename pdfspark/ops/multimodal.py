@@ -1027,14 +1027,27 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media spans of the synthesized interleaved table."""
-    from ..engine import load_documents, synth_spans_df
+    """Media spans of the synthesized interleaved table.
 
-    spans = synth_spans_df(load_documents(spark, sf_dir))
-    return (
-        spans.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "media")
-        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    r9: derived closed-form instead of synthesizing + exploding the
+    full span-struct table. The synthesis contract
+    (engine._SPANS_EXPR == codec.synth_spans_py) places one media
+    span per text chunk i with i % 3 == 2, i < k = ceil(len/80),
+    with media_ref = 'm' + md5(doc_id || ':' || i)[:16] — so
+    sequence(2, k-1, 3) enumerates exactly those i. Identical rows,
+    no struct array, no kind filter."""
+    from ..engine import load_documents
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    k = "CAST(ceil(length(text) / 80.0) AS INT)"
+    refs = (
+        f"CASE WHEN {k} >= 3 THEN transform(sequence(2, {k} - 1, 3),"
+        " i -> concat('m', substring(md5(concat("
+        "cast(doc_id AS string), ':', cast(i AS string))), 1, 16)))"
+        " ELSE array() END"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(refs)).alias("media_ref")
     )
 
 

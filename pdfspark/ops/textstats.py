@@ -462,11 +462,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split("text", " ").alias("ws")
     ).select("doc_id", "ws", F.size("ws").alias("dl"))
-    words = docs.select(
-        "doc_id", "dl", F.explode("ws").alias("w")
-    ).where(F.col("w").isin(list(BM25_TERMS)))
-    tf = words.groupBy("doc_id", "w").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    # r9 (guide §2.4): term frequencies as per-document array counts —
+    # size(ws) - size(array_remove(ws, term)) per fixed term (plain
+    # builtins; a filter() lambda here is INTERPRETED per element and
+    # measured 1.5× SLOWER than the explode it replaced), unpivoted
+    # via stack — instead of exploding every word and shuffling a
+    # (doc_id, w) groupBy. Same (doc_id, w, tf, dl) rows (tf > 0
+    # mirrors the explode+filter inner semantics); the tf Exchange is
+    # gone entirely.
+    stack_args = ", ".join(
+        f"'{t}', size(ws) - size(array_remove(ws, '{t}'))" for t in BM25_TERMS
+    )
+    tf = (
+        docs.selectExpr(
+            "doc_id", "dl",
+            f"stack({len(BM25_TERMS)}, {stack_args}) AS (w, tf)",
+        )
+        .where(F.col("tf") > 0)
+        .select("doc_id", "w", F.col("tf").cast("bigint").alias("tf"), "dl")
     )
     dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     stats = docs.agg(
