@@ -34,6 +34,8 @@ TOUCHED = [
     "pdf_links",
     "pdf_form_fields",
     "media_meta",
+    "bm25_topk",
+    "dedup_simhash",
 ]
 
 SF = "/root/testdata/sf0.001"

@@ -69,17 +69,21 @@ COMMENTARY = {
         "doubles) — no new plan nodes."
     ),
     "html_main_text": (
-        "ZERO Exchanges: parquet scan pruned to (doc_id, text) feeds "
-        "one MapInPandas (wrap + strip fused in a single Arrow batch "
-        "pass). At 10^12 docs this is embarrassingly parallel — "
-        "partition count = input splits, no shuffle boundary at all."
+        "Parquet scan pruned to (doc_id, text) feeds one MapInPandas "
+        "(wrap + strip fused in a single Arrow batch pass). r9 adds a "
+        "CONDITIONAL scan-parallelism floor (ensure_parallelism): on "
+        "an under-split source the one Exchange fans the Python stage "
+        "out to the cluster; at 10^12 docs the source has thousands "
+        "of splits and the plan is exchange-free again."
     ),
     "bm25_topk": (
-        "The only real shuffle is the (doc_id, w) term-frequency "
-        "groupBy (map-side combinable). Document frequencies and the "
-        "corpus stats come back as BroadcastExchanges of ≤4 rows and "
-        "1 row; the final top-20 is a TakeOrderedAndProject, not a "
-        "global sort."
+        "r9: term frequencies are per-document array counts "
+        "(size - size∘array_remove per fixed term, unpivoted via "
+        "stack) — a codegen projection fused into the scan; the old "
+        "word explode and its (doc_id, w) groupBy Exchange are gone. "
+        "Document frequencies and the corpus stats come back as "
+        "BroadcastExchanges of ≤4 rows and 1 row; the final top-20 "
+        "is a TakeOrderedAndProject, not a global sort."
     ),
     "corpus_curate": (
         "The whole curation pipeline is ONE plan with ONE Exchange — "
@@ -161,15 +165,17 @@ COMMENTARY = {
         "broadcasts the tiny side, no shuffle of the scan."
     ),
     "dedup_minhash_pairs": (
-        "The banded-signature self-join shuffles on (band, band_val) "
-        "exactly once; the bucket-cap filter runs on the SAME "
-        "partitioning BEFORE the join (no degenerate buckets enter "
-        "the pair explosion), and the exact-Jaccard verify re-joins "
-        "doc text by id — the only shuffles are the two id joins, "
-        "both on uniform md5-derived keys. Scale-safe at 100 TB: "
-        "candidate generation is bucketed with an explicit cap and "
-        "the capped drop is itself an oracled metric "
-        "(dedup_skipped_buckets)."
+        "r9 shape: ONE groupBy(band, band_val) builds each bucket's "
+        "sorted member list (the ≤cap filter is a size() check on it "
+        "— no window, no self-join) and a<b candidate pairs expand "
+        "in-array inside that partitioning. The exact-Jaccard verify "
+        "runs over candidate docs only: the candidate id set is "
+        "broadcast, the document scan is semi-join-pruned BEFORE "
+        "re-shingling, and the intersection/size joins are broadcast "
+        "joins over that slim frame. Scale-safe at 100 TB: candidate "
+        "generation is bucketed with an explicit cap (drop oracled "
+        "by dedup_skipped_buckets), and the broadcast id set is "
+        "bounded by the cap² pair budget."
     ),
     "bpe_pair_topk": (
         "Two full BPE rounds. Per round: pair generation is a "
