@@ -215,17 +215,19 @@ def generate_payloads(
 
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            if from_text:
-                spans_seq = [
-                    synth_spans_py(str(did), text)
-                    for did, text in zip(ids, pdf["text"])
-                ]
-            else:
-                spans_seq = [_spans_to_tuples(s) for s in pdf["spans"]]
             payloads = []
-            for did, spans in zip(ids, spans_seq):
-                v = variant_for(int(did), variant)
-                payloads.append(build_pdf(str(did), spans, v))
+            if from_text:
+                for did, text in zip(ids, pdf["text"]):
+                    v = variant_for(int(did), variant)
+                    payloads.append(
+                        build_pdf(str(did), synth_spans_py(str(did), text), v)
+                    )
+            else:
+                for did, spans in zip(ids, pdf["spans"]):
+                    v = variant_for(int(did), variant)
+                    payloads.append(
+                        build_pdf(str(did), _spans_to_tuples(spans), v)
+                    )
             sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
             yield pd.DataFrame(
                 {"doc_id": ids, "payload": payloads, "size_class": sizes}

@@ -480,6 +480,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("tf") > 0)
         .select("doc_id", "w", F.col("tf").cast("bigint").alias("tf"), "dl")
+        # tf is consumed by BOTH dfreq and the scoring join; as a pure
+        # projection it would be recomputed per consumer (the old
+        # explode's Exchange was implicitly reused). Materialize the
+        # tiny ≤|terms|·|docs| frame once (lazy, per invocation).
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     stats = docs.agg(
