@@ -1131,44 +1131,86 @@ def split_marked_sections(data: bytes) -> list:
     producers that emit tagged output in practice do per ISO
     14289-1 conformance; a cross-section Tf dependency would fall
     back to default-font decoding (documented)."""
+    # r9: one _CT_MASTER_RE match per token (the content lexer's
+    # scanner — whitespace/comments consumed by the leading group, no
+    # per-token skip_ws calls, names matched inline instead of via
+    # parse_object). Operand VALUES are only ever inspected as "is the
+    # last one a BDC property dict", so non-delimiter operands are
+    # recorded as raw match bytes; (, <, [ still delegate to
+    # parse_object so strings/dicts/arrays are skipped by the real COS
+    # rules (an 'EMC' inside a literal never splits) and an inline BDC
+    # property dict comes back as the CDict the MCID read needs.
+    end = len(data)
     r = Raw(data)
-    end = r.length
+    master = _CT_MASTER_RE.match
     segs: list = []
     operands: list = []
     operands_start: Optional[int] = None
     depth = 0
     sec: Optional[tuple] = None  # (mcid, content_start) at depth entry
     gap_start = 0
-    while True:
-        r.skip_ws_and_comments()
-        tok_start = r.pos
-        if tok_start >= end:
-            break
-        tok = _next_token(r)
-        if tok is None:
-            break
-        if not isinstance(tok, bytes):  # a COS operand
-            if operands_start is None:
-                operands_start = tok_start
-            operands.append(tok)
+    pos = 0
+    while pos < end:
+        m = master(data, pos)
+        if m is None:  # cannot happen (alternation is total) — safety
+            pos += 1
+            operands = []
+            operands_start = None
             continue
+        mend = m.end()
+        lg = m.lastgroup
+        if lg is None:
+            if mend == pos:
+                # stray byte (e.g. lone '+'): the generic tokenizer
+                # consumes it as an opaque operator — clears operands
+                pos += 1
+                operands = []
+                operands_start = None
+                continue
+            pos = mend  # trailing whitespace/comment run
+            continue
+        if lg == "num" or lg == "name":  # a COS operand
+            if operands_start is None:
+                operands_start = m.start(lg)
+            operands.append(m.group(lg))
+            pos = mend
+            continue
+        if lg == "delim":
+            dstart = m.start("delim")
+            b = data[dstart]
+            if b in (0x28, 0x3C, 0x5B):  # ( < [ → real COS value
+                r.pos = dstart
+                val = parse_object(r, None)
+                if operands_start is None:
+                    operands_start = dstart
+                operands.append(val)
+                pos = r.pos
+                continue
+            # stray ) > { } ]: opaque operator — clears operands
+            pos = dstart + 1
+            operands = []
+            operands_start = None
+            continue
+        # lg == "op": an operator keyword
+        tok = m.group("op")
+        tok_start = m.start("op")
+        pos = mend
         if tok == b"BI":
             # inline image: skip to the token-boundary EI (the
             # content lexer's rule — bare 'EI' bytes inside binary
             # data must not terminate)
-            d = r.data
-            idx = r.pos
-            r.pos = end
+            idx = pos
+            pos = end
             while True:
-                idx = d.find(b"EI", idx)
+                idx = data.find(b"EI", idx)
                 if idx < 0:
                     break
-                if (idx == 0 or is_ws(d[idx - 1])) and (
+                if (idx == 0 or is_ws(data[idx - 1])) and (
                     idx + 2 >= end
-                    or is_ws(d[idx + 2])
-                    or is_delim(d[idx + 2])
+                    or is_ws(data[idx + 2])
+                    or is_delim(data[idx + 2])
                 ):
-                    r.pos = idx + 2
+                    pos = idx + 2
                     break
                 idx += 1
         elif tok in (b"BDC", b"BMC"):
@@ -1183,7 +1225,7 @@ def split_marked_sections(data: bytes) -> list:
                         v = props.get("MCID")
                         if isinstance(v, int) and not isinstance(v, bool):
                             mcid = v
-                sec = (mcid, r.pos)
+                sec = (mcid, pos)
             depth += 1
         elif tok == b"EMC":
             if depth > 0:
@@ -1191,7 +1233,7 @@ def split_marked_sections(data: bytes) -> list:
                 if depth == 0 and sec is not None:
                     segs.append((sec[0], data[sec[1] : tok_start]))
                     sec = None
-                    gap_start = r.pos
+                    gap_start = pos
         operands = []
         operands_start = None
     if sec is not None:  # unterminated section — PERMISSIVE tail
