@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .codec import build_pdf, variant_for
+from .scale import salt_docs_by_size  # no cycle: scale's engine uses are lazy
 
 # ---------------------------------------------------------------------------
 # Schemas
@@ -518,7 +519,7 @@ def status_rows(spark, sf_dir: str, modulo: int = 17) -> DataFrame:
             sizes = [max(len(p), 1).bit_length() // 2 for p in payloads]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "size_class": sizes})
 
-    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    payloads = salt_docs_by_size(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
     # r9: the query only needs (status, span COUNT) — emit them
     # directly from the kernel stage instead of shipping every span as
@@ -546,7 +547,7 @@ def metadata_rows(spark, sf_dir: str) -> DataFrame:
     column is recomputable in ANSI SQL from the documents table (the
     M7/M3 oracle)."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "classic")
+    payloads = generate_payloads(salt_docs_by_size(docs), "classic", ensure=False)
     meta = extract_metadata(payloads)
     return meta.select(
         "doc_id", "status", "title", "author", "subject", "keywords",
@@ -567,7 +568,7 @@ def attachments_rows(spark, sf_dir: str) -> DataFrame:
     the kernel walks the tree, decodes each embedded stream and emits
     (name, filename, size, md5) — all recomputable in SQL."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "attachments")
+    payloads = generate_payloads(salt_docs_by_size(docs), "attachments", ensure=False)
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -597,7 +598,7 @@ def outlines_rows(spark, sf_dir: str) -> DataFrame:
     even items carry two children); the kernel's /First→/Next DFS
     emits (pos, level, title) in display order — closed-form SQL."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "navigation")
+    payloads = generate_payloads(salt_docs_by_size(docs), "navigation", ensure=False)
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -839,7 +840,7 @@ def form_fields_rows(spark, sf_dir: str) -> DataFrame:
     dotted full names and the inheritance chain, emitting (pos, name,
     ftype, value) per terminal field, all closed-form in doc_id."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "acroform")
+    payloads = generate_payloads(salt_docs_by_size(docs), "acroform", ensure=False)
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -876,7 +877,7 @@ def links_rows(spark, sf_dir: str) -> DataFrame:
     /Annots and emits (page_idx, uri) — the hyperlink projection a
     web-scale pipeline extracts alongside text."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "navigation")
+    payloads = generate_payloads(salt_docs_by_size(docs), "navigation", ensure=False)
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -938,7 +939,7 @@ def catalog_fields_rows(spark, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "payload": payloads, "size_class": [1] * len(ids)}
             )
 
-    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    payloads = salt_docs_by_size(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
     meta = extract_metadata(payloads)
     return meta.select("doc_id", "lang", "page_mode")
 
@@ -1035,7 +1036,7 @@ def page_labels_rows(spark, sf_dir: str) -> DataFrame:
                  "size_class": [1] * len(ids)}
             )
 
-    payloads = ensure_parallelism(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
+    payloads = salt_docs_by_size(docs).mapInPandas(gen, schema=PAYLOAD_SCHEMA)
 
     def ker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel.extract import parse_document
@@ -1066,7 +1067,7 @@ def date_rows(spark, sf_dir: str) -> DataFrame:
     re-derives the same instant from the md5 the generator used
     (codec._det_date)."""
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    payloads = generate_payloads(docs, "classic")
+    payloads = generate_payloads(salt_docs_by_size(docs), "classic", ensure=False)
     meta = extract_metadata(payloads)
     return meta.select("doc_id", "creation_date", "creation_ts")
 
