@@ -76,10 +76,18 @@ filter(
 
 
 def synth_spans_df(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, text) → (doc_id, spans) — the interleaved
-    input table of BASELINE.json input_hint, built entirely JVM-side
-    (whole-stage codegen; no Python)."""
-    return docs.select("doc_id", F.expr(_SPANS_EXPR).alias("spans"))
+    """documents(doc_id, text) → (doc_id, text, spans) — the
+    interleaved input table of BASELINE.json input_hint, built entirely
+    JVM-side (whole-stage codegen; no Python).
+
+    The source ``text`` column rides along (r9): spans are a pure
+    function of text (lockstep-pinned against codec.synth_spans_py),
+    so downstream stages that only need text — salt_spans_by_size's
+    closed-form size estimate, generate_payloads' in-worker synthesis —
+    let Catalyst prune the struct array out of the plan entirely, while
+    consumers of ``spans`` (spans_rows, the doc_spans SQL view) are
+    unaffected."""
+    return docs.select("doc_id", "text", F.expr(_SPANS_EXPR).alias("spans"))
 
 
 def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
@@ -187,15 +195,18 @@ def generate_payloads(
 
     Two accepted input shapes (r9, guide §4 — pass only the columns
     the function needs):
-    - a spans frame (doc_id, spans[]): the interleaved input-hint
-      table; spans cross the Arrow boundary as struct arrays.
-    - a TEXT frame (doc_id, text) without a spans column: spans are
+    - a TEXT frame carrying a ``text`` column (with or without a
+      derived ``spans`` column — synth_spans_df emits both): spans are
       synthesized in-Python per document (codec.synth_spans_py — the
       lockstep mirror of engine._SPANS_EXPR, so payload bytes are
       identical), which skips the JVM struct synthesis and ships ~4×
-      fewer bytes through Arrow. The query wrappers below use this
-      path; external callers composing synth_spans_df →
-      generate_payloads keep the spans path unchanged.
+      fewer bytes through Arrow; a spans column present alongside text
+      is pruned out of the plan by Catalyst. NB this makes ``text``
+      authoritative: a frame whose spans were NOT derived from its
+      text by the canonical synthesis must drop the text column to
+      take the struct path.
+    - a spans-only frame (doc_id, spans[]): spans cross the Arrow
+      boundary as struct arrays and payloads build from the structs.
 
     size_class = log4 bucket of payload length — the explicit skew
     column consumed by scale.salt_by_size when salting post-generation
@@ -205,7 +216,7 @@ def generate_payloads(
     # NB: ensure_parallelism inspects df.rdd, which under AQE
     # materializes upstream shuffle stages eagerly (the work then runs
     # twice). Callers that already repartitioned pass ensure=False.
-    from_text = "spans" not in spans_df.columns
+    from_text = "text" in spans_df.columns
     if from_text:
         spans_df = spans_df.select("doc_id", "text")
     if ensure:

@@ -129,14 +129,20 @@ class CDict(dict):
             return v
         if resolver is None:
             return COS_NULL
-        # ParserSettings.max_deref_depth reaches here through the bound
-        # resolver's owner (Parser sets .deref_limit from settings);
-        # looked up only on actual Ref chains so the common non-Ref
-        # accessor path stays one isinstance check
+        # single-hop fast path (r9): almost every real chain is one Ref
+        # deep, so resolve once before paying the two-getattr limit
+        # lookup below — only multi-hop chains (and only they can loop)
+        # fetch ParserSettings.max_deref_depth through the bound
+        # resolver's owner (Parser sets .deref_limit from settings).
+        # NB with any sane limit (≥1) behavior is identical to checking
+        # the limit up front.
+        v = resolver(v)
+        if not isinstance(v, Ref):
+            return v
         limit = getattr(
             getattr(resolver, "__self__", None), "deref_limit", self.MAX_DEREF_DEPTH
         )
-        depth = 0
+        depth = 1
         while isinstance(v, Ref):
             if depth >= limit:
                 raise EParseError("Infinite or too deep loop of references")

@@ -648,6 +648,13 @@ class Parser:
                 types.append(fb(data[o : o + w1], "big") if w1 else 1)
                 f2.append(fb(data[o + w1 : o + w1 + w2], "big"))
                 f3.append(fb(data[o + w1 + w2 : o + row], "big"))
+        # entry upsert loop with add_uncompressed/add_compressed
+        # semantics inlined (X5: type-1 skips offset 0, keeps existing
+        # unless strictly greater gen; type-2 always overwrites) — one
+        # dict op per row instead of a method call per row, same move
+        # the classic-table C bulk path makes above
+        entries = self.xref.entries
+        eget = entries.get
         ri = 0
         it = iter(index)
         for start, count in zip(it, it):
@@ -659,13 +666,16 @@ class Parser:
                 t, a, b = types[ri], f2[ri], f3[ri]
                 num = start + i
                 ri += 1
-                if t == 0:
-                    pass  # free
-                elif t == 1:
-                    self.xref.add_uncompressed(num, b, a)
+                if t == 1:
+                    if a != 0:
+                        cur = eget(num)
+                        if cur is None or b > cur.gen:
+                            entries[num] = XRefEntry(num, b, offset=a)
                 elif t == 2:
-                    self.xref.add_compressed(num, a, b)
-                else:
+                    entries[num] = XRefEntry(
+                        num, -1, container=a, index_in_container=b
+                    )
+                elif t != 0:
                     self.settings.soft_structure(False, f"unknown xref entry type {t}")
         return sd
 

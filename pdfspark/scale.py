@@ -103,9 +103,21 @@ def salt_spans_by_size(
     only add scheduling overhead."""
     sc = spans_df.sparkSession.sparkContext
     n = num_partitions or max(sc.defaultParallelism, 8)
-    est = F.expr(
-        "aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 32L) + 64L)"
-    )
+    if "text" in spans_df.columns:
+        # r9: synth_spans_df keeps the source text column, and the
+        # spans aggregate below is a closed form of the text length
+        # (see salt_docs_by_size — same k/est identity, pinned by the
+        # synthesis-lockstep tests). Computing est from text lets
+        # Catalyst prune the struct synthesis out of plans whose
+        # downstream consumers (generate_payloads text path) never
+        # read `spans`; size_class/salt and hence the partitioning are
+        # IDENTICAL either way.
+        k = "CAST(ceil(length(text) / 80.0) AS BIGINT)"
+        est = F.expr(f"length(text) + 64L * {k} + 96L * ({k} DIV 3)")
+    else:
+        est = F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 32L) + 64L)"
+        )
     salted = spans_df.withColumn(
         "size_class",
         F.floor(F.log2(F.greatest(est, F.lit(2))) / 2).cast("int"),

@@ -58,6 +58,44 @@ def test_roundtrip_rows_matches_synthesis(spark):
     assert {(r.doc_id, r.offset, r.kind, r.text, r.media_ref) for r in rows} == expected
 
 
+def test_generate_payloads_struct_and_text_paths_identical(spark):
+    """r9: generate_payloads prefers the text path when a text column
+    is present (synth_spans_df keeps text alongside spans). Pin that
+    (a) the struct path — a spans-only frame — still works and builds
+    byte-identical payloads, and (b) salt_spans_by_size's closed-form
+    text size estimate equals the spans aggregate for every doc."""
+    import pyspark.sql.functions as F
+
+    from pdfspark.scale import salt_spans_by_size
+
+    docs = load_documents(spark, SF_SMOKE).limit(40)
+    both = synth_spans_df(docs)  # (doc_id, text, spans)
+    via_text = {
+        r.doc_id: bytes(r.payload)
+        for r in generate_payloads(both, "mixed", ensure=False).collect()
+    }
+    via_struct = {
+        r.doc_id: bytes(r.payload)
+        for r in generate_payloads(
+            both.drop("text"), "mixed", ensure=False
+        ).collect()
+    }
+    assert via_text == via_struct and via_text
+
+    k = "CAST(ceil(length(text) / 80.0) AS BIGINT)"
+    est_text = F.expr(f"length(text) + 64L * {k} + 96L * ({k} DIV 3)")
+    est_spans = F.expr(
+        "aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 32L) + 64L)"
+    )
+    diff = both.select(
+        est_text.alias("a"), est_spans.alias("b")
+    ).where("a <> b").count()
+    assert diff == 0
+    # and the exported salt wrapper accepts both shapes
+    assert salt_spans_by_size(both).columns == ["doc_id", "text", "spans"]
+    assert salt_spans_by_size(both.drop("text")).columns == ["doc_id", "spans"]
+
+
 def test_malformed_policy(spark):
     rows = status_rows(spark, SF_SMOKE).collect()
     assert rows
