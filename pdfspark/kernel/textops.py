@@ -377,7 +377,7 @@ class Font:
         "two_byte", "tounicode", "table", "codec", "trans", "cmap",
         "widths", "first_char", "default_width",
         "cid_widths", "cid_wranges", "_code_memo", "_w_table", "t3_scale",
-        "_fast_spec",
+        "_fast_spec", "_space_width_memo",
     )
 
     def __init__(self, fdict: CDict, resolver: Optional[Resolver]):
@@ -410,6 +410,7 @@ class Font:
         self.cid_wranges: list[tuple[int, int, int]] = []
         self._code_memo: dict = {}  # (code, bw) → (char, width)
         self._w_table = None  # lazy 256×int64 per-byte width table
+        self._space_width_memo = False  # r9: space_width() cache flag
         # Type3: glyph-space widths scale by FontMatrix[0]·1000 into
         # the 1000-em contract (None for every other font class)
         self.t3_scale: Optional[float] = None
@@ -738,13 +739,23 @@ class Font:
         fonts: word gaps in generated corpora always ride a
         single-byte font, and a heuristic without a yardstick must
         stay silent rather than guess)."""
+        # pure function of init-time metrics — memoized (r9): the
+        # word-boundary heuristic asks once per positioning gap
+        if self._space_width_memo is not False:
+            return self._space_width_memo
         if self.two_byte or self.widths is None:
-            return None
-        i = 32 - self.first_char
-        w = self.widths[i] if 0 <= i < len(self.widths) else self.default_width
-        if self.t3_scale is not None:
-            return w * self.t3_scale  # glyph space → 1000-em
-        return float(w)
+            sw = None
+        else:
+            i = 32 - self.first_char
+            w = (
+                self.widths[i]
+                if 0 <= i < len(self.widths)
+                else self.default_width
+            )
+            # t3_scale: glyph space → 1000-em
+            sw = w * self.t3_scale if self.t3_scale is not None else float(w)
+        self._space_width_memo = sw
+        return sw
 
     def show_info(self, raw: bytes) -> tuple:
         """The per-show-string font work, consolidated into ONE call:
@@ -766,30 +777,27 @@ class Font:
                 pairs = cm.codes_w(raw)
                 # per-code (char, width) memo: the tounicode/bf/cid
                 # lookup chain and the /W search run once per DISTINCT
-                # (code, byte-width); repeat codes hit one dict get
+                # (code, byte-width); repeat codes hit one dict get.
+                # The pair loop is C-level comprehensions + join/sum/
+                # count (r9) — entries are tuples (never falsy), so
+                # `or` short-circuits straight to the memo hit
                 memo = self._code_memo
                 memo_get = memo.get
-                out = []
-                append = out.append
-                adv = 0
-                nsp = 0
-                for pair in pairs:
-                    code, w = pair
-                    if code == 32 and w == 1:
-                        nsp += 1
-                    ent = memo_get(pair)
-                    if ent is None:
-                        ent = self._code_entry(code, w)
-                        memo[pair] = ent
-                    append(ent[0])
-                    adv += ent[1]
+                ce = self._code_entry
+                ents = [
+                    memo_get(p) or memo.setdefault(p, ce(p[0], p[1]))
+                    for p in pairs
+                ]
+                nsp = pairs.count((32, 1))
                 text = (
-                    "".join(out)
+                    "".join([e[0] for e in ents])
                     .encode("utf-16", "surrogatepass")
                     .decode("utf-16", "replace")
                 )
                 if self.cid_widths is None and not self.cid_wranges:
                     adv = len(pairs) * self.default_width
+                else:
+                    adv = sum([e[1] for e in ents])
                 return text, adv, len(pairs), nsp
             # fixed 2-byte codes (Identity-H/V) — decode the code ints
             # once via numpy-free C-level slicing: big-endian pairs
@@ -1110,6 +1118,11 @@ _CTOK_CMAP_CODES = _load_ctok_attr("cmap_codes_w")
 _CTOK_TADV = _load_ctok_attr("table_advance")
 
 
+# opaque stand-in for num/name operand values in split_marked_sections
+# (only "is the last operand a CDict" is ever asked of them)
+_NOT_DICT = object()
+
+
 def split_marked_sections(data: bytes) -> list:
     """Split one decoded content stream into [(mcid_or_None, bytes)]
     runs at the TOP marked-content level (ISO 32000-1 §14.6): a
@@ -1135,17 +1148,20 @@ def split_marked_sections(data: bytes) -> list:
     # scanner — whitespace/comments consumed by the leading group, no
     # per-token skip_ws calls, names matched inline instead of via
     # parse_object). Operand VALUES are only ever inspected as "is the
-    # last one a BDC property dict", so non-delimiter operands are
-    # recorded as raw match bytes; (, <, [ still delegate to
-    # parse_object so strings/dicts/arrays are skipped by the real COS
-    # rules (an 'EMC' inside a literal never splits) and an inline BDC
-    # property dict comes back as the CDict the MCID read needs.
+    # last one a BDC property dict", so instead of materializing an
+    # operand list only (operands_start, last_operand) are tracked —
+    # last_operand holds the real value for delegated tokens and an
+    # opaque sentinel for num/name (whose bytes were never read);
+    # (, <, [ still delegate to parse_object so strings/dicts/arrays
+    # are skipped by the real COS rules (an 'EMC' inside a literal
+    # never splits) and an inline BDC property dict comes back as the
+    # CDict the MCID read needs.
     end = len(data)
     r = Raw(data)
     master = _CT_MASTER_RE.match
     segs: list = []
-    operands: list = []
-    operands_start: Optional[int] = None
+    last_operand = None  # value of the most recent operand in the run
+    operands_start: Optional[int] = None  # None ⇔ operand run is empty
     depth = 0
     sec: Optional[tuple] = None  # (mcid, content_start) at depth entry
     gap_start = 0
@@ -1154,7 +1170,6 @@ def split_marked_sections(data: bytes) -> list:
         m = master(data, pos)
         if m is None:  # cannot happen (alternation is total) — safety
             pos += 1
-            operands = []
             operands_start = None
             continue
         mend = m.end()
@@ -1164,7 +1179,6 @@ def split_marked_sections(data: bytes) -> list:
                 # stray byte (e.g. lone '+'): the generic tokenizer
                 # consumes it as an opaque operator — clears operands
                 pos += 1
-                operands = []
                 operands_start = None
                 continue
             pos = mend  # trailing whitespace/comment run
@@ -1172,7 +1186,7 @@ def split_marked_sections(data: bytes) -> list:
         if lg == "num" or lg == "name":  # a COS operand
             if operands_start is None:
                 operands_start = m.start(lg)
-            operands.append(m.group(lg))
+            last_operand = _NOT_DICT
             pos = mend
             continue
         if lg == "delim":
@@ -1180,15 +1194,13 @@ def split_marked_sections(data: bytes) -> list:
             b = data[dstart]
             if b in (0x28, 0x3C, 0x5B):  # ( < [ → real COS value
                 r.pos = dstart
-                val = parse_object(r, None)
+                last_operand = parse_object(r, None)
                 if operands_start is None:
                     operands_start = dstart
-                operands.append(val)
                 pos = r.pos
                 continue
             # stray ) > { } ]: opaque operator — clears operands
             pos = dstart + 1
-            operands = []
             operands_start = None
             continue
         # lg == "op": an operator keyword
@@ -1219,8 +1231,8 @@ def split_marked_sections(data: bytes) -> list:
                 if data[gap_start:gap_end].strip():
                     segs.append((None, data[gap_start:gap_end]))
                 mcid = None
-                if tok == b"BDC" and operands:
-                    props = operands[-1]
+                if tok == b"BDC" and operands_start is not None:
+                    props = last_operand
                     if isinstance(props, CDict):
                         v = props.get("MCID")
                         if isinstance(v, int) and not isinstance(v, bool):
@@ -1234,7 +1246,6 @@ def split_marked_sections(data: bytes) -> list:
                     segs.append((sec[0], data[sec[1] : tok_start]))
                     sec = None
                     gap_start = pos
-        operands = []
         operands_start = None
     if sec is not None:  # unterminated section — PERMISSIVE tail
         segs.append((sec[0], data[sec[1] :]))
@@ -1447,13 +1458,13 @@ def _interpret_content_py(
                 span_w_known = False
                 tm_adv_known = False
             else:
-                span_adv += (
-                    (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
-                ) * th * trm_c[0]
+                # one shared text-space displacement (identical float
+                # association order to the two inline forms it replaces:
+                # (expr)·th then ·trm_c[0])
+                d = ((adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp) * th
+                span_adv += d * trm_c[0]
                 if infer_spaces:
-                    tm_adv += (
-                        (adv * cur_size) / 1000.0 + tc * nglyphs + tw * nsp
-                    ) * th
+                    tm_adv += d
             text_parts.append(text)
 
     def next_line() -> None:
@@ -1470,7 +1481,37 @@ def _interpret_content_py(
         else _lex_content_py(data)
     )
     for op, operands in events:
-        if op == b"BT":
+        # dispatch ordered by op frequency (r9): show ops first — one
+        # Tj/TJ per text chunk dwarfs every state op; the chain is
+        # mutually exclusive so ordering is semantics-free
+        if op == b"Tj":
+            if operands:
+                show(operands[-1])
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for item in operands[-1]:
+                    t = type(item)
+                    if infer_spaces and (t is int or t is float):
+                        # §9.4.3 kern t moves by (−t/1000·Tfs)·Th —
+                        # a gap event for the boundary heuristic, and
+                        # tracked so a later Td gap stays exact
+                        d = ((-item * cur_size) / 1000.0) * th
+                        gap_event(d)
+                        tm_adv += d
+                    if tj_kerning and (t is int or t is float):
+                        # §9.4.3: a TJ number t moves the text position
+                        # by tx = (−t/1000·Tfs)·Th — with the flag on,
+                        # that displacement counts toward span width
+                        # (kern before the first show op shifts within
+                        # the span, not its origin — documented)
+                        if trm_c is None:
+                            trm_c = _matmul(tm, ctm)
+                        span_adv += (
+                            (-item * cur_size) / 1000.0
+                        ) * th * trm_c[0]
+                    else:
+                        show(item)
+        elif op == b"BT":
             in_text = True
             text_parts = []
             tm = tlm = _MAT_ID
@@ -1536,33 +1577,6 @@ def _interpret_content_py(
             if v is not None:
                 ctm = _matmul(tuple(v), ctm)
                 trm_c = None
-        elif op == b"Tj":
-            if operands:
-                show(operands[-1])
-        elif op == b"TJ":
-            if operands and isinstance(operands[-1], list):
-                for item in operands[-1]:
-                    t = type(item)
-                    if infer_spaces and (t is int or t is float):
-                        # §9.4.3 kern t moves by (−t/1000·Tfs)·Th —
-                        # a gap event for the boundary heuristic, and
-                        # tracked so a later Td gap stays exact
-                        d = ((-item * cur_size) / 1000.0) * th
-                        gap_event(d)
-                        tm_adv += d
-                    if tj_kerning and (t is int or t is float):
-                        # §9.4.3: a TJ number t moves the text position
-                        # by tx = (−t/1000·Tfs)·Th — with the flag on,
-                        # that displacement counts toward span width
-                        # (kern before the first show op shifts within
-                        # the span, not its origin — documented)
-                        if trm_c is None:
-                            trm_c = _matmul(tm, ctm)
-                        span_adv += (
-                            (-item * cur_size) / 1000.0
-                        ) * th * trm_c[0]
-                    else:
-                        show(item)
         elif op == b"'":
             if operands:
                 next_line()
