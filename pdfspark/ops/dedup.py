@@ -16,6 +16,8 @@ bit-for-bit. At 10^12 docs:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -185,7 +187,14 @@ def signatures_from_shingles(
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_pairs_df(_docs_parallel(spark, sf_dir))
+    # verify_docs: the RAW scan — the verify pass broadcast-filters to
+    # candidate docs only, so routing it through _docs_parallel's
+    # repartition would re-Exchange the full corpus text for nothing
+    # (the signature pass is the one that needs the parallelism floor)
+    return minhash_pairs_df(
+        _docs_parallel(spark, sf_dir),
+        verify_docs=_docs(spark, sf_dir).select("doc_id", "text"),
+    )
 
 
 def minhash_pairs_df(
@@ -193,6 +202,7 @@ def minhash_pairs_df(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     bucket_cap: int = BUCKET_CAP,
+    verify_docs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH candidate pairs (same band bucket) verified with exact
     shingle-set Jaccard ≥ 0.5. Counts (not float division) are emitted
@@ -247,13 +257,18 @@ def minhash_pairs_df(
     # Jaccard verify over candidate docs only: broadcast the id set,
     # prune the DOCUMENT scan before re-shingling (the filter lands
     # ahead of the explode, so only candidate docs pay it), and reuse
-    # that slim frame for both the intersection join and the set sizes
+    # that slim frame for both the intersection join and the set sizes.
+    # verify_docs (r9): callers whose `docs` carries a parallelism
+    # repartition pass the raw scan here — the broadcast-join filter
+    # then runs scan-side instead of behind a full-corpus Exchange
+    # (same rows either way; the repartition only moves bytes).
+    vdocs = verify_docs if verify_docs is not None else docs
     cand_ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    shc = shingles_df(docs.join(F.broadcast(cand_ids), "doc_id")).persist()
+    shc = shingles_df(vdocs.join(F.broadcast(cand_ids), "doc_id")).persist()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         F.broadcast(cand)
@@ -427,7 +442,10 @@ def dedup_clusters(
     adversarial-diameter graphs — both produce the identical labeling
     (same DuckDB oracle; pinned equal in tests/test_ops.py)."""
     docs = _docs(spark, sf_dir)
-    pairs = minhash_pairs_df(_docs_parallel(spark, sf_dir)).select("a_id", "b_id")
+    pairs = minhash_pairs_df(
+        _docs_parallel(spark, sf_dir),
+        verify_docs=docs.select("doc_id", "text"),
+    ).select("a_id", "b_id")
     labels, _rounds = connected_components(docs, pairs, algorithm)
     return labels.select(
         "doc_id",

@@ -178,6 +178,23 @@ def test_minhash_degenerate_bucket_capped(spark):
     assert len(uncapped) >= 200 * 199 // 2
 
 
+def test_minhash_verify_docs_source_equivalent(spark):
+    """The Jaccard-verify pass may read from a differently-partitioned
+    source than the signature pass (r9: callers route the raw scan
+    around the parallelism repartition) — the verified pair rows must
+    be identical either way."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows = [(i, base + f" tail{i % 3}") for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    repart = docs.repartition(8, "doc_id")
+    one = {tuple(r) for r in dedup.minhash_pairs_df(repart).collect()}
+    two = {
+        tuple(r)
+        for r in dedup.minhash_pairs_df(repart, verify_docs=docs).collect()
+    }
+    assert one == two and len(one) > 0
+
+
 def test_dedup_clusters_planted_group(spark, tmp_path):
     """Planted near-dup group + singleton: one cluster labeled by its
     min doc_id, every corpus doc present, singleton labels itself."""
